@@ -1,0 +1,374 @@
+"""Deterministic synthetic data generators (FIXTURES.md).
+
+Everything is closed-form (no RNG state): the same rows can be
+re-derived in Spark (Column exprs over ``spark.range``), in DuckDB
+oracle SQL (``range()``), in NumPy, and by hand — which is what makes
+the driver's value-hash oracle comparisons possible.
+
+Generators:
+- ``documents_df`` — Common-Crawl-style pages per BASELINE.json
+  input_hint: (url, warc_ts, html, text, lang). ``text`` is the
+  byte-identity invariant column.
+- ``geocode_*`` — the deterministic doc→(lon,lat) rule, with a
+  20% hot-cell pin to exercise skew/salting (FIXTURES.md §1).
+- ``polygons`` — 50 rectangles + L-shaped concave polygons tiling
+  the doc box; every polygon also carries a rectangle decomposition
+  so the DuckDB oracle can express exact membership as box tests.
+- raster fixtures mirroring the reference test matrix
+  (``/root/reference/tests/geotiff.rs``, FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from georaster_spark.grid import RasterGeometry
+
+# ------------------------------------------------------------------ docs
+
+LANGS = ["en", "de", "fr", "es", "it"]
+
+
+def documents_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Synthetic web-page table per input_hint schema, built from
+    ``spark.range`` with pure Column exprs (scales to any n without
+    driver-side materialization)."""
+    df = spark.range(0, n, 1, partitions or max(8, n // 250_000))
+    i = F.col("id")
+    text = F.format_string("doc %d cell %d", i, i % 1024)
+    return df.select(
+        F.format_string("https://site%d.example/p/%d", i % 997, i).alias("url"),
+        (F.lit("2025-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=i.cast("double"))).alias("warc_ts"),
+        F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")).cast("binary").alias("html"),
+        text.alias("text"),
+        F.element_at(F.array(*[F.lit(l) for l in LANGS]), (i % 5 + 1).cast("int")).alias("lang"),
+        i.alias("doc_seq"),  # generation index; real pipelines derive it from url
+    )
+
+
+# --------------------------------------------------------------- geocode
+
+# lat/lon derivation constants (FIXTURES.md §1): Knuth multiplicative
+# constant spreads doc ids over the [45,47]×[7,9] box; 20% of rows
+# (i % 5 == 0) pin to a 0.01°×0.01° hot box to exercise salting.
+_LAT_MUL, _LON_MUL, _MOD = 2654435761, 40503, 100000
+HOT_LAT0, HOT_LON0, HOT_SZ = 46.0, 7.5, 0.01
+
+
+def geocode_cols(i: Column) -> tuple[Column, Column]:
+    """(lon, lat) Column exprs from a document's generation index."""
+    hot = (i % 5) == 0
+    lat_cold = F.lit(45.0) + ((i * _LAT_MUL) % _MOD).cast("double") / _MOD * 2.0
+    lon_cold = F.lit(7.0) + ((i * _LON_MUL) % _MOD).cast("double") / _MOD * 2.0
+    lat_hot = F.lit(HOT_LAT0) + ((i * 13) % 997).cast("double") / 997.0 * HOT_SZ
+    lon_hot = F.lit(HOT_LON0) + ((i * 7919) % 997).cast("double") / 997.0 * HOT_SZ
+    lon = F.when(hot, lon_hot).otherwise(lon_cold)
+    lat = F.when(hot, lat_hot).otherwise(lat_cold)
+    return lon, lat
+
+
+def geocode_sql(i: str) -> tuple[str, str]:
+    """The same rule as DuckDB-compatible SQL fragments."""
+    lon = (
+        f"(CASE WHEN ({i}) % 5 = 0 THEN {HOT_LON0} + (({i}) * 7919) % 997 / 997.0 * {HOT_SZ} "
+        f"ELSE 7.0 + (({i}) * {_LON_MUL}) % {_MOD} / {_MOD}.0 * 2.0 END)"
+    )
+    lat = (
+        f"(CASE WHEN ({i}) % 5 = 0 THEN {HOT_LAT0} + (({i}) * 13) % 997 / 997.0 * {HOT_SZ} "
+        f"ELSE 45.0 + (({i}) * {_LAT_MUL}) % {_MOD} / {_MOD}.0 * 2.0 END)"
+    )
+    return lon, lat
+
+
+def geocode_np(i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    i = i.astype(np.int64)
+    hot = (i % 5) == 0
+    lat = np.where(hot, HOT_LAT0 + (i * 13) % 997 / 997.0 * HOT_SZ,
+                   45.0 + (i * _LAT_MUL) % _MOD / float(_MOD) * 2.0)
+    lon = np.where(hot, HOT_LON0 + (i * 7919) % 997 / 997.0 * HOT_SZ,
+                   7.0 + (i * _LON_MUL) % _MOD / float(_MOD) * 2.0)
+    return lon, lat
+
+
+# -------------------------------------------------------------- polygons
+
+
+@dataclass(frozen=True)
+class Polygon:
+    poly_id: str
+    ring: np.ndarray  # (k, 2) float64, open ring (last→first implied)
+    # exact rectangle decomposition (xmin, ymin, xmax, ymax) — used by
+    # the DuckDB oracle; the ENGINE never reads it (ray-cast only).
+    rects: tuple[tuple[float, float, float, float], ...] = field(default=())
+
+    @property
+    def bbox(self) -> tuple[float, float, float, float]:
+        return (
+            float(self.ring[:, 0].min()),
+            float(self.ring[:, 1].min()),
+            float(self.ring[:, 0].max()),
+            float(self.ring[:, 1].max()),
+        )
+
+
+def _rect(pid: str, x0: float, y0: float, x1: float, y1: float) -> Polygon:
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
+    return Polygon(pid, ring, ((x0, y0, x1, y1),))
+
+
+def _lshape(pid: str, x0: float, y0: float, x1: float, y1: float) -> Polygon:
+    """L-shape = cell box minus its top-right quadrant (concave)."""
+    xm, ym = (x0 + x1) / 2, (y0 + y1) / 2
+    ring = np.array(
+        [[x0, y0], [x1, y0], [x1, ym], [xm, ym], [xm, y1], [x0, y1]], dtype=np.float64
+    )
+    return Polygon(pid, ring, ((x0, y0, x1, ym), (x0, ym, xm, y1)))
+
+
+# boundary nudge: doc coords are multiples of 2e-5 off the box corner;
+# +1e-6 keeps every polygon edge strictly off every doc point, so
+# open/closed boundary conventions can't cause engine/oracle drift.
+_EPS = 1e-6
+
+
+def polygons() -> list[Polygon]:
+    polys: list[Polygon] = []
+    j = 0
+    # 25 rectangles + 20 L-shapes on a 5×5 grid over [7,9]×[45,47]
+    for gy in range(5):
+        for gx in range(5):
+            x0 = 7.0 + gx * 0.4 + _EPS
+            y0 = 45.0 + gy * 0.4 + _EPS
+            if (gx + gy) % 2 == 0 or j >= 45:
+                polys.append(_rect(f"poly{j}", x0, y0, x0 + 0.38, y0 + 0.38))
+            else:
+                polys.append(_lshape(f"poly{j}", x0, y0, x0 + 0.38, y0 + 0.38))
+            j += 1
+    # 5 small rectangles overlapping the hot cell
+    for k in range(5):
+        x0 = HOT_LON0 + k * 0.002 + _EPS
+        y0 = HOT_LAT0 + _EPS
+        polys.append(_rect(f"poly{j + k}", x0, y0, x0 + 0.003, y0 + HOT_SZ - 2 * _EPS))
+    return polys
+
+
+POLYGON_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.StringType(), False),
+        T.StructField(
+            "ring",
+            T.ArrayType(
+                T.StructType(
+                    [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+                )
+            ),
+        ),
+        T.StructField(
+            "bbox",
+            T.StructType(
+                [
+                    T.StructField("xmin", T.DoubleType()),
+                    T.StructField("ymin", T.DoubleType()),
+                    T.StructField("xmax", T.DoubleType()),
+                    T.StructField("ymax", T.DoubleType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def polygons_df(spark: SparkSession, polys: list[Polygon] | None = None) -> DataFrame:
+    polys = polys if polys is not None else polygons()
+    rows = [
+        (
+            p.poly_id,
+            [(float(x), float(y)) for x, y in p.ring],
+            p.bbox,
+        )
+        for p in polys
+    ]
+    return spark.createDataFrame(rows, POLYGON_SCHEMA)
+
+
+def polygon_rects_sql() -> str:
+    """DuckDB VALUES table of the exact rectangle decomposition:
+    (poly_id, xmin, ymin, xmax, ymax). Oracle point-in-polygon is
+    EXISTS(point in any rect of the poly)."""
+    rows = []
+    for p in polygons():
+        for (x0, y0, x1, y1) in p.rects:
+            rows.append(f"('{p.poly_id}', {x0!r}, {y0!r}, {x1!r}, {y1!r})")
+    return "(VALUES " + ", ".join(rows) + ") AS polyrects(poly_id, xmin, ymin, xmax, ymax)"
+
+
+# ------------------------------------------------------- raster fixtures
+
+TILES_SCHEMA = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType(), False),
+        T.StructField("image_idx", T.IntegerType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("tile_col", T.IntegerType(), False),
+        T.StructField("tile_row", T.IntegerType(), False),
+        T.StructField("pad_right", T.IntegerType(), False),
+        T.StructField("pad_down", T.IntegerType(), False),
+        T.StructField("data", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def array_to_tiles_df(
+    spark: SparkSession,
+    raster_id: str,
+    geom: RasterGeometry,
+    arr: np.ndarray,
+    image_idx: int = 0,
+) -> DataFrame:
+    """NumPy array → ``tiles`` DataFrame, reproducing the reference's
+    chunk layout exactly (``TileAttributes``, ``src/geotiff.rs:433-517``):
+
+    - ``arr`` is (h, w) for single band, (h, w, bands) otherwise;
+    - planar layout stores one band per chunk run (spp=1), chunky
+      interleaves samples within the chunk (spp=bands);
+    - chunks exclude padding: last-column chunks have row stride
+      ``tile_w - pad_right``, last-row chunks have ``tile_h -
+      pad_down`` rows.
+    """
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nb = arr.shape
+    assert (h, w, nb) == (geom.height, geom.width, geom.bands)
+    rows = []
+    band_runs = range(nb) if geom.planar else [0]
+    for run in band_runs:
+        for tr in range(geom.tiles_down):
+            for tc in range(geom.tiles_across):
+                y0, x0 = tr * geom.tile_h, tc * geom.tile_w
+                y1, x1 = min(y0 + geom.tile_h, h), min(x0 + geom.tile_w, w)
+                pr = geom.padding_right if tc == geom.tiles_across - 1 else 0
+                pd = geom.padding_down if tr == geom.tiles_down - 1 else 0
+                if geom.planar:
+                    block = arr[y0:y1, x0:x1, run]
+                    data = block.astype(np.float64).ravel().tolist()
+                else:
+                    block = arr[y0:y1, x0:x1, :]
+                    data = block.astype(np.float64).ravel().tolist()
+                rows.append((raster_id, image_idx, run, tc, tr, pr, pd, data))
+    return spark.createDataFrame(rows, TILES_SCHEMA)
+
+
+# ---- fixture fills (FIXTURES.md §2) ----
+
+
+def fixture_world400() -> tuple[RasterGeometry, np.ndarray]:
+    """small_world.tif analog: 400×200 RGB8 planar, strip h=20,
+    origin (−180, 90), pixel (0.9, −0.9). V_band(x,y)=(x+2y+37b)%256."""
+    geom = RasterGeometry(
+        width=400, height=200, tile_w=400, tile_h=20,
+        origin_x=-180.0, origin_y=90.0, px_sz_x=0.9, px_sz_y=-0.9,
+        bands=3, planar=True,
+    )
+    y, x = np.mgrid[0:200, 0:400]
+    arr = np.stack([(x + 2 * y + 37 * b) % 256 for b in range(3)], axis=-1)
+    return geom, arr.astype(np.float64)
+
+
+def fixture_strips1x9() -> tuple[RasterGeometry, np.ndarray]:
+    """incomplete_strips.tiff analog: 1×9 Gray8, rows_per_strip=5
+    (short last strip). V(x,y) = 20*y (tests/geotiff.rs:544-547)."""
+    geom = RasterGeometry(width=1, height=9, tile_w=1, tile_h=5)
+    y = np.arange(9).reshape(9, 1)
+    return geom, (20 * y).astype(np.float64)
+
+
+def fixture_sat200() -> tuple[RasterGeometry, np.ndarray]:
+    """sat.tif analog: 200×200 RGB8 chunky, single padded 512×512 tile
+    (pad_right=312, pad_down=312) — exercises the padded-stride math."""
+    geom = RasterGeometry(
+        width=200, height=200, tile_w=512, tile_h=512,
+        origin_x=2747994.2968, origin_y=1205137.2435,
+        px_sz_x=1.8898895579756552, px_sz_y=-1.8898895306859578,
+        bands=3, planar=False,
+    )
+    y, x = np.mgrid[0:200, 0:200]
+    arr = np.stack([(x * 3 + y * 7 + b * 31) % 256 for b in range(3)], axis=-1)
+    return geom, arr.astype(np.float64)
+
+
+def fixture_f32nan128() -> tuple[RasterGeometry, np.ndarray]:
+    """f32nan_data.tif analog: 128×128 F32, identity geotransform,
+    V(x,y)=frac(|sin(x*131+y)|) with V(0,0) forced NaN."""
+    geom = RasterGeometry(width=128, height=128, tile_w=128, tile_h=16)
+    y, x = np.mgrid[0:128, 0:128]
+    arr = np.abs(np.sin(x * 131.0 + y)) % 1.0
+    arr[0, 0] = np.nan
+    return geom, arr.astype(np.float64)
+
+
+def fixture_byte20(dtype: str = "u8") -> tuple[RasterGeometry, np.ndarray]:
+    """byte/int16/int32/float32 .tif analogs: 20×20 single band,
+    origin (440720, 3751320), pixel (60, −60), constant fill 107."""
+    geom = RasterGeometry(
+        width=20, height=20, tile_w=20, tile_h=20,
+        origin_x=440720.0, origin_y=3751320.0, px_sz_x=60.0, px_sz_y=-60.0,
+    )
+    return geom, np.full((20, 20), 107.0)
+
+
+DTM_GEOM = RasterGeometry(
+    width=5000, height=5000, tile_w=512, tile_h=512,
+    origin_x=4250000.0, origin_y=2700000.0, px_sz_x=10.0, px_sz_y=-10.0,
+)
+
+# golden anchors (examples/geotiff_dtm.rs:108-115): pixel(0,0)=636;
+# max over window (2500,3000,100,100) = 2161.
+DTM_PEAK_X, DTM_PEAK_Y, DTM_PEAK_V = 2550, 3050, 2161
+DTM_ORIGIN_V = 636
+
+
+def dtm_value_cols(x: Column, y: Column) -> Column:
+    """Closed-form DTM fill: base in [600,1999] < 2161, with the golden
+    peak and origin values forced. Pure Column algebra."""
+    base = F.lit(600) + (x * 73 + y * 179) % 1400
+    return (
+        F.when((x == DTM_PEAK_X) & (y == DTM_PEAK_Y), F.lit(DTM_PEAK_V))
+        .when((x == 0) & (y == 0), F.lit(DTM_ORIGIN_V))
+        .otherwise(base)
+        .cast("int")
+    )
+
+
+def dtm_pixels_df(spark: SparkSession, partitions: int = 32) -> DataFrame:
+    """The 5000×5000 DTM as a pixels DataFrame (25M rows, generated
+    executor-side from ``spark.range`` — nothing materializes on the
+    driver)."""
+    n = DTM_GEOM.width
+    df = spark.range(0, n * n, 1, partitions)
+    x = (F.col("id") % n).cast("int")
+    y = (F.col("id") / n).cast("int")
+    return df.select(
+        F.lit("dtm5000").alias("raster_id"),
+        F.lit(0).alias("image_idx"),
+        F.lit(0).alias("band"),
+        x.alias("x"),
+        y.alias("y"),
+        dtm_value_cols(x, y).cast("double").alias("value"),
+    )
+
+
+def dtm_pixels_sql() -> str:
+    """DuckDB-equivalent generator for the same 25M pixels."""
+    n = DTM_GEOM.width
+    return f"""
+    SELECT CAST(range % {n} AS INT) AS x, CAST(range // {n} AS INT) AS y,
+           CAST(CASE WHEN range % {n} = {DTM_PEAK_X} AND range // {n} = {DTM_PEAK_Y} THEN {DTM_PEAK_V}
+                     WHEN range = 0 THEN {DTM_ORIGIN_V}
+                     ELSE 600 + ((range % {n}) * 73 + (range // {n}) * 179) % 1400 END AS DOUBLE) AS value
+    FROM range({n * n})
+    """

@@ -1,0 +1,293 @@
+"""Raster operators: tiles↔pixels, point/window reads, rasterize,
+overview pyramid.
+
+Re-expresses the reference's access paths over DataFrames:
+
+- ``tiles_to_pixels`` ↔ chunk decode + ``Pixels`` iteration
+  (``src/geotiff.rs:293-363``) — Arrow-batched ``mapInPandas``; no
+  iterator state machine survives, ordering is not part of the value
+  contract (tests sort by (y, x); FIXTURES.md §4.3).
+- ``read_pixel`` ↔ ``read_pixel(x, y)`` (``src/geotiff.rs:163-176``):
+  out-of-bounds yields NULL/no row, never an error.
+- ``window_from_tiles`` ↔ ``pixels(x0, y0, w, h)`` with chunk pruning:
+  the tile-range filter is the DataFrame analog of "decode only the
+  chunks the window touches" (``src/geotiff.rs:354-363``) and prunes
+  at the Parquet partition level when tiles are stored partitioned by
+  (tile_row, tile_col).
+- ``rasterize`` / ``pixels_to_tiles`` ↔ the inverse path (engine op
+  E7): bin world points onto a grid, assemble per-tile arrays with
+  the reference's padded-stride layout (``src/geotiff.rs:506-516``).
+- ``build_overview`` ↔ COG overview pyramid (``data/Makefile:39``,
+  used in ``examples/http_dtm.rs:55-60``): 2×2 aggregate cascade;
+  ``pick_overview`` is the query router (SURVEY.md O5).
+
+Scale notes: decode/assemble are narrow per-tile operations — they
+parallelize per chunk and never shuffle; rasterize shuffles once on
+the (tile, pixel) key, which is the minimum possible (it's the
+aggregation key). All group keys include raster_id/image_idx/band so
+plans hold for multi-raster catalogs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from georaster_spark.grid import RasterGeometry
+
+PIXELS_SCHEMA = (
+    "raster_id string, image_idx int, band int, x int, y int, value double"
+)
+
+TILES_SCHEMA = (
+    "raster_id string, image_idx int, band int, tile_col int, tile_row int, "
+    "pad_right int, pad_down int, data array<double>"
+)
+
+
+def tiles_to_pixels(tiles: DataFrame, geom: RasterGeometry) -> DataFrame:
+    """Decode chunk rows into (x, y, band, value) pixel rows.
+
+    Chunky multi-sample chunks (spp>1) emit one row per sample with
+    ``band`` = sample index; planar chunks carry their band already.
+    NaN values become NULL (NoData ↔ NULL, FIXTURES.md §4.2).
+    """
+    spp = geom.spp()
+    tile_w, tile_h, planar = geom.tile_w, geom.tile_h, geom.planar
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                th_eff = tile_h - r.pad_down
+                tw_eff = tile_w - r.pad_right
+                data = np.asarray(r.data, dtype=np.float64)
+                if data.size != th_eff * tw_eff * spp:
+                    raise ValueError(
+                        f"chunk ({r.tile_col},{r.tile_row}) has {data.size} values,"
+                        f" expected {th_eff * tw_eff * spp}"
+                    )
+                arr = data.reshape(th_eff, tw_eff, spp)
+                ys, xs = np.mgrid[0:th_eff, 0:tw_eff]
+                xs = (xs + r.tile_col * tile_w).ravel()
+                ys = (ys + r.tile_row * tile_h).ravel()
+                npx = xs.size
+                for s in range(spp):
+                    band = int(r.band) if (planar or spp == 1) else s
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "raster_id": r.raster_id,
+                                "image_idx": np.int32(r.image_idx),
+                                "band": np.full(npx, band, np.int32),
+                                "x": xs.astype(np.int32),
+                                "y": ys.astype(np.int32),
+                                "value": arr[:, :, s].ravel(),
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    out = tiles.mapInPandas(decode, schema=PIXELS_SCHEMA)
+    return out.withColumn(
+        "value", F.when(F.isnan("value"), F.lit(None)).otherwise(F.col("value"))
+    )
+
+
+def pixels_to_tiles(
+    pixels: DataFrame, geom: RasterGeometry, fill: float = float("nan")
+) -> DataFrame:
+    """Assemble pixel rows into padded-stride chunk rows (inverse of
+    ``tiles_to_pixels``; engine op E7 sink side). Missing pixels take
+    ``fill``. One shuffle, on the natural chunk key."""
+    tile_w, tile_h = geom.tile_w, geom.tile_h
+    ta, td = geom.tiles_across, geom.tiles_down
+    pr_last, pd_last = geom.padding_right, geom.padding_down
+
+    keyed = pixels.withColumn("tile_col", (F.col("x") / tile_w).cast("int")).withColumn(
+        "tile_row", (F.col("y") / tile_h).cast("int")
+    )
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        raster_id, image_idx, band, tc, tr = key
+        pr = pr_last if tc == ta - 1 else 0
+        pdn = pd_last if tr == td - 1 else 0
+        th_eff, tw_eff = tile_h - pdn, tile_w - pr
+        arr = np.full((th_eff, tw_eff), fill, np.float64)
+        xs = pdf["x"].to_numpy(np.int64) - tc * tile_w
+        ys = pdf["y"].to_numpy(np.int64) - tr * tile_h
+        arr[ys, xs] = pdf["value"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "raster_id": [raster_id],
+                "image_idx": [image_idx],
+                "band": [band],
+                "tile_col": [tc],
+                "tile_row": [tr],
+                "pad_right": [pr],
+                "pad_down": [pdn],
+                "data": [arr.ravel().tolist()],
+            }
+        )
+
+    return keyed.groupBy("raster_id", "image_idx", "band", "tile_col", "tile_row").applyInPandas(
+        assemble, schema=TILES_SCHEMA
+    )
+
+
+def read_pixel(tiles: DataFrame, geom: RasterGeometry, x: int, y: int, band: int = 0) -> DataFrame:
+    """Point lookup: prune to exactly one chunk, decode it, extract.
+
+    OOB → 0 rows (callers treat as NULL/NoData, matching
+    ``src/geotiff.rs:164-167``).
+    """
+    if not (0 <= x < geom.width and 0 <= y < geom.height):
+        return tiles.sparkSession.createDataFrame([], PIXELS_SCHEMA)
+    tc, tr = x // geom.tile_w, y // geom.tile_h
+    chunk_band = band if geom.planar else 0
+    one = tiles.where(
+        (F.col("tile_col") == tc) & (F.col("tile_row") == tr) & (F.col("band") == chunk_band)
+    )
+    px = tiles_to_pixels(one, geom)
+    return px.where((F.col("x") == x) & (F.col("y") == y) & (F.col("band") == band))
+
+
+def window_from_tiles(
+    tiles: DataFrame, geom: RasterGeometry, x0: int, y0: int, w: int, h: int,
+    band: int | None = None,
+) -> DataFrame:
+    """Window scan with chunk pruning — decode only touched tiles."""
+    x1 = min(x0 + w, geom.width)
+    y1 = min(y0 + h, geom.height)
+    if x1 <= x0 or y1 <= y0:
+        return tiles.sparkSession.createDataFrame([], PIXELS_SCHEMA)
+    pruned = tiles.where(
+        F.col("tile_col").between(x0 // geom.tile_w, (x1 - 1) // geom.tile_w)
+        & F.col("tile_row").between(y0 // geom.tile_h, (y1 - 1) // geom.tile_h)
+    )
+    if band is not None and geom.planar:
+        pruned = pruned.where(F.col("band") == band)
+    px = tiles_to_pixels(pruned, geom)
+    out = px.where(geom.window_filter(F.col("x"), F.col("y"), x0, y0, w, h))
+    if band is not None:
+        out = out.where(F.col("band") == band)
+    return out
+
+
+def assemble_rgb(pixels: DataFrame) -> DataFrame:
+    """Pivot per-band rows into an RGB(A) array per pixel — the
+    DataFrame analog of ``raster_value`` sample assembly
+    (``src/geotiff.rs:365-418``)."""
+    return (
+        pixels.groupBy("raster_id", "image_idx", "x", "y")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "value"))),
+                lambda e: e["value"].cast("int"),
+            ).alias("rgba")
+        )
+    )
+
+
+def rasterize(
+    points: DataFrame,
+    geom: RasterGeometry,
+    lon: Column,
+    lat: Column,
+    value: Column,
+    agg: str = "count",
+    raster_id: str = "rasterized",
+) -> DataFrame:
+    """Vector→raster: world points binned onto the pixel grid via the
+    forward geotransform (R8 math), aggregated per pixel. The single
+    shuffle is the groupBy on the pixel key — minimal by construction.
+    """
+    px, py = geom.world_to_pixel_cols(lon, lat)
+    binned = (
+        points.select(px.alias("x"), py.alias("y"), value.alias("v"))
+        .where(
+            (F.col("x") >= 0) & (F.col("x") < geom.width)
+            & (F.col("y") >= 0) & (F.col("y") < geom.height)
+        )
+    )
+    agg_col = {
+        "count": F.count("v"),
+        "max": F.max("v"),
+        "min": F.min("v"),
+        "sum": F.sum("v"),
+        "avg": F.avg("v"),
+    }[agg]
+    return binned.groupBy("x", "y").agg(agg_col.cast("double").alias("value")).select(
+        F.lit(raster_id).alias("raster_id"),
+        F.lit(0).alias("image_idx"),
+        F.lit(0).alias("band"),
+        "x",
+        "y",
+        "value",
+    )
+
+
+def build_overview(
+    pixels: DataFrame, factor: int = 2, agg: str = "max", image_idx: int = 1
+) -> DataFrame:
+    """One pyramid level: aggregate factor×factor pixel blocks.
+
+    Mirrors COG overviews (``data/Makefile:39``); a cascade of these
+    gives the full pyramid. image_idx increments per level, smallest
+    last — the reference's convention (``examples/img2ascii.rs:17``).
+    """
+    agg_col = {"max": F.max, "min": F.min, "avg": F.avg, "sum": F.sum}[agg]("value")
+    return (
+        pixels.groupBy(
+            "raster_id",
+            "band",
+            (F.col("x") / factor).cast("int").alias("x"),
+            (F.col("y") / factor).cast("int").alias("y"),
+        )
+        .agg(agg_col.cast("double").alias("value"))
+        .select(
+            "raster_id",
+            F.lit(image_idx).alias("image_idx"),
+            "band",
+            "x",
+            "y",
+            "value",
+        )
+    )
+
+
+def overview_cascade(
+    pixels: DataFrame, geom: RasterGeometry, levels: int, agg: str = "max"
+) -> list[tuple[int, RasterGeometry, DataFrame]]:
+    """Full pyramid: [(image_idx, geometry, pixels_df), ...] with
+    image_idx 0 = full resolution."""
+    out = [(0, geom, pixels)]
+    cur, g = pixels, geom
+    for i in range(1, levels + 1):
+        cur = build_overview(cur, 2, agg, image_idx=i)
+        g = RasterGeometry(
+            width=-(-g.width // 2), height=-(-g.height // 2),
+            tile_w=g.tile_w, tile_h=g.tile_h,
+            origin_x=g.origin_x, origin_y=g.origin_y,
+            px_sz_x=g.px_sz_x * 2, px_sz_y=g.px_sz_y * 2,
+            bands=g.bands, planar=g.planar,
+        )
+        out.append((i, g, cur))
+    return out
+
+
+def pick_overview(
+    cascade: list[tuple[int, RasterGeometry, DataFrame]], max_pixels: int
+) -> tuple[int, RasterGeometry, DataFrame]:
+    """Query router (SURVEY.md O5): coarsest level whose full extent
+    still has ≥ max_pixels — i.e. the cheapest level that can answer
+    at the requested detail; falls back to the coarsest."""
+    for idx, g, df in cascade:
+        if g.width * g.height <= max_pixels:
+            return idx, g, df
+    return cascade[-1]

@@ -1,0 +1,58 @@
+"""kNN ring-expansion tests vs brute-force cross-join oracle
+(SURVEY.md M5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from georaster_spark.datagen import documents_df, geocode_cols, geocode_np
+from georaster_spark.functions.geo import haversine_np
+from georaster_spark.operators.knn import knn_join
+
+N_DOCS = 500
+QUERIES = [
+    ("q0", 7.5, 46.0),       # on the hot cell
+    ("q1", 8.0, 46.0),       # box center
+    ("q2", 6.95, 44.95),     # just outside the box (forces expansion)
+]
+K = 7
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = documents_df(spark, N_DOCS)
+    lon, lat = geocode_cols(F.col("doc_seq"))
+    return d.withColumn("lon", lon).withColumn("lat", lat)
+
+
+def brute_force(k: int) -> dict[str, list[str]]:
+    i = np.arange(N_DOCS)
+    lon, lat = geocode_np(i)
+    urls = [f"https://site{j % 997}.example/p/{j}" for j in i]
+    out = {}
+    for qid, qlon, qlat in QUERIES:
+        d = haversine_np(lon, lat, np.full_like(lon, qlon), np.full_like(lat, qlat))
+        order = sorted(range(N_DOCS), key=lambda j: (d[j], urls[j]))
+        out[qid] = [urls[j] for j in order[:k]]
+    return out
+
+
+def test_knn_matches_brute_force(spark, docs):
+    got_df = knn_join(docs, QUERIES, k=K, res=10)
+    got: dict[str, list[str]] = {}
+    for r in got_df.orderBy("query_id", "rank").collect():
+        got.setdefault(r.query_id, []).append(r.url)
+    want = brute_force(K)
+    assert got == want
+
+
+def test_knn_k_larger_than_ring(spark, docs):
+    """k big enough that the first disk can't satisfy it — exercises
+    the expansion loop and the boundary-distance guarantee."""
+    got_df = knn_join(docs, [QUERIES[1]], k=60, res=12)
+    rows = got_df.orderBy("rank").collect()
+    assert len(rows) == 60
+    want = brute_force(60)["q1"]
+    assert [r.url for r in rows] == want

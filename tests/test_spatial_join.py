@@ -1,0 +1,83 @@
+"""Point-in-polygon join tests — engine vs brute-force Python oracle
+(SURVEY.md M4: salted vs unsalted row counts must match)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from georaster_spark.cells import cell_encode_cols
+from georaster_spark.datagen import documents_df, geocode_cols, geocode_np, polygons
+from georaster_spark.functions.geo import points_in_ring
+from georaster_spark.operators.spatial_join import (
+    build_cover,
+    pip_join,
+    salted_cell_counts,
+)
+
+N_DOCS = 1000
+RES = 11  # cell ≈ 0.176° lon — several cells per 0.38° polygon
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = documents_df(spark, N_DOCS)
+    lon, lat = geocode_cols(F.col("doc_seq"))
+    return d.withColumn("lon", lon).withColumn("lat", lat)
+
+
+def brute_force_membership() -> set[tuple[int, str]]:
+    i = np.arange(N_DOCS)
+    lon, lat = geocode_np(i)
+    out = set()
+    for p in polygons():
+        inside = points_in_ring(lon, lat, p.ring)
+        out.update((int(k), p.poly_id) for k in i[inside])
+    return out
+
+
+def test_cover_is_superset_and_has_full_cells():
+    polys = polygons()
+    cover = build_cover(polys, RES)
+    assert len(cover) > len(polys)  # multiple cells per polygon
+    full = [c for c in cover if c[2]]
+    assert full, "expected some fully-contained cells"
+
+
+def test_pip_join_matches_brute_force(spark, docs):
+    got = {
+        (r.doc_seq, r.poly_id)
+        for r in pip_join(docs, polygons(), RES).select("doc_seq", "poly_id").collect()
+    }
+    want = brute_force_membership()
+    assert got == want
+
+
+def test_pip_join_text_byte_identity(spark, docs):
+    """The north_rule invariant: text survives the pipeline
+    byte-identically per url."""
+    before = {r.url: r.text for r in docs.select("url", "text").collect()}
+    joined = pip_join(docs, polygons(), RES)
+    after = {r.url: r.text for r in joined.select("url", "text").distinct().collect()}
+    for url, text in after.items():
+        assert before[url] == text
+
+
+def test_salted_counts_match_plain(spark, docs):
+    """Salted two-level agg ≡ plain groupBy — the E5 row-count gate."""
+    d = docs.withColumn("cell", cell_encode_cols(F.col("lon"), F.col("lat"), RES))
+    plain = {r.cell: r.n for r in d.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    salted = {r.cell: r.n_docs for r in salted_cell_counts(d, salt_k=8).collect()}
+    assert plain == salted
+
+
+def test_hot_cell_skew_exists(spark, docs):
+    """The generator really does produce a hot cell (FIXTURES.md §1),
+    so the salting path is exercised, not decorative."""
+    d = docs.withColumn("cell", cell_encode_cols(F.col("lon"), F.col("lat"), RES))
+    counts = sorted(
+        (r.n for r in d.groupBy("cell").agg(F.count("*").alias("n")).collect()),
+        reverse=True,
+    )
+    assert counts[0] >= N_DOCS // 5  # ~20% pinned to the hot box
