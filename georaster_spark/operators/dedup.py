@@ -1,0 +1,189 @@
+"""Deduplication operators for webtext pipelines.
+
+- exact: content-hash groupBy (one shuffle on the hash).
+- n-gram Jaccard: shingle equi-join → common counts → threshold.
+- MinHash + LSH: portable numeric minhash (md5-derived base hash,
+  arithmetic permutations) computed as K MIN-aggregates in ONE
+  groupBy; banding; bucket self-join for candidate pairs.
+- SimHash: 64-bit sign-aggregated fingerprint; near-dup = small
+  Hamming distance within prefix buckets.
+
+Materialization note: the signature/shingle stages feed multiple
+consumers (self-join sides, size lookups). Spark's exchange reuse
+does not canonicalize across these branches, so we persist the small
+intermediate (signatures/bands — a few rows per doc) explicitly. At
+10^12-doc scale the same stage is written to a table (the E10 layer)
+instead of memory — same plan shape, durable medium.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MH_P = 1000000007  # permutation modulus: keeps a*h+b inside int64
+
+
+def mh_perm_params(seed: int) -> tuple[int, int]:
+    return 2 * seed + 3, 5 * seed + 7
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, sh)."""
+    tok = F.split(F.col(text_col), " ")
+    n_sh = F.greatest(F.size(tok) - (n - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(1), n_sh), lambda i: F.array_join(F.slice(tok, i, n), " ")
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("sh"))
+
+
+def shingle_hash() -> F.Column:
+    """Portable 60-bit base hash of a shingle, reduced mod P: the
+    SAME value is derivable in DuckDB via CAST('0x'||substr(md5,1,15))."""
+    return F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long") % MH_P
+
+
+def minhash_signatures(sh: DataFrame, n_seeds: int = 16) -> DataFrame:
+    """(doc_id, s0..s{n-1}) — all permutations as MIN aggregates in a
+    single groupBy: one shuffle, no row blowup."""
+    hashed = sh.select("doc_id", shingle_hash().alias("h"))
+    aggs = []
+    for s in range(n_seeds):
+        a, b = mh_perm_params(s)
+        aggs.append(F.min((F.col("h") * a + b) % MH_P).alias(f"s{s}"))
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, n_seeds: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, bucket) via a single explode — one pass over sig."""
+    entries = []
+    for band in range(n_seeds // rows_per_band):
+        cols = [f"s{band * rows_per_band + j}" for j in range(rows_per_band)]
+        entries.append(
+            F.struct(F.lit(band).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n_seeds: int = 16, rows_per_band: int = 4, shingle_n: int = 3
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs sharing ≥1 LSH bucket.
+
+    Bands (≤ n_seeds/rows_per_band rows per doc) are persisted so the
+    self-join computes the upstream pipeline once.
+    """
+    sh = shingles(docs, n=shingle_n)
+    bands = lsh_bands(minhash_signatures(sh, n_seeds), n_seeds, rows_per_band).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").cast("long").alias("doc_a"),
+            F.col("b.doc_id").cast("long").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold_e6: int, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard_e6) for pairs with Jaccard ≥ threshold.
+
+    The shingle table feeds three consumers (both join sides + the
+    per-doc sizes) → persisted once.
+    """
+    sh = shingles(docs, n=shingle_n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac_e6 = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+        * 1000000.0,
+        0,
+    ).cast("long")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_e6", jac_e6)
+        .where(F.col("jaccard_e6") >= threshold_e6)
+        .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard_e6")
+    )
+
+
+def simhash64(sh: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit sum of ±1 votes
+    from each shingle hash bit. Bit j of the base hash h: uses two
+    independent 60-bit hashes to cover 64 bits portably.
+
+    Returns (doc_id, simhash) with simhash as BIGINT (bit 63 unused
+    to stay positive — 63 effective bits).
+    """
+    h1 = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("sh"), 16, 15), 16, 10).cast("long")
+    votes = []
+    for j in range(63):
+        src = h1 if j < 32 else h2
+        bit = F.shiftright(src, j if j < 32 else j - 32) % 2
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
+    agg = sh.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for j in range(63):
+        sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash with pigeonhole multi-block LSH.
+
+    The 63 fingerprint bits split into ``max_hamming + 1`` blocks —
+    any pair within Hamming distance k must agree exactly on ≥ 1
+    block (pigeonhole), so recall is 100%, no probabilistic miss.
+    Candidate generation is an equi-join on (block_idx, block_val);
+    the exact bit_count(xor) check filters false positives JVM-side.
+    """
+    n_blocks = max_hamming + 1
+    sig = simhash64(shingles(docs)).persist()
+    bounds = [round(i * 63 / n_blocks) for i in range(n_blocks + 1)]
+    entries = []
+    for i in range(n_blocks):
+        lo, hi = bounds[i], bounds[i + 1]
+        width = hi - lo
+        block_val = F.shiftright(F.col("simhash"), lo) % (1 << width)
+        entries.append(F.struct(F.lit(i).alias("bi"), block_val.alias("bv")))
+    blocked = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("blk")
+    ).select("doc_id", "simhash", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").cast("long").alias("doc_a"),
+            F.col("b.doc_id").cast("long").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )

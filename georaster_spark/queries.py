@@ -1,0 +1,867 @@
+"""Query catalog — every implemented operator as a (Spark, oracle-SQL)
+pair for the driver's DuckDB correctness harness.
+
+Rules that keep the value-hash comparison honest:
+- identical arithmetic TEXT on both sides (same constant spelling,
+  same operation order) so IEEE doubles agree bit-for-bit;
+- every float output rounded (6-9 decimals) before hashing;
+- every aggregate/computed column aliased identically;
+- integer outputs CAST to BIGINT on both sides (DuckDB counts are
+  int64; Spark ints would hash-mismatch on schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from georaster_spark import cells
+from georaster_spark.datagen import (
+    DTM_GEOM,
+    HOT_LAT0,
+    HOT_LON0,
+    dtm_pixels_df,
+    dtm_pixels_sql,
+    geocode_cols,
+    geocode_sql,
+    polygon_rects_sql,
+    polygons,
+)
+from georaster_spark.functions.decode import mapbox_height, terrarium_height
+from georaster_spark.functions.geo import haversine_cols, haversine_sql
+from georaster_spark.operators import raster as R
+from georaster_spark.operators.knn import knn_join
+from georaster_spark.operators.spatial_join import pip_join, salted_cell_counts
+
+RES = 11
+KNN_QUERIES = [("q0", 7.5, 46.0), ("q1", 8.0, 46.0), ("q2", 6.95, 44.95)]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def docs_geocoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Testdata documents + the deterministic geocode (E2). doc_id is
+    the generation index."""
+    d = _t(spark, sf_dir, "documents")
+    lon, lat = geocode_cols(F.col("doc_id"))
+    return d.withColumn("lon", lon).withColumn("lat", lat)
+
+
+_GEO_SQL = None
+
+
+def _geo_cte() -> str:
+    lon, lat = geocode_sql("doc_id")
+    return f"SELECT doc_id, text, lang, source, n_chars, {lon} AS lon, {lat} AS lat FROM documents"
+
+
+# =====================================================================
+# spatial / raster
+# =====================================================================
+
+
+def q_geocode_cells(spark, sf_dir):
+    d = docs_geocoded(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("lon") * 1000000000.0, 0).cast("long").alias("lon_e9"),
+        F.round(F.col("lat") * 1000000000.0, 0).cast("long").alias("lat_e9"),
+        cells.cell_encode_cols(F.col("lon"), F.col("lat"), RES).alias("cell"),
+    )
+
+
+def sql_geocode_cells():
+    return f"""
+    WITH g AS ({_geo_cte()})
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(round(lon * 1000000000.0, 0) AS BIGINT) AS lon_e9,
+           CAST(round(lat * 1000000000.0, 0) AS BIGINT) AS lat_e9,
+           {cells.cell_encode_sql('lon', 'lat', RES)} AS cell
+    FROM g
+    """
+
+
+def q_cell_hist(spark, sf_dir):
+    d = docs_geocoded(spark, sf_dir)
+    d = d.withColumn("cell", cells.cell_encode_cols(F.col("lon"), F.col("lat"), 8))
+    return salted_cell_counts(d, salt_k=8).select(
+        "cell", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
+def sql_cell_hist():
+    return f"""
+    WITH g AS ({_geo_cte()})
+    SELECT {cells.cell_encode_sql('lon', 'lat', 8)} AS cell, CAST(count(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY 1
+    """
+
+
+def q_cell_parent_rollup(spark, sf_dir):
+    d = docs_geocoded(spark, sf_dir)
+    cell = cells.cell_encode_cols(F.col("lon"), F.col("lat"), RES)
+    parent = cells.cell_parent_cols(cell)
+    return d.groupBy(parent.alias("parent_cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def sql_cell_parent_rollup():
+    c = cells.cell_encode_sql("lon", "lat", RES)
+    Z, X = 1 << 58, 1 << 29
+    return f"""
+    WITH g AS ({_geo_cte()}), cc AS (SELECT {c} AS cell FROM g)
+    SELECT (cell // {Z} - 1) * {Z} + (cell % {Z} // {X} // 2) * {X} + (cell % {X} // 2) AS parent_cell,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM cc GROUP BY 1
+    """
+
+
+def q_pip_join(spark, sf_dir):
+    d = docs_geocoded(spark, sf_dir)
+    out = pip_join(d, polygons(), RES)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "poly_id")
+
+
+def sql_pip_join():
+    return f"""
+    WITH g AS ({_geo_cte()})
+    SELECT CAST(g.doc_id AS BIGINT) AS doc_id, polyrects.poly_id AS poly_id
+    FROM g JOIN {polygon_rects_sql()}
+      ON g.lon > polyrects.xmin AND g.lon < polyrects.xmax
+     AND g.lat > polyrects.ymin AND g.lat < polyrects.ymax
+    """
+
+
+def q_knn(spark, sf_dir):
+    d = docs_geocoded(spark, sf_dir)
+    out = knn_join(d, KNN_QUERIES, k=5, res=RES, doc_key="doc_id")
+    return out.select(
+        "query_id", F.col("doc_id").cast("long").alias("doc_id"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def sql_knn():
+    vals = ", ".join(f"('{q}', {lon!r}, {lat!r})" for q, lon, lat in KNN_QUERIES)
+    hav = haversine_sql("g.lon", "g.lat", "q.qlon", "q.qlat")
+    return f"""
+    WITH g AS ({_geo_cte()}), q(query_id, qlon, qlat) AS (VALUES {vals})
+    SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.query_id, g.doc_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY {hav}, g.doc_id) AS rank
+      FROM g CROSS JOIN q
+    ) WHERE rank <= 5
+    """
+
+
+def q_dtm_window_max(spark, sf_dir):
+    px = dtm_pixels_df(spark, partitions=32)
+    return px.agg(
+        F.max(
+            F.when(
+                F.col("x").between(2500, 2599) & F.col("y").between(3000, 3099),
+                F.col("value"),
+            )
+        ).cast("long").alias("window_max"),
+        F.max(F.when((F.col("x") == 0) & (F.col("y") == 0), F.col("value")))
+        .cast("long")
+        .alias("origin_value"),
+    )
+
+
+def sql_dtm_window_max():
+    return f"""
+    WITH px AS ({dtm_pixels_sql()})
+    SELECT CAST(max(CASE WHEN x BETWEEN 2500 AND 2599 AND y BETWEEN 3000 AND 3099 THEN value END) AS BIGINT) AS window_max,
+           CAST(max(CASE WHEN x = 0 AND y = 0 THEN value END) AS BIGINT) AS origin_value
+    FROM px
+    """
+
+
+def q_dtm_overview_max(spark, sf_dir):
+    """Overview-pyramid query (examples/http_dtm.rs:55-60 analog):
+    the max-aggregate answered from the 2x overview level."""
+    px = dtm_pixels_df(spark, partitions=32)
+    ov = R.build_overview(px, factor=2, agg="max", image_idx=1)
+    return ov.where(
+        F.col("x").between(1250, 1299) & F.col("y").between(1500, 1549)
+    ).agg(F.max("value").cast("long").alias("window_max"))
+
+
+def sql_dtm_overview_max():
+    # max over a 2x2-max overview window == max over the aligned
+    # full-res window (the windows are block-aligned by construction)
+    return f"""
+    WITH px AS ({dtm_pixels_sql()})
+    SELECT CAST(max(CASE WHEN x BETWEEN 2500 AND 2599 AND y BETWEEN 3000 AND 3099 THEN value END) AS BIGINT) AS window_max
+    FROM px
+    """
+
+
+def q_tile_assignment(spark, sf_dir):
+    """North-rule gate: tile assignments must match — chunk index and
+    padded in-chunk offset for every pixel of the golden window."""
+    g = DTM_GEOM
+    px = dtm_pixels_df(spark, partitions=32).where(
+        g.window_filter(F.col("x"), F.col("y"), 2500, 3000, 100, 100)
+    )
+    return px.select(
+        "x",
+        "y",
+        g.tile_index_cols(F.col("x"), F.col("y")).cast("long").alias("tile_idx"),
+        g.tile_offset_cols(F.col("x"), F.col("y")).cast("long").alias("tile_offset"),
+    )
+
+
+def sql_tile_assignment():
+    g = DTM_GEOM
+    ta, tw, th = g.tiles_across, g.tile_w, g.tile_h
+    pr = g.padding_right
+    return f"""
+    WITH px AS ({dtm_pixels_sql()})
+    SELECT x, y,
+           CAST(y // {th} * {ta} + x // {tw} AS BIGINT) AS tile_idx,
+           CAST((y % {th}) * ({tw} - CASE WHEN x // {tw} = {ta - 1} THEN {pr} ELSE 0 END) + x % {tw} AS BIGINT) AS tile_offset
+    FROM px
+    WHERE x BETWEEN 2500 AND 2599 AND y BETWEEN 3000 AND 3099
+    """
+
+
+GRID64 = dict(origin_x=7.0, origin_y=47.0, px=2.0 / 64.0)
+
+
+def q_rasterize_grid(spark, sf_dir):
+    from georaster_spark.grid import RasterGeometry
+
+    g = RasterGeometry(
+        width=64, height=64, tile_w=64, tile_h=64,
+        origin_x=GRID64["origin_x"], origin_y=GRID64["origin_y"],
+        px_sz_x=GRID64["px"], px_sz_y=-GRID64["px"],
+    )
+    d = docs_geocoded(spark, sf_dir)
+    out = R.rasterize(d, g, F.col("lon"), F.col("lat"), F.col("doc_id"), agg="count")
+    return out.select("x", "y", F.col("value").cast("long").alias("n_docs"))
+
+
+def sql_rasterize_grid():
+    px = GRID64["px"]
+    return f"""
+    WITH g AS ({_geo_cte()}),
+    binned AS (
+      SELECT CAST(round((lon - {GRID64['origin_x']!r}) / {px!r}, 0) AS INT) AS x,
+             CAST(round((lat - {GRID64['origin_y']!r}) / {-px!r}, 0) AS INT) AS y
+      FROM g
+    )
+    SELECT x, y, CAST(count(*) AS BIGINT) AS n_docs
+    FROM binned WHERE x >= 0 AND x < 64 AND y >= 0 AND y < 64
+    GROUP BY x, y
+    """
+
+
+def q_terrarium_decode(spark, sf_dir):
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("i"),
+        (F.col("id") % 256).cast("int").alias("r"),
+        (F.col("id") * 7 % 256).cast("int").alias("g"),
+        (F.col("id") * 13 % 256).cast("int").alias("b"),
+    )
+    return df.select(
+        "i",
+        F.round(terrarium_height(F.col("r"), F.col("g"), F.col("b")) * 1000000.0, 0)
+        .cast("long")
+        .alias("terrarium_um"),
+        F.round(mapbox_height(F.col("r"), F.col("g"), F.col("b")) * 1000000.0, 0)
+        .cast("long")
+        .alias("mapbox_um"),
+    )
+
+
+def sql_terrarium_decode():
+    return """
+    SELECT range AS i,
+           CAST(round(((range % 256) * 256.0 + (range * 7 % 256) + (range * 13 % 256) / 255.0 - 32768.0) * 1000000.0, 0) AS BIGINT) AS terrarium_um,
+           CAST(round((((range % 256) * 65536.0 + (range * 7 % 256) * 256.0 + (range * 13 % 256)) / 10.0 - 10000.0) * 1000000.0, 0) AS BIGINT) AS mapbox_um
+    FROM range(4096)
+    """
+
+
+# =====================================================================
+# relational coverage (SURVEY.md §2.3)
+# =====================================================================
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # money/qty scaled per-row to exact BIGINT cents before summing:
+    # float sums in different orders are not bit-identical across
+    # engines, integer sums are.
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100.0, 0).cast("long")).alias("sum_qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")).alias(
+                "sum_base_price_c"
+            ),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+                ).cast("long")
+            ).alias("sum_disc_price_c"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def sql_tpch_q1():
+    return """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_revenue_join(spark, sf_dir):
+    """Broadcast dim join + agg: revenue by nation and market segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).alias(
+                "revenue_c"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+def sql_revenue_join():
+    return """
+    SELECT n_name, c_mktsegment,
+           CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, c_mktsegment
+    """
+
+
+def q_window_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("totalprice_c"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def sql_window_topk():
+    return """
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS totalprice_c,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """
+
+
+def q_semi_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("status")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("status")
+    )
+    return with_orders.unionByName(without)
+
+
+def sql_semi_anti():
+    return """
+    SELECT c_custkey, 'has_orders' AS status FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS status FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: gap > 1800s starts a new session; count per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def sql_sessionize():
+    return """
+    SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ) GROUP BY user_id
+    """
+
+
+def q_events_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+def sql_events_json():
+    return """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """
+
+
+def q_events_window_agg(spark, sf_dir):
+    """Tumbling time-window aggregate (batch form of the streaming op)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000.0, 0).cast("long")).alias("sum_value_e6"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+def sql_events_window_agg():
+    return """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """
+
+
+def q_cube_lang_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def sql_cube_lang_source():
+    return """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """
+
+
+def q_set_ops(spark, sf_dir):
+    """exceptAll/intersect coverage: order keys that do/don't appear
+    in lineitem."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k")).distinct()
+    only_orders = o.exceptAll(li).select("k", F.lit("orders_only").alias("side"))
+    both = o.intersect(li).select("k", F.lit("both").alias("side"))
+    return only_orders.unionByName(both)
+
+
+def sql_set_ops():
+    return """
+    SELECT k, 'orders_only' AS side FROM (
+      SELECT o_orderkey AS k FROM orders
+      EXCEPT ALL SELECT DISTINCT l_orderkey AS k FROM lineitem
+    )
+    UNION ALL
+    SELECT k, 'both' AS side FROM (
+      SELECT o_orderkey AS k FROM orders
+      INTERSECT SELECT l_orderkey AS k FROM lineitem
+    )
+    """
+
+
+# =====================================================================
+# training-data pipeline: text / dedup / similarity
+# =====================================================================
+
+
+def q_text_stats(spark, sf_dir):
+    """Token count, punctuation ratio, quality score, fingerprint —
+    the language/quality heuristics of a webtext pipeline, all as
+    built-in Column algebra (JVM-side)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    ratio_e6 = F.round(
+        alpha.cast("double") / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        * 1000000.0,
+        0,
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        toks.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        ratio_e6.alias("alpha_ratio_e6"),
+        F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+    )
+
+
+def sql_text_stats():
+    return """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS alpha_ratio_e6,
+           md5(lower(text)) AS fingerprint
+    FROM documents
+    """
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-vote language ID: score = hits of per-language marker
+    words; argmax with deterministic tie-break on language code."""
+    d = _t(spark, sf_dir, "documents")
+    markers = {
+        "en": ["the", "a", "value", "row"],
+        "de": ["der", "die", "das", "und"],
+        "fr": ["le", "la", "et", "les"],
+    }
+    tok = F.split(F.col("text"), " ")
+    scores = [
+        F.struct(
+            F.size(F.filter(tok, lambda t: t.isin(ws))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(markers.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return d.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["score"].cast("long").alias("score"),
+    )
+
+
+def sql_lang_id():
+    # array_max on struct(score, lang) picks highest score, then
+    # lexicographically LAST lang on ties — mirror with max_by over
+    # (score, lang) ordering
+    markers = {
+        "en": ["the", "a", "value", "row"],
+        "de": ["der", "die", "das", "und"],
+        "fr": ["le", "la", "et", "les"],
+    }
+    selects = []
+    for lang, ws in sorted(markers.items()):
+        lst = ", ".join(f"'{w}'" for w in ws)
+        selects.append(
+            f"SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), t -> t IN ({lst}))) AS BIGINT) AS score, '{lang}' AS lang FROM documents"
+        )
+    union = " UNION ALL ".join(selects)
+    # max over a zero-padded "score|lang" key == Spark's array_max
+    # over struct(score, lang) (numeric then lexicographic)
+    return f"""
+    WITH scores AS ({union})
+    SELECT doc_id,
+           string_split(max(lpad(CAST(score AS VARCHAR), 6, '0') || '|' || lang), '|')[2] AS pred_lang,
+           max(score) AS score
+    FROM scores GROUP BY doc_id
+    """
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: group by content hash, keep lowest doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+    )
+
+
+def sql_dedup_exact():
+    return """
+    SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc
+    FROM documents GROUP BY 1
+    """
+
+
+SHINGLE_N = 3
+JACCARD_T = 0.5
+
+
+def _docs_spread(spark, sf_dir) -> DataFrame:
+    """documents with rows spread across cores: the dedup operators
+    amplify work ~50x per row and a tiny input file arrives as ONE
+    split (at real scale the source is already many splits)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism)
+
+
+_SHINGLES_SQL = f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_N - 1}, 1)),
+             i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_N - 1}], ' ')))) AS sh
+    FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs: equi-join on shared shingles →
+    common counts → Jaccard ≥ τ (operators/dedup.py)."""
+    from georaster_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_spread(spark, sf_dir),
+        threshold_e6=int(JACCARD_T * 1000000),
+        shingle_n=SHINGLE_N,
+    )
+
+
+def sql_ngram_jaccard():
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard_e6 FROM (
+      SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+             CAST(round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS jaccard_e6
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ) WHERE jaccard_e6 >= {int(JACCARD_T * 1000000)}
+    """
+
+
+MINHASH_SEEDS = 16
+LSH_BANDS = 4  # 4 rows per band
+
+
+from georaster_spark.operators.dedup import (  # noqa: E402
+    MH_P as _MH_P,
+    mh_perm_params as _mh_perm_params,
+)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding candidate pairs (operators/dedup.py).
+
+    Portable base hash: first 15 hex chars of md5(shingle) as int64
+    (identical in Spark ``conv`` and DuckDB ``CAST('0x…')``), reduced
+    mod P; permutations as MIN aggregates in ONE groupBy.
+    """
+    from georaster_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _docs_spread(spark, sf_dir),
+        n_seeds=MINHASH_SEEDS,
+        rows_per_band=LSH_BANDS,
+        shingle_n=SHINGLE_N,
+    )
+
+
+def sql_minhash_lsh():
+    mins = []
+    for s in range(MINHASH_SEEDS):
+        a, b = _mh_perm_params(s)
+        mins.append(f"min((h * {a} + {b}) % {_MH_P}) AS s{s}")
+    band_selects = []
+    for band in range(MINHASH_SEEDS // LSH_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(s{band * LSH_BANDS + j} AS VARCHAR)" for j in range(LSH_BANDS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, md5({cols}) AS bucket FROM sig"
+        )
+    bands_union = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % {_MH_P} AS h FROM sh
+    ),
+    sig AS (SELECT doc_id, {', '.join(mins)} FROM hashed GROUP BY doc_id),
+    bands AS ({bands_union})
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: queries broadcast, dot
+    products via zip_with/aggregate (JVM-side), rank via window."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    )
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("q_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))  # noqa: E731
+    cos = dot / (norm(F.col("emb")) * norm(F.col("q_emb")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("vec_id").cast("long"),
+            F.col("rank").cast("long"),
+            F.round(F.col("cos") * 1000000.0, 0).cast("long").alias("cos_e6"),
+        )
+    )
+
+
+def sql_embedding_topk():
+    return """
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             sum(e.v * q.v) AS dot,
+             sqrt(sum(e.v * e.v)) AS ne, sqrt(sum(q.v * q.v)) AS nq
+      FROM flat e JOIN flat q ON e.i = q.i AND q.vec_id < 5 AND e.vec_id != q.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(round(cos * 1000000.0, 0) AS BIGINT) AS cos_e6
+    FROM (
+      SELECT query_id, vec_id, dot / (ne * nq) AS cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY dot / (ne * nq) DESC, vec_id ASC) AS rank
+      FROM dots
+    ) WHERE rank <= 5
+    """
+
+
+# =====================================================================
+# catalog
+# =====================================================================
+
+QUERIES = {
+    "geocode_cells": q_geocode_cells,
+    "cell_hist": q_cell_hist,
+    "cell_parent_rollup": q_cell_parent_rollup,
+    "pip_join": q_pip_join,
+    "knn": q_knn,
+    "dtm_window_max": q_dtm_window_max,
+    "dtm_overview_max": q_dtm_overview_max,
+    "tile_assignment": q_tile_assignment,
+    "rasterize_grid": q_rasterize_grid,
+    "terrarium_decode": q_terrarium_decode,
+    "tpch_q1": q_tpch_q1,
+    "revenue_join": q_revenue_join,
+    "window_topk": q_window_topk,
+    "semi_anti": q_semi_anti,
+    "sessionize": q_sessionize,
+    "events_json": q_events_json,
+    "events_window_agg": q_events_window_agg,
+    "cube_lang_source": q_cube_lang_source,
+    "set_ops": q_set_ops,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "embedding_topk": q_embedding_topk,
+}
+
+ORACLES = {
+    "geocode_cells": sql_geocode_cells(),
+    "cell_hist": sql_cell_hist(),
+    "cell_parent_rollup": sql_cell_parent_rollup(),
+    "pip_join": sql_pip_join(),
+    "knn": sql_knn(),
+    "dtm_window_max": sql_dtm_window_max(),
+    "dtm_overview_max": sql_dtm_overview_max(),
+    "tile_assignment": sql_tile_assignment(),
+    "rasterize_grid": sql_rasterize_grid(),
+    "terrarium_decode": sql_terrarium_decode(),
+    "tpch_q1": sql_tpch_q1(),
+    "revenue_join": sql_revenue_join(),
+    "window_topk": sql_window_topk(),
+    "semi_anti": sql_semi_anti(),
+    "sessionize": sql_sessionize(),
+    "events_json": sql_events_json(),
+    "events_window_agg": sql_events_window_agg(),
+    "cube_lang_source": sql_cube_lang_source(),
+    "set_ops": sql_set_ops(),
+    "text_stats": sql_text_stats(),
+    "lang_id": sql_lang_id(),
+    "dedup_exact": sql_dedup_exact(),
+    "ngram_jaccard": sql_ngram_jaccard(),
+    "minhash_lsh": sql_minhash_lsh(),
+    "embedding_topk": sql_embedding_topk(),
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The headline pipeline: geocode → cell encode → point-in-polygon
+    join → per-polygon document stats (one broadcast join, one salted
+    aggregation — zero big-side shuffles before the final group)."""
+    d = docs_geocoded(spark, sf_dir)
+    joined = pip_join(d, polygons(), RES)
+    return (
+        joined.groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("poly_id")
+    )

@@ -1,0 +1,95 @@
+"""Local stand-in for the driver's correctness harness.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()``
+twin on DuckDB at the given sf dir, compares row count, column
+names, and order-insensitive values. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as E
+    from georaster_spark.session import get_spark
+
+    spark = get_spark("oracle_check", cores=16, shuffle_partitions=16)
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    names = sys.argv[2:] or list(qs)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            got = normalize(qs[name](spark, sf_dir).toPandas())
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle ({len(got)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            want = normalize(con.execute(oracles[name]).df())
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        status = []
+        if list(got.columns) != list(want.columns):
+            status.append(f"cols {list(got.columns)} != {list(want.columns)}")
+        if len(got) != len(want):
+            status.append(f"rows {len(got)} != {len(want)}")
+        if not status:
+            try:
+                pd.testing.assert_frame_equal(
+                    got, want, check_dtype=False, check_exact=True
+                )
+            except AssertionError as exc:
+                status.append(f"values differ: {str(exc)[:300]}")
+        if status:
+            print(f"FAIL {name}: {'; '.join(status)}")
+            failures.append(name)
+        else:
+            print(f"OK   {name}: {len(got)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
