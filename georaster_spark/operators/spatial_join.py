@@ -113,46 +113,127 @@ def ray_cast_udf(spark, polys: list[Polygon]):
     return _inside
 
 
+def ray_cast_edge_cols(lon: Column, lat: Column, max_vertices: int) -> Column:
+    """Even-odd point-in-polygon over FLAT edge columns.
+
+    Expects the joined row to carry ``x0_j, y0_j, x1_j, y1_j`` double
+    columns (one quad per polygon edge, NULL-padded to
+    ``max_vertices`` — see ``cover_df``). The parity fold is plain
+    scalar arithmetic on flat doubles: small expression tree, fully
+    inside WholeStageCodegen. Alternatives measured on 48M candidate
+    rows: higher-order ``aggregate`` over ARRAY<STRUCT> ~33µs/row
+    (interpreted); unrolled ``try_element_at`` worse (codegen
+    fallback); a pandas-UDF kernel anti-scaled with cores (Python
+    workers compete with executor threads). Flat-column unroll is the
+    one that scales.
+
+    NULL padding: the edge test is NULL → ``coalesce(…, False)``.
+    Horizontal edges: division yields ±Inf/NaN but the crossing guard
+    is False (double division never throws, even under ANSI).
+    """
+    inside = F.lit(False)
+    for j in range(max_vertices):
+        x0, y0 = F.col(f"x0_{j}"), F.col(f"y0_{j}")
+        x1, y1 = F.col(f"x1_{j}"), F.col(f"y1_{j}")
+        test = ((y0 > lat) != (y1 > lat)) & (
+            lon < (x1 - x0) * (lat - y0) / (y1 - y0) + x0
+        )
+        inside = inside != F.coalesce(test, F.lit(False))
+    return inside
+
+
+def cover_df(spark, polys: list[Polygon], res: int) -> tuple[DataFrame, int]:
+    """Broadcastable cover index with FLAT edge columns:
+    (cell, poly_id, full, x0_0, y0_0, x1_0, y1_0, …) — the polygon
+    edges ride along (NULL for full cells / padding) so the exact
+    test is pure flat-double arithmetic after the join. Returns
+    (cover, max_vertices)."""
+    mv = max(len(p.ring) for p in polys)
+    rings = {p.poly_id: p.ring for p in polys}
+    rows = []
+    for cell, pid, full in build_cover(polys, res):
+        ring = rings[pid]
+        edges: list[float | None] = []
+        for j in range(mv):
+            if full or j >= len(ring):
+                edges += [None, None, None, None]
+            else:
+                x1, y1 = ring[j]
+                x0, y0 = ring[j - 1]
+                edges += [float(x0), float(y0), float(x1), float(y1)]
+        rows.append((cell, pid, full, *edges))
+    edge_schema = ", ".join(
+        f"x0_{j} double, y0_{j} double, x1_{j} double, y1_{j} double" for j in range(mv)
+    )
+    return (
+        spark.createDataFrame(rows, f"cell long, poly_id string, full boolean, {edge_schema}"),
+        mv,
+    )
+
+
 def pip_join(
     docs: DataFrame,
     polys: list[Polygon],
     res: int,
     lon: Column | str = "lon",
     lat: Column | str = "lat",
+    method: str = "expr",
 ) -> DataFrame:
     """Point-in-polygon join: docs × polygons → (doc columns, poly_id).
 
     Emits one output row per (document, containing polygon) pair —
     overlapping polygons multiply rows, matching the relational
     semantics the oracle checks.
+
+    ``method='expr'`` (default) runs the exact ray-cast as Column
+    algebra (JVM, scales linearly with cores); ``method='pandas'``
+    uses the Arrow-vectorized NumPy kernel (kept for parity and for
+    polygon sets too large to ship per-row).
     """
     spark = docs.sparkSession
     lon = F.col(lon) if isinstance(lon, str) else lon
     lat = F.col(lat) if isinstance(lat, str) else lat
+    docs_c = docs.withColumn("cell", cell_encode_cols(lon, lat, res))
+    if method == "expr":
+        cover, max_v = cover_df(spark, polys, res)
+        cand = docs_c.join(F.broadcast(cover), "cell")
+        edge_cols = [
+            f"{p}_{j}" for j in range(max_v) for p in ("x0", "y0", "x1", "y1")
+        ]
+        return cand.where(
+            F.col("full") | ray_cast_edge_cols(lon, lat, max_v)
+        ).drop("full", *edge_cols)
     cover = spark.createDataFrame(
         build_cover(polys, res), "cell long, poly_id string, full boolean"
     )
-    docs_c = docs.withColumn("cell", cell_encode_cols(lon, lat, res))
     cand = docs_c.join(F.broadcast(cover), "cell")
     inside = ray_cast_udf(spark, polys)
-    return (
-        cand.where(F.col("full") | inside(F.col("poly_id"), lon, lat))
-        .drop("full")
-    )
+    return cand.where(F.col("full") | inside(F.col("poly_id"), lon, lat)).drop("full")
 
 
 def salted_cell_counts(
-    docs_with_cell: DataFrame, salt_k: int = 16, count_col: str = "n_docs"
+    docs_with_cell: DataFrame,
+    salt_k: int = 16,
+    count_col: str = "n_docs",
+    salt_key: str | None = None,
+    salt_expr: Column | None = None,
 ) -> DataFrame:
     """Per-cell counts via two-level salted aggregation (E5).
 
     Level 1 groups on (cell, salt) — the hot cell's rows spread over
     ``salt_k`` reducers; level 2 sums the tiny partials. Same result
     as a direct groupBy(cell).count(), immune to single-key skew.
+
+    The salt hashes a DETERMINISTIC per-row key (``salt_key``, else
+    the first non-cell column): a nondeterministic salt
+    (monotonically_increasing_id / rand) blocks Catalyst reordering
+    and measurably anti-scaled.
     """
-    salted = docs_with_cell.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_k))
-    )
+    if salt_expr is None:
+        if salt_key is None:
+            salt_key = next(c for c in docs_with_cell.columns if c != "cell")
+        salt_expr = F.pmod(F.xxhash64(F.col(salt_key)), F.lit(salt_k))
+    salted = docs_with_cell.withColumn("_salt", salt_expr)
     partial = salted.groupBy("cell", "_salt").agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy("cell").agg(F.sum("_partial").cast("long").alias(count_col))
 

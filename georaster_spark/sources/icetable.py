@@ -1,0 +1,173 @@
+"""Iceberg-style table layer (engine op E10).
+
+The real Iceberg runtime jar is not in this image, so this module
+implements the same *contract* on plain partitioned Parquet:
+
+- every write is a new immutable **snapshot** directory
+  (``data/snap-<id>/``) — readers never see partial writes;
+- a JSON **manifest** per snapshot records schema, partition
+  columns, per-file row counts, and parent snapshot (lineage);
+- a single **pointer file** (``metadata/current``) names the live
+  snapshot; commits are atomic pointer swaps (``os.replace``);
+- **time travel**: ``read_table(..., snapshot_id=...)``;
+- **rollback**: repoint without deleting data.
+
+The API is deliberately shaped so a real Iceberg catalog can replace
+it (``write_table`` ↔ ``df.writeTo(...).append``, ``read_table`` ↔
+``spark.table``). Mirrors the reference's multi-IFD/overview listing
+(one file = many images, ``src/geotiff.rs:57-66``) at the table
+level: one table = many snapshots, the reader picks one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _pointer(path: str) -> str:
+    return os.path.join(_meta_dir(path), "current")
+
+
+def _manifest_path(path: str, snapshot_id: str) -> str:
+    return os.path.join(_meta_dir(path), f"manifest-{snapshot_id}.json")
+
+
+def current_snapshot(path: str) -> str | None:
+    try:
+        with open(_pointer(path)) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+def read_manifest(path: str, snapshot_id: str | None = None) -> dict[str, Any]:
+    snap = snapshot_id or current_snapshot(path)
+    if snap is None:
+        raise FileNotFoundError(f"table {path} has no current snapshot")
+    with open(_manifest_path(path, snap)) as f:
+        return json.load(f)
+
+
+def snapshots(path: str) -> list[dict[str, Any]]:
+    """All manifests, oldest→newest by commit time."""
+    out = []
+    md = _meta_dir(path)
+    if not os.path.isdir(md):
+        return out
+    for name in os.listdir(md):
+        if name.startswith("manifest-"):
+            with open(os.path.join(md, name)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda m: m["committed_at"])
+
+
+def committed_chain(path: str) -> list[dict[str, Any]]:
+    """Manifests reachable from the current pointer via parent links,
+    oldest→newest. A manifest written by a crashed attempt (no
+    pointer swap) is NOT in the chain — this is the committed truth.
+    """
+    out: list[dict[str, Any]] = []
+    snap = current_snapshot(path)
+    while snap is not None:
+        m = read_manifest(path, snap)
+        out.append(m)
+        snap = m.get("parent_snapshot_id")
+    return list(reversed(out))
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    extra: dict[str, Any] | None = None,
+) -> str:
+    """Write a new snapshot and atomically commit it. Returns the
+    snapshot id. ``mode='append'`` keeps prior snapshot's files live
+    in the new manifest (file-level append, like Iceberg's
+    append-files commit)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(mode)
+    snapshot_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+    data_dir = os.path.join(path, "data", f"snap-{snapshot_id}")
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+
+    files = []
+    for root, _dirs, names in os.walk(data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                files.append({"path": os.path.relpath(p, path), "bytes": os.path.getsize(p)})
+    parent = current_snapshot(path)
+    if mode == "append" and parent is not None:
+        files = read_manifest(path, parent)["files"] + files
+
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "parent_snapshot_id": parent,
+        "committed_at": time.time(),
+        "schema": df.schema.jsonValue(),
+        "partition_by": partition_by or [],
+        "mode": mode,
+        "files": files,
+        "extra": extra or {},
+    }
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    with open(_manifest_path(path, snapshot_id), "w") as f:
+        json.dump(manifest, f)
+    # atomic commit: write-temp + rename
+    tmp = _pointer(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(snapshot_id)
+    os.replace(tmp, _pointer(path))
+    return snapshot_id
+
+
+def read_table(
+    spark: SparkSession, path: str, snapshot_id: str | None = None
+) -> DataFrame:
+    """Read the live (or a time-traveled) snapshot."""
+    m = read_manifest(path, snapshot_id)
+    if not m["files"]:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+    # group files by their snapshot dir: basePath must sit directly
+    # above the hive-style partition dirs for column recovery
+    by_snap: dict[str, list[str]] = {}
+    for f in m["files"]:
+        rel = f["path"]  # data/snap-<id>/[k=v/...]file.parquet
+        parts = rel.split(os.sep)
+        base = os.path.join(path, *parts[:2])
+        by_snap.setdefault(base, []).append(os.path.join(path, rel))
+    dfs = [
+        spark.read.option("basePath", base).parquet(*files)
+        for base, files in sorted(by_snap.items())
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def rollback(path: str, snapshot_id: str) -> None:
+    """Repoint ``current`` to an older snapshot (data retained)."""
+    if not os.path.exists(_manifest_path(path, snapshot_id)):
+        raise FileNotFoundError(f"snapshot {snapshot_id} not found in {path}")
+    tmp = _pointer(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(snapshot_id)
+    os.replace(tmp, _pointer(path))

@@ -1,0 +1,130 @@
+"""E10 table layer + E9 lineage/resume tests (SURVEY.md M6),
+including the kill-and-resume scenario."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from georaster_spark.datagen import documents_df, geocode_cols
+from georaster_spark.plans import lineage
+from georaster_spark.sources import icetable
+
+
+@pytest.fixture()
+def docs(spark):
+    d = documents_df(spark, 400)
+    lon, lat = geocode_cols(F.col("doc_seq"))
+    return (
+        d.withColumn("lon", lon)
+        .withColumn("lat", lat)
+        .withColumn("part", F.pmod(F.col("doc_seq"), F.lit(8)).cast("long"))
+    )
+
+
+class TestIceTable:
+    def test_snapshot_roundtrip(self, spark, docs, tmp_path):
+        path = str(tmp_path / "t1")
+        snap1 = icetable.write_table(docs.select("url", "part"), path, partition_by=["part"])
+        back = icetable.read_table(spark, path)
+        assert back.count() == 400
+        assert set(back.columns) == {"url", "part"}
+        assert icetable.current_snapshot(path) == snap1
+
+    def test_append_and_time_travel(self, spark, docs, tmp_path):
+        path = str(tmp_path / "t2")
+        half1 = docs.where(F.col("part") < 4).select("url", "part")
+        half2 = docs.where(F.col("part") >= 4).select("url", "part")
+        s1 = icetable.write_table(half1, path, partition_by=["part"])
+        s2 = icetable.write_table(half2, path, partition_by=["part"], mode="append")
+        assert icetable.read_table(spark, path).count() == 400
+        assert icetable.read_table(spark, path, snapshot_id=s1).count() == half1.count()
+        icetable.rollback(path, s1)
+        assert icetable.read_table(spark, path).count() == half1.count()
+        chain = icetable.committed_chain(path)
+        assert [m["snapshot_id"] for m in chain] == [s1]
+        icetable.rollback(path, s2)
+        assert [m["snapshot_id"] for m in icetable.committed_chain(path)] == [s1, s2]
+
+    def test_partition_pruning_on_read(self, spark, docs, tmp_path):
+        """Partition columns must survive the manifest read path so
+        filters prune at the file level."""
+        path = str(tmp_path / "t3")
+        icetable.write_table(docs.select("url", "part"), path, partition_by=["part"])
+        df = icetable.read_table(spark, path).where(F.col("part") == 3)
+        assert df.count() == 50
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(part" in plan
+
+
+class TestLineageResume:
+    @staticmethod
+    def _xform(df):
+        return df.withColumn("text_len", F.length("text")).select(
+            "url", "text", "part", "text_len"
+        )
+
+    def test_stage_runs_and_records(self, spark, docs, tmp_path):
+        out_path = str(tmp_path / "out")
+        stats = lineage.run_stage(
+            spark, "s1", docs, self._xform, "part", out_path, checksum_cols=["url", "text"]
+        )
+        assert stats == {"pending": 8, "done_before": 0}
+        rows = lineage.lineage_rows(out_path, "s1")
+        assert len(rows) == 8
+        assert all(r["input_rows"] == r["output_rows"] == 50 for r in rows)
+
+    def test_rerun_is_noop(self, spark, docs, tmp_path):
+        out_path = str(tmp_path / "out")
+        lineage.run_stage(spark, "s1", docs, self._xform, "part", out_path)
+        stats = lineage.run_stage(spark, "s1", docs, self._xform, "part", out_path)
+        assert stats == {"pending": 0, "done_before": 8}
+        assert icetable.read_table(spark, out_path).count() == 400
+
+    def test_kill_and_resume(self, spark, docs, tmp_path):
+        """Kill-and-resume (SURVEY.md M6): first attempt only saw half
+        the partitions (simulated crash after a partial commit);
+        resume completes the rest without recomputing done parts, and
+        the final table equals a one-shot run."""
+        out_path = str(tmp_path / "out")
+        first_half = docs.where(F.col("part") < 4)
+        lineage.run_stage(spark, "s1", first_half, self._xform, "part", out_path)
+        assert len(lineage.lineage_rows(out_path, "s1")) == 4
+
+        stats = lineage.run_stage(spark, "s1", docs, self._xform, "part", out_path)
+        assert stats == {"pending": 4, "done_before": 4}
+
+        got = icetable.read_table(spark, out_path)
+        want = self._xform(docs)
+        assert got.count() == 400
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_crashed_uncommitted_snapshot_is_invisible(self, spark, docs, tmp_path):
+        """A manifest written without the pointer swap (crash window)
+        must not contribute data or lineage."""
+        out_path = str(tmp_path / "out")
+        lineage.run_stage(spark, "s1", docs, self._xform, "part", out_path)
+        # simulate: orphan manifest from a crashed attempt
+        import json
+
+        orphan = dict(icetable.read_manifest(out_path))
+        orphan["snapshot_id"] = "9999999999999-deadbeef"
+        orphan["extra"] = {"stage": "s1", "lineage": [{"stage": "s1", "part": 99}]}
+        with open(
+            icetable._manifest_path(out_path, orphan["snapshot_id"]), "w"
+        ) as f:
+            json.dump(orphan, f)
+        assert 99 not in lineage.done_partitions(out_path, "s1")
+
+    def test_text_identity_audit(self, spark, docs, tmp_path):
+        out_path = str(tmp_path / "out")
+        lineage.run_stage(spark, "s1", docs, self._xform, "part", out_path)
+        sink = icetable.read_table(spark, out_path)
+        assert lineage.verify_text_identity(docs, sink, "part", ["url", "text"])
+        corrupted = sink.withColumn(
+            "text", F.when(F.col("part") == 2, F.lit("X")).otherwise(F.col("text"))
+        )
+        assert not lineage.verify_text_identity(docs, corrupted, "part", ["url", "text"])

@@ -1,0 +1,161 @@
+"""Scaling-efficiency evidence for the north rule.
+
+No real cluster exists in this sandbox, so the N→4N executor
+criterion is evidenced by running the IDENTICAL job on identical
+deterministic input at two parallelism levels on the 32-core host:
+``local[8]`` (N) and ``local[32]`` (4N), with the shuffle-partition
+policy scaled with cores (partitions = cores). Each level runs in
+its own JVM (subprocess).
+
+The job is the flagship pipeline: generate documents → geocode →
+cell-encode → broadcast cover join → exact ray-cast →
+salted per-cell aggregation → count. Throughput = docs / wall-clock
+of the pipeline action (session startup excluded, one warmup pass).
+
+Usage:
+    python tools/bench_scaling.py               # run both levels, write BENCH/
+    python tools/bench_scaling.py --cores 8     # single level (JSON to stdout)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "200000000"))
+REPS = int(os.environ.get("SCALING_REPS", "3"))
+RES = 11
+
+
+def run_level(cores: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from georaster_spark.datagen import documents_df, geocode_cols, polygons
+    from georaster_spark.operators.spatial_join import pip_join, salted_cell_counts
+    from georaster_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling_{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        # throughput collector: measurably steadier than default G1
+        # for this allocation profile at high thread counts.
+        # ActiveProcessorCount pins the WHOLE JVM (GC, shuffle, netty
+        # threads) to the level's core budget — otherwise the
+        # local[8] "cluster" borrows all 32 host cores for its
+        # service threads and the baseline is unfairly fast.
+        extra_conf={
+            "spark.driver.extraJavaOptions": (
+                f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cores}"
+            )
+        },
+    )
+
+    def pipeline(n: int) -> float:
+        docs = documents_df(spark, n, partitions=cores * 4)
+        lon, lat = geocode_cols(F.col("doc_seq"))
+        docs = docs.withColumn("lon", lon).withColumn("lat", lat)
+        joined = pip_join(docs, polygons(), RES)
+        per_cell = salted_cell_counts(
+            joined, salt_k=cores, salt_expr=F.pmod(F.col("doc_seq"), F.lit(cores))
+        )
+        t0 = time.time()
+        row = per_cell.agg(
+            F.sum("n_docs").alias("n"), F.count(F.lit(1)).alias("cells")
+        ).collect()[0]
+        return time.time() - t0, int(row["n"])
+
+    pipeline(1_000_000)  # warmup: JIT, broadcast machinery
+
+    walls = []
+    joined_rows = None
+    for _ in range(REPS):
+        wall, joined_rows = pipeline(N_DOCS)
+        walls.append(wall)
+    wall = min(walls)  # the host is shared/noisy: min is the capability
+    return {
+        "cores": cores,
+        "n_docs": N_DOCS,
+        "joined_rows": int(joined_rows),
+        "wall_sec": round(wall, 3),
+        "all_walls": [round(w, 2) for w in walls],
+        "docs_per_sec": round(N_DOCS / wall, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+    if args.cores:
+        print(json.dumps(run_level(args.cores)))
+        return
+
+    lo = int(os.environ.get("SCALING_N_CORES", "8"))
+    hi = lo * 4
+    pairs = int(os.environ.get("SCALING_PAIRS", "2"))
+    results = {}
+    # alternate levels to decorrelate host noise; keep the best
+    # (min-wall) observation per level
+    for _ in range(pairs):
+        for cores in (lo, hi):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cores", str(cores)],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            print(r, file=sys.stderr)
+            if cores not in results or r["wall_sec"] < results[cores]["wall_sec"]:
+                results[cores] = r
+
+    assert results[lo]["joined_rows"] == results[hi]["joined_rows"], (
+        "north-rule gate: join output rows must match across cluster sizes"
+    )
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / 4.0
+    summary = {
+        "metric": "spatial_join_pipeline_docs_per_sec",
+        "n_docs": N_DOCS,
+        "local_N": results[lo],
+        "local_4N": results[hi],
+        "scaling_efficiency_N_to_4N": round(eff, 3),
+        "gate": "efficiency >= 0.8",
+        "pass": eff >= 0.8,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — scaling evidence (north rule)
+
+Job: flagship spatial-join pipeline (generate {N_DOCS:,} docs →
+geocode → cell encode res {RES} → broadcast polygon-cover join →
+vectorized ray-cast → salted per-cell aggregation). Identical
+deterministic input at both levels; shuffle partitions = cores;
+fresh JVM per level; warmup pass excluded from timing.
+
+| level | cores | wall (s) | docs/sec | joined rows |
+|---|---|---|---|---|
+| N  (local[{lo}])  | {lo}  | {results[lo]['wall_sec']} | {results[lo]['docs_per_sec']:,} | {results[lo]['joined_rows']:,} |
+| 4N (local[{hi}]) | {hi} | {results[hi]['wall_sec']} | {results[hi]['docs_per_sec']:,} | {results[hi]['joined_rows']:,} |
+
+**Scaling efficiency (N→4N) = {eff:.3f}** (gate ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+Join output row counts are identical across cluster sizes
+(north-rule row-count gate) — asserted by tools/bench_scaling.py.
+"""
+        )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
