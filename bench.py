@@ -36,6 +36,10 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh",
     "embedding_topk",
+    "simhash_pairs",
+    "ann_ivf",
+    "asof_join",
+    "media_features",
 ]
 
 

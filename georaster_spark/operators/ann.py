@@ -1,0 +1,185 @@
+"""Approximate-nearest-neighbor + embedding near-dup operators.
+
+Embeddings are ``ARRAY<FLOAT>`` columns; all vector math stays
+JVM-side (``zip_with``/``aggregate`` higher-order functions — no
+Python in the hot path, mirroring the engine's no-per-row-Python
+rule per SURVEY.md §2.2 E1).
+
+Two tiers, same contract as the cell index (cells.py) uses for
+spatial kNN:
+
+- **brute force** (baseline, exact): broadcast the query set, cosine
+  against every vector, windowed top-k. O(N·Q) — the correctness
+  oracle and the right plan when Q is small.
+- **IVF** (scale path): a deterministic coarse quantizer (the first
+  ``n_centroids`` vectors act as centroids — swap for k-means||
+  without touching the plan) buckets every vector once; queries
+  probe the ``nprobe`` nearest buckets only. At 100 TB the bucket
+  assignment is written as a partition column so a probe prunes to
+  nprobe/n_centroids of the data; this module expresses that same
+  plan over DataFrames.
+
+Near-dup by embedding cosine follows the dedup contract
+(operators/dedup.py): emit (doc_a < doc_b, score) pairs above a
+threshold; the IVF bucket doubles as the LSH-style blocking key so
+the self-join never goes quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda v: v.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def normalized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize vectors so cosine == dot downstream (one pass,
+    done once at ingest in a real pipeline)."""
+    v = _as_double(F.col(vec_col))
+    n = l2_norm(v)
+    return df.withColumn("vnorm", F.transform(v, lambda x: x / n))
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "vnorm",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine over the
+    broadcast-able centroid list). Adds ``bucket``. Centroids arrive
+    as plain Python (driver-side, tiny) and are folded into the plan
+    as literals — no shuffle, no UDF."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])).alias("score"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    # array_max over struct(score, cid): highest score, ties → highest cid
+    return df.withColumn("bucket", F.array_max(scored)["cid"])
+
+
+def take_centroids(df: DataFrame, n_centroids: int, id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the first ``n_centroids``
+    vectors by id, L2-normalized. Replace with k-means|| at scale —
+    every downstream plan is unchanged."""
+    rows = (
+        normalized(df)
+        .where(F.col(id_col) < n_centroids)
+        .select(id_col, "vnorm")
+        .collect()
+    )
+    return sorted((r[0], list(r[1])) for r in rows)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k: bucket the corpus once, probe ``nprobe`` buckets per
+    query. Output (query_id, vec_id, rank, cos_e6).
+
+    Plan shape: corpus-side ``ivf_assign`` is narrow; the probe join
+    is an equi-join on ``bucket`` with the (queries × nprobe) side
+    broadcast — the corpus never shuffles.
+    """
+    cents = take_centroids(vectors, n_centroids, id_col)
+    corpus = ivf_assign(normalized(vectors), cents).select(id_col, "vnorm", "bucket")
+
+    qn = normalized(queries.withColumnRenamed(query_id_col, "query_id"), "embedding")
+    scored = F.array(
+        *[
+            F.struct(
+                dot(F.col("vnorm"), F.array(*[F.lit(float(x)) for x in vec])).alias("score"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    # nprobe nearest buckets per query: sort struct array desc, slice
+    probes = qn.select(
+        "query_id",
+        F.col("vnorm").alias("q_vnorm"),
+        F.explode(
+            F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+        ).alias("probe"),
+    ).select("query_id", "q_vnorm", F.col("probe.cid").alias("bucket"))
+
+    cos = dot(F.col("vnorm"), F.col("q_vnorm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        corpus.join(F.broadcast(probes), "bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col(id_col).cast("long"),
+            F.col("rank").cast("long"),
+            F.round(F.col("cos") * 1000000.0, 0).cast("long").alias("cos_e6"),
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold_e6: int,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_a < vec_b, cos_e6) pairs with cosine ≥ threshold.
+
+    With ``n_centroids`` set, the IVF bucket blocks the self-join
+    (near-dups overwhelmingly share a bucket — document the recall
+    tradeoff); without it, exact brute-force pairs (the oracle path).
+    """
+    vn = normalized(vectors).select(id_col, "vnorm")
+    if n_centroids:
+        cents = take_centroids(vectors, n_centroids, id_col)
+        vn = ivf_assign(vn, cents)
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    else:
+        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    a, b = vn.alias("a"), vn.alias("b")
+    cos = dot(F.col("a.vnorm"), F.col("b.vnorm"))
+    return (
+        a.join(b, join_cond)
+        .withColumn("cos_e6", F.round(cos * 1000000.0, 0).cast("long"))
+        .where(F.col("cos_e6") >= threshold_e6)
+        .select(
+            F.col(f"a.{id_col}").cast("long").alias("vec_a"),
+            F.col(f"b.{id_col}").cast("long").alias("vec_b"),
+            "cos_e6",
+        )
+    )

@@ -1,0 +1,62 @@
+"""As-of (nearest-prior-event) join — the shuffle-free-right-side
+pattern that scales where a range join cannot.
+
+Semantics: for each LEFT row, attach the latest RIGHT row with
+``right.ts <= left.ts`` for the same key (ties: the right row wins —
+"at or before").
+
+A naive theta-join (``l.key = r.key AND r.ts <= l.ts`` + max) is a
+broadcast-nested-loop at worst and an exploding range join at best.
+The scalable plan is the **union trick**: tag both sides, union,
+sort within key by (ts, tag), and carry the last right-side value
+forward with ``last(..., ignorenulls=True)`` over an unbounded
+preceding window — ONE shuffle on the key, linear work, no row
+blowup. Skewed keys are handled by the same salting machinery as the
+spatial join (operators/spatial_join.py: salted_repartition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + the most recent ``right``
+    row at-or-before its timestamp (NULLs when none). ``right_cols``
+    are the right-side payload columns to carry (renamed as-is; must
+    not collide with left columns)."""
+    lt = left.withColumn("_tag", F.lit(1))
+    for c in right_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        on, ts, *right_cols
+    ).withColumn("_tag", F.lit(0))
+    for c in left.columns:
+        if c not in (on, ts) and c not in right_cols:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    both = lt.select(sorted(lt.columns)).unionByName(rt.select(sorted(rt.columns)))
+
+    # right rows (_tag 0) sort before left rows at equal ts → "at or
+    # before" inclusive semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = both.select(
+        *[c for c in both.columns if c not in right_cols],
+        *[
+            F.last(F.when(F.col("_tag") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in right_cols
+        ],
+    )
+    return filled.where(F.col("_tag") == 1).drop("_tag")

@@ -789,6 +789,341 @@ def sql_embedding_topk():
     """
 
 
+SIMHASH_MAX_HAMMING = 8
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (operators/dedup.py): pigeonhole block
+    LSH gives 100% recall at the Hamming threshold, so the result
+    equals the brute-force oracle exactly."""
+    from georaster_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs_spread(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def sql_simhash_pairs():
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    bits AS (
+      SELECT doc_id, j,
+             CASE WHEN j < 32
+                  THEN (CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) >> j) & 1
+                  ELSE (CAST('0x' || substr(md5(sh), 16, 15) AS BIGINT) >> (j - 32)) & 1
+             END AS bit
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS j)
+    ),
+    votes AS (SELECT doc_id, j, sum(bit * 2 - 1) AS v FROM bits GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+      FROM votes GROUP BY 1
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+NEARDUP_COS_E6 = 420000  # synthetic embeddings are near-orthogonal
+# (max pairwise cosine ≈ 0.51); a real near-dup pass would use ≥ 0.95
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (operators/ann.py), exact
+    variant (IVF-blocked variant covered by ann_ivf + unit tests)."""
+    from georaster_spark.operators.ann import cosine_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, threshold_e6=NEARDUP_COS_E6)
+
+
+def sql_embedding_neardup():
+    return f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1),
+    nflat AS (SELECT f.vec_id, i, v / nrm AS v FROM flat f JOIN norms USING (vec_id)),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS cos
+      FROM nflat a JOIN nflat b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+           CAST(round(cos * 1000000.0, 0) AS BIGINT) AS cos_e6
+    FROM pairs WHERE CAST(round(cos * 1000000.0, 0) AS BIGINT) >= {NEARDUP_COS_E6}
+    """
+
+
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (operators/ann.py): deterministic coarse
+    quantizer + nprobe bucket probing — the 100 TB ANN plan (bucket
+    is a partition column at scale). Deterministic, so the oracle
+    replicates the same quantizer in SQL."""
+    from georaster_spark.operators.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=5, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE)
+
+
+def sql_ann_ivf():
+    return f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1),
+    nflat AS (SELECT f.vec_id, i, v / nrm AS v FROM flat f JOIN norms USING (vec_id)),
+    cents AS (SELECT vec_id AS cid, i, v FROM nflat WHERE vec_id < {IVF_CENTROIDS}),
+    scores AS (
+      SELECT n.vec_id, c.cid, sum(n.v * c.v) AS score
+      FROM nflat n JOIN cents c ON n.i = c.i
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS bucket FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        FROM scores WHERE vec_id < 5
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON a.bucket = p.bucket
+      WHERE a.vec_id != p.query_id
+    ),
+    cos AS (
+      SELECT c.query_id, c.vec_id, sum(e.v * q.v) AS cos
+      FROM cand c
+      JOIN nflat e ON e.vec_id = c.vec_id
+      JOIN nflat q ON q.vec_id = c.query_id AND q.i = e.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(round(cos * 1000000.0, 0) AS BIGINT) AS cos_e6
+    FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM cos
+    ) WHERE rank <= 5
+    """
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase event + the
+    user's most recent at-or-before view event — union trick, one
+    shuffle, no range-join blowup."""
+    from georaster_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, views, on="user_id", ts="ts", right_cols=["view_event", "view_ts"])
+    return out.select("event_id", "user_id", "ts", "view_event", "view_ts")
+
+
+def sql_asof_join():
+    return """
+    WITH v AS (
+      SELECT user_id, ts AS view_ts, max(event_id) AS view_event
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, v.view_event, v.view_ts
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    """
+
+
+def q_distinct_exact(spark, sf_dir):
+    """Exact + approximate distinct users per event type. The approx
+    column is asserted within relative error bounds in tests; the
+    oracle gates the exact column (approx sketches are
+    engine-specific, so the HLL estimate is checked as |err| bound
+    re-expressed as a boolean both engines agree on)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("n_users_approx") - F.col("n_users"))
+                <= F.col("n_users") * 0.05
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+def sql_distinct_exact():
+    return """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY 1
+    """
+
+
+# =====================================================================
+# multimodal (operators/multimodal.py — decode stubbed, plumbing real)
+# =====================================================================
+
+
+def _docs_media(spark, sf_dir):
+    from georaster_spark.operators.multimodal import with_media
+
+    return with_media(_docs_spread(spark, sf_dir))
+
+
+def q_media_features(spark, sf_dir):
+    """Image decode / feature extraction over a BINARY media column
+    via Arrow-batched mapInPandas (decode stubbed deterministically)."""
+    from georaster_spark.operators.multimodal import decode_image_features
+
+    return decode_image_features(_docs_media(spark, sf_dir))
+
+
+def sql_media_features():
+    m = "md5('IMG0' || text)"
+    return f"""
+    SELECT doc_id,
+           CAST(length('IMG0' || text) AS BIGINT) AS n_bytes,
+           CAST(1 + CAST('0x' || substr({m}, 1, 4) AS BIGINT) % 1024 AS BIGINT) AS width,
+           CAST(1 + CAST('0x' || substr({m}, 5, 4) AS BIGINT) % 1024 AS BIGINT) AS height,
+           CAST(CAST('0x' || substr({m}, 9, 2) AS BIGINT) AS BIGINT) AS mean_luma,
+           {m} AS digest
+    FROM documents
+    """
+
+
+FRAME_BYTES = 16
+FRAME_STRIDE = 4
+
+
+def q_media_frames(spark, sf_dir):
+    """Video-style frame sampling: slice blobs into fixed frames, keep
+    every stride-th — row-amplifying narrow mapInPandas stage."""
+    from georaster_spark.operators.multimodal import frame_sample
+
+    return frame_sample(
+        _docs_media(spark, sf_dir), frame_bytes=FRAME_BYTES, stride=FRAME_STRIDE
+    )
+
+
+def sql_media_frames():
+    fb, st = FRAME_BYTES, FRAME_STRIDE
+    return f"""
+    WITH m AS (SELECT doc_id, 'IMG0' || text AS s FROM documents),
+    f AS (
+      SELECT doc_id, s,
+             unnest(generate_series(0, CAST(ceil(length(s) / {fb}.0) AS INT) - 1)) AS fi
+      FROM m
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(fi AS BIGINT) AS frame_idx,
+           md5(substring(s, fi * {fb} + 1, {fb})) AS frame_digest,
+           CAST(length(substring(s, fi * {fb} + 1, {fb})) AS BIGINT) AS frame_len
+    FROM f WHERE fi % {st} = 0
+    """
+
+
+def q_media_audio(spark, sf_dir):
+    """Audio metadata from blob length — JVM-side Column algebra, no
+    decode round-trip for metadata-only queries."""
+    from georaster_spark.operators.multimodal import audio_meta
+
+    return audio_meta(_docs_media(spark, sf_dir))
+
+
+def sql_media_audio():
+    return """
+    SELECT doc_id,
+           CAST(length('IMG0' || text) AS BIGINT) AS n_bytes,
+           CAST(length('IMG0' || text) // 2 AS BIGINT) AS n_samples,
+           CAST((length('IMG0' || text) // 2) * 1000 // 16000 AS BIGINT) AS duration_ms
+    FROM documents
+    """
+
+
+# =====================================================================
+# streaming (georaster_spark/streaming — availableNow == batch gate)
+# =====================================================================
+
+
+def q_stream_window_agg(spark, sf_dir):
+    """Watermarked tumbling-window streaming aggregate; on a static
+    input the availableNow replay must equal the batch group-by."""
+    from georaster_spark.streaming.events import windowed_counts
+
+    return windowed_counts(spark, sf_dir)
+
+
+def sql_stream_window_agg():
+    return """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Stateful streaming sessionization (applyInPandasWithState);
+    equals the batch window-function sessionizer on static input."""
+    from georaster_spark.streaming.events import sessionize_stream
+
+    return sessionize_stream(spark, sf_dir)
+
+
+def sql_stream_sessionize():
+    return """
+    WITH flags AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flags
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types
+    FROM sess GROUP BY 1, 2
+    """
+
+
 # =====================================================================
 # catalog
 # =====================================================================
@@ -819,6 +1154,16 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "embedding_topk": q_embedding_topk,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_ivf": q_ann_ivf,
+    "asof_join": q_asof_join,
+    "distinct_exact": q_distinct_exact,
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,
+    "media_audio": q_media_audio,
+    "stream_window_agg": q_stream_window_agg,
+    "stream_sessionize": q_stream_sessionize,
 }
 
 ORACLES = {
@@ -847,6 +1192,16 @@ ORACLES = {
     "ngram_jaccard": sql_ngram_jaccard(),
     "minhash_lsh": sql_minhash_lsh(),
     "embedding_topk": sql_embedding_topk(),
+    "simhash_pairs": sql_simhash_pairs(),
+    "embedding_neardup": sql_embedding_neardup(),
+    "ann_ivf": sql_ann_ivf(),
+    "asof_join": sql_asof_join(),
+    "distinct_exact": sql_distinct_exact(),
+    "media_features": sql_media_features(),
+    "media_frames": sql_media_frames(),
+    "media_audio": sql_media_audio(),
+    "stream_window_agg": sql_stream_window_agg(),
+    "stream_sessionize": sql_stream_sessionize(),
 }
 
 

@@ -1,0 +1,197 @@
+"""Structured Streaming surface over the events table.
+
+The reference is a batch-only library (SURVEY.md §2.3: no streaming
+surface), so this module is engine-added capability for the webtext
+pipeline: the same windowed aggregation and gap-sessionization the
+batch catalog exposes (queries.q_events_window_agg / q_sessionize),
+re-expressed as streams with correct late-data semantics.
+
+Design:
+- source: file stream over the events parquet (schema pinned from a
+  batch read — a streaming source must not infer);
+- ``withWatermark`` bounds state: at 100 TB/day the window state
+  would otherwise grow without bound;
+- sessionization uses ``applyInPandasWithState`` (GroupState with
+  processing-time timeout) — the custom-stateful-operator escape
+  hatch for semantics Spark's built-in session_window can't express
+  (we need per-session event counts AND a deterministic session id);
+- every helper runs with ``trigger(availableNow=True)`` into a
+  memory sink and returns the result as a plain DataFrame, so the
+  batch harness (queries()/oracle_sql()) can gate it: the streaming
+  result must equal the batch query bit-for-bit on a static input.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP_S = 1800
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the static events parquet (availableNow
+    replays it once — the unit-test harness for streaming plans).
+
+    FileStreamSource requires a *directory*; the testdata table is a
+    single file, so it is exposed through a symlink dir under /tmp
+    (read-only on the data itself)."""
+    import os
+    import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="stream_events_")
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        src = d
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.readStream.schema(schema).parquet(src)
+    # event-time ops (watermark) need TIMESTAMP, parquet infers NTZ;
+    # session tz is pinned UTC so the cast is value-preserving
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _run_to_memory(stream: DataFrame, name: str, output_mode: str) -> None:
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - defensive
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain in 300s")
+
+
+def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1h window per event_type. ``complete``
+    output on availableNow == the batch group-by (the equivalence the
+    oracle asserts)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 1000000.0, 0).cast("long")).alias(
+                "sum_value_e6"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    name = f"win_counts_{int(time.time() * 1000) % 10_000_000}"
+    _run_to_memory(agg, name, "complete")
+    return spark.table(name).select(
+        F.col("w.start").alias("hour"), "event_type", "sum_value_e6", "n"
+    )
+
+
+_SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("event_types", StringType()),
+    ]
+)
+_SESS_STATE = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("n_sessions", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap sessionizer. State carries (last event epoch,
+    sessions emitted so far) so a restarted/continued stream numbers
+    sessions consistently."""
+    (user_id,) = key
+    last_ts, n_sessions = state.get if state.exists else (None, 0)
+    rows = []
+    cur: dict | None = None
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        # Arrow may deliver a group as several chunks in arbitrary
+        # order — order the whole group before walking it
+        whole = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for ts, etype in zip(whole["ts"], whole["event_type"]):
+            epoch = int(ts.timestamp())
+            if last_ts is None or epoch - last_ts > SESSION_GAP_S:
+                if cur is not None:
+                    rows.append(cur)
+                n_sessions += 1
+                cur = {
+                    "user_id": user_id,
+                    "session_id": n_sessions,
+                    "session_start": ts,
+                    "n_events": 0,
+                    "types": set(),
+                }
+            if cur is None:  # continuation of a session from prior batch
+                n_sessions += 1
+                cur = {
+                    "user_id": user_id,
+                    "session_id": n_sessions,
+                    "session_start": ts,
+                    "n_events": 0,
+                    "types": set(),
+                }
+            cur["n_events"] += 1
+            cur["types"].add(etype)
+            last_ts = epoch
+    if cur is not None:
+        rows.append(cur)
+    state.update((last_ts, n_sessions))
+    if rows:
+        yield pd.DataFrame(
+            [
+                (
+                    r["user_id"],
+                    r["session_id"],
+                    r["session_start"],
+                    r["n_events"],
+                    ",".join(sorted(r["types"])),
+                )
+                for r in rows
+            ],
+            columns=["user_id", "session_id", "session_start", "n_events", "event_types"],
+        )
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via applyInPandasWithState. On a static
+    input (one availableNow replay) the emitted sessions equal the
+    batch window-function sessionizer — asserted by the oracle."""
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    sess = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        # static-replay harness: every session closes within the one
+        # availableNow batch, so no timeout is needed. A live
+        # deployment flushes open sessions via EventTimeTimeout +
+        # watermark instead (ProcessingTimeTimeout would keep
+        # scheduling drain batches under availableNow).
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"sessions_{int(time.time() * 1000) % 10_000_000}"
+    _run_to_memory(sess, name, "append")
+    return spark.table(name)

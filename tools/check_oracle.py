@@ -28,7 +28,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            df[c] = pd.to_datetime(df[c])
+            if getattr(df[c].dt, "tz", None) is not None:
+                df[c] = df[c].dt.tz_localize(None)
+            # unify precision too (Spark→pandas gives ns, DuckDB us)
+            df[c] = df[c].astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype(np.float64)
         elif pd.api.types.is_integer_dtype(df[c]):
