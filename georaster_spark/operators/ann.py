@@ -60,26 +60,46 @@ def normalized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("vnorm", F.transform(v, lambda x: x / n))
 
 
-def ivf_assign(
-    df: DataFrame,
-    centroids: list[tuple[int, list[float]]],
-    vec_col: str = "vnorm",
-) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine over the
-    broadcast-able centroid list). Adds ``bucket``. Centroids arrive
-    as plain Python (driver-side, tiny) and are folded into the plan
-    as literals — no shuffle, no UDF."""
-    scored = F.array(
-        *[
-            F.struct(
-                dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])).alias("score"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, vec in centroids
-        ]
+def centroids_row(vectors: DataFrame, n_centroids: int, id_col: str = "vec_id") -> DataFrame:
+    """ONE-row DataFrame holding the centroid table as a sorted
+    ``ARRAY<STRUCT<cid,cvec>>`` column — broadcast-joined onto the
+    corpus so assignment needs no shuffle and no giant literal
+    expressions (codegen stays small regardless of dim × centroids)."""
+    return (
+        normalized(vectors.where(F.col(id_col) < n_centroids))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).cast("int").alias("cid"),
+                        F.col("vnorm").alias("cvec"),
+                    )
+                )
+            ).alias("cents")
+        )
     )
+
+
+def _cent_scores(vec_col: str) -> Column:
+    """ARRAY<STRUCT<score,cid>> of the vector against every centroid
+    in the broadcast ``cents`` column."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(dot(F.col(vec_col), c["cvec"]).alias("score"), c["cid"].alias("cid")),
+    )
+
+
+def ivf_assign(df: DataFrame, cents: DataFrame, vec_col: str = "vnorm") -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine). Adds
+    ``bucket``. Narrow: broadcast cross-join of the 1-row centroid
+    array, per-row array_max — embarrassingly parallel, shuffle-free
+    (at ingest the bucket becomes a partition column)."""
     # array_max over struct(score, cid): highest score, ties → highest cid
-    return df.withColumn("bucket", F.array_max(scored)["cid"])
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .withColumn("bucket", F.array_max(_cent_scores(vec_col))["cid"])
+        .drop("cents")
+    )
 
 
 def take_centroids(df: DataFrame, n_centroids: int, id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
@@ -111,25 +131,16 @@ def ivf_topk(
     is an equi-join on ``bucket`` with the (queries × nprobe) side
     broadcast — the corpus never shuffles.
     """
-    cents = take_centroids(vectors, n_centroids, id_col)
+    cents = centroids_row(vectors, n_centroids, id_col)
     corpus = ivf_assign(normalized(vectors), cents).select(id_col, "vnorm", "bucket")
 
     qn = normalized(queries.withColumnRenamed(query_id_col, "query_id"), "embedding")
-    scored = F.array(
-        *[
-            F.struct(
-                dot(F.col("vnorm"), F.array(*[F.lit(float(x)) for x in vec])).alias("score"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, vec in cents
-        ]
-    )
     # nprobe nearest buckets per query: sort struct array desc, slice
-    probes = qn.select(
+    probes = qn.crossJoin(F.broadcast(cents)).select(
         "query_id",
         F.col("vnorm").alias("q_vnorm"),
         F.explode(
-            F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+            F.slice(F.reverse(F.array_sort(_cent_scores("vnorm"))), 1, nprobe)
         ).alias("probe"),
     ).select("query_id", "q_vnorm", F.col("probe.cid").alias("bucket"))
 
@@ -164,7 +175,7 @@ def cosine_near_dup_pairs(
     """
     vn = normalized(vectors).select(id_col, "vnorm")
     if n_centroids:
-        cents = take_centroids(vectors, n_centroids, id_col)
+        cents = centroids_row(vectors, n_centroids, id_col)
         vn = ivf_assign(vn, cents)
         join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
             F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -992,6 +992,78 @@ def sql_distinct_exact():
     """
 
 
+def q_raster_info(spark, sf_dir):
+    """The reference's `info` workload (examples/info.rs): inspect the
+    raster catalog — one row per registered image level (COG
+    overviews included), schema fixed at registration (R1/R2)."""
+    from georaster_spark.sources.raster_catalog import fixture_entries, raster_meta_df
+
+    return raster_meta_df(spark, fixture_entries())
+
+
+def sql_raster_info():
+    from georaster_spark.sources.raster_catalog import fixture_entries, meta_row
+
+    def lit(v):
+        if isinstance(v, str):
+            return f"'{v}'"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            # e-notation forces DuckDB's direct-to-DOUBLE parse path;
+            # plain decimals route through DECIMAL and double-round
+            s = repr(v)
+            return s if "e" in s else s + "e0"
+        return repr(v)
+
+    rows = []
+    for e in fixture_entries():
+        rows.append("(" + ", ".join(lit(v) for v in meta_row(e)) + ")")
+    return f"""
+    SELECT raster_id, CAST(image_idx AS INT) AS image_idx, CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height, CAST(tile_w AS INT) AS tile_w,
+           CAST(tile_h AS INT) AS tile_h, CAST(origin_x AS DOUBLE) AS origin_x,
+           CAST(origin_y AS DOUBLE) AS origin_y, CAST(px_sz_x AS DOUBLE) AS px_sz_x,
+           CAST(px_sz_y AS DOUBLE) AS px_sz_y, dtype, CAST(bands AS INT) AS bands,
+           planar, CAST(spp AS INT) AS spp, CAST(tiles_across AS INT) AS tiles_across,
+           CAST(tiles_down AS INT) AS tiles_down, CAST(pad_right AS INT) AS pad_right,
+           CAST(pad_down AS INT) AS pad_down
+    FROM (VALUES {', '.join(rows)})
+      AS t(raster_id, image_idx, width, height, tile_w, tile_h, origin_x, origin_y,
+           px_sz_x, px_sz_y, dtype, bands, planar, spp, tiles_across, tiles_down,
+           pad_right, pad_down)
+    """
+
+
+def q_moving_avg(spark, sf_dir):
+    """Window-frame coverage: 5-event trailing moving average of value
+    per user (rowsBetween frame, SURVEY §2.3 'frames for moving
+    aggs')."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg(F.round(F.col("value") * 1000000.0, 0)).over(w), 0)
+        .cast("long")
+        .alias("moving_avg_e6"),
+    )
+
+
+def sql_moving_avg():
+    return """
+    SELECT event_id, user_id,
+           CAST(round(avg(round(value * 1000000.0, 0)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS moving_avg_e6
+    FROM events
+    """
+
+
 # =====================================================================
 # multimodal (operators/multimodal.py — decode stubbed, plumbing real)
 # =====================================================================
@@ -1159,6 +1231,8 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "asof_join": q_asof_join,
     "distinct_exact": q_distinct_exact,
+    "raster_info": q_raster_info,
+    "moving_avg": q_moving_avg,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_audio": q_media_audio,
@@ -1197,6 +1271,8 @@ ORACLES = {
     "ann_ivf": sql_ann_ivf(),
     "asof_join": sql_asof_join(),
     "distinct_exact": sql_distinct_exact(),
+    "raster_info": sql_raster_info(),
+    "moving_avg": sql_moving_avg(),
     "media_features": sql_media_features(),
     "media_frames": sql_media_frames(),
     "media_audio": sql_media_audio(),
