@@ -203,6 +203,29 @@ def morton_key_cols(cell: Column) -> Column:
     return key
 
 
+def cell_bounds_cols(cell: Column, z: int) -> tuple[Column, Column, Column, Column]:
+    """(lon_min, lat_min, lon_max, lat_max) of a cell as pure Column
+    algebra — the per-tile bounds the reference gets from
+    ``tms.bounds(&xyz)`` (``src/pmtiles.rs:45``). ``z`` is a Python
+    int so the grid size is a literal.
+
+    sinh is spelled ``(exp(t) - exp(-t)) / 2.0`` because DuckDB 1.0
+    has no ``sinh``; the oracle uses the identical expression text so
+    the IEEE doubles agree bit-for-bit (``tile_bounds_sql``).
+    """
+    n = float(1 << z)
+    _, x, y = cell_zxy_cols(cell)
+
+    def lon_of(xx: Column) -> Column:
+        return xx.cast("double") / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+
+    def lat_of(yy: Column) -> Column:
+        t = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * yy.cast("double") / F.lit(n))
+        return F.degrees(F.atan((F.exp(t) - F.exp(-t)) / F.lit(2.0)))
+
+    return lon_of(x), lat_of(y + F.lit(1)), lon_of(x + F.lit(1)), lat_of(y)
+
+
 # --------------------------------------------------------- oracle SQL
 def cell_encode_sql(lon_expr: str, lat_expr: str, z: int) -> str:
     """The SAME encode formula as ANSI SQL for the DuckDB oracle."""
@@ -214,3 +237,33 @@ def cell_encode_sql(lon_expr: str, lat_expr: str, z: int) -> str:
         f" / pi()) / 2.0 * {n}), 0), {n - 1})"
     )
     return f"(CAST({z} AS BIGINT) * {_ZSHIFT} + CAST({xt} AS BIGINT) * {_XSHIFT} + CAST({yt} AS BIGINT))"
+
+
+def cell_zxy_sql(cell_expr: str) -> tuple[str, str, str]:
+    """(z, x, y) SQL fragments from a packed cell id."""
+    return (
+        f"(({cell_expr}) // {_ZSHIFT})",
+        f"(({cell_expr}) % {_ZSHIFT} // {_XSHIFT})",
+        f"(({cell_expr}) % {_XSHIFT})",
+    )
+
+
+def tile_bounds_sql(x_expr: str, y_expr: str, z: int) -> tuple[str, str, str, str]:
+    """(lon_min, lat_min, lon_max, lat_max) SQL — the exact expression
+    text of ``cell_bounds_cols`` so both engines compute identical
+    doubles."""
+    n = float(1 << z)
+
+    def lon_of(xx: str) -> str:
+        return f"(CAST({xx} AS DOUBLE) / {n!r} * 360.0 - 180.0)"
+
+    def lat_of(yy: str) -> str:
+        t = f"(pi() * (1.0 - 2.0 * CAST({yy} AS DOUBLE) / {n!r}))"
+        return f"degrees(atan((exp({t}) - exp(-{t})) / 2.0))"
+
+    return (
+        lon_of(x_expr),
+        lat_of(f"(({y_expr}) + 1)"),
+        lon_of(f"(({x_expr}) + 1)"),
+        lat_of(y_expr),
+    )

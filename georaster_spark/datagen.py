@@ -362,6 +362,103 @@ def dtm_pixels_df(spark: SparkSession, partitions: int = 32) -> DataFrame:
     )
 
 
+# --------------------------------------------------- xyz tile fixture
+
+XYZ_Z = 12  # zoom of the PMTiles golden test (src/pmtiles.rs:96-103)
+XYZ_TILE_SIZE = 32
+
+
+def xyz_fixture_range() -> tuple[int, int, int, int]:
+    """Inclusive tile ranges (x0, x1, y0, y1) at XYZ_Z covering the
+    doc geocode box [7,9)×[45,47): floor tiling makes the lon-9 /
+    lat-45 edge tiles the inclusive maxima."""
+    from georaster_spark.cells import tile_xy
+
+    x0, _ = tile_xy(7.0, 46.0, XYZ_Z)
+    x1, _ = tile_xy(9.0, 46.0, XYZ_Z)
+    _, y0 = tile_xy(8.0, 47.0, XYZ_Z)
+    _, y1 = tile_xy(8.0, 45.0, XYZ_Z)
+    return x0, x1, y0, y1
+
+
+def _xyz_rgb(xt, yt, px, py):
+    """Closed-form RGB fill per tile pixel — same arithmetic drives
+    the Spark Columns and the DuckDB SQL."""
+    r = (xt * 3 + yt * 5 + px * 7 + py) % 256
+    g = (xt + yt * 11 + px + py * 3) % 256
+    b = (xt * 13 + yt + px * 5 + py * 7) % 256
+    return r, g, b
+
+
+def xyz_tile_pixels_df(spark: SparkSession, partitions: int = 16) -> DataFrame:
+    """Deterministic XYZ raster-tile table over the doc box: one row
+    per (cell, px, py) with RGB fill — the engine's stand-in for a
+    PMTiles archive (tiles are data, fetch is a join)."""
+    from georaster_spark.cells import _XSHIFT, _ZSHIFT
+
+    x0, x1, y0, y1 = xyz_fixture_range()
+    nx, npx = x1 - x0 + 1, XYZ_TILE_SIZE * XYZ_TILE_SIZE
+    n_tiles = nx * (y1 - y0 + 1)
+    df = spark.range(0, n_tiles * npx, 1, partitions)
+    i = F.col("id")
+    ti = F.floor(i / npx).cast("long")
+    wi = i % npx
+    px = (wi % XYZ_TILE_SIZE).cast("long")
+    py = F.floor(wi / XYZ_TILE_SIZE).cast("long")
+    xt = F.lit(x0) + ti % nx
+    yt = F.lit(y0) + F.floor(ti / nx).cast("long")
+    r, g, b = _xyz_rgb(xt, yt, px, py)
+    return df.select(
+        (F.lit(XYZ_Z).cast("long") * _ZSHIFT + xt * _XSHIFT + yt).alias("cell"),
+        px.cast("int").alias("px"),
+        py.cast("int").alias("py"),
+        r.cast("int").alias("r"),
+        g.cast("int").alias("g"),
+        b.cast("int").alias("b"),
+    )
+
+
+def xyz_tile_pixels_sql() -> str:
+    """The same tile table as DuckDB SQL."""
+    from georaster_spark.cells import _XSHIFT, _ZSHIFT
+
+    x0, x1, y0, y1 = xyz_fixture_range()
+    ts, nx = XYZ_TILE_SIZE, x1 - x0 + 1
+    npx = ts * ts
+    n = nx * (y1 - y0 + 1) * npx
+    xt = f"({x0} + (range // {npx}) % {nx})"
+    yt = f"({y0} + range // {npx} // {nx})"
+    px = f"(range % {npx} % {ts})"
+    py = f"(range % {npx} // {ts})"
+    r, g, b = _xyz_rgb_sql(xt, yt, px, py)
+    return f"""
+    SELECT CAST({XYZ_Z} AS BIGINT) * {_ZSHIFT} + {xt} * {_XSHIFT} + {yt} AS cell,
+           CAST({px} AS INT) AS px, CAST({py} AS INT) AS py,
+           CAST({r} AS INT) AS r, CAST({g} AS INT) AS g, CAST({b} AS INT) AS b
+    FROM range({n})
+    """
+
+
+def _xyz_rgb_sql(xt: str, yt: str, px: str, py: str) -> tuple[str, str, str]:
+    return (
+        f"(({xt} * 3 + {yt} * 5 + {px} * 7 + {py}) % 256)",
+        f"(({xt} + {yt} * 11 + {px} + {py} * 3) % 256)",
+        f"(({xt} * 13 + {yt} + {px} * 5 + {py} * 7) % 256)",
+    )
+
+
+def world400_pixels_sql() -> str:
+    """The world400 fixture's per-band pixel values as DuckDB SQL
+    (band formula of ``fixture_world400``: V_band = (x + 2y + 37b) % 256)."""
+    return """
+    SELECT CAST(range % 400 AS INT) AS x, CAST(range // 400 AS INT) AS y,
+           CAST((range % 400 + 2 * (range // 400)) % 256 AS INT) AS r,
+           CAST((range % 400 + 2 * (range // 400) + 37) % 256 AS INT) AS g,
+           CAST((range % 400 + 2 * (range // 400) + 74) % 256 AS INT) AS b
+    FROM range(80000)
+    """
+
+
 def dtm_pixels_sql() -> str:
     """DuckDB-equivalent generator for the same 25M pixels."""
     n = DTM_GEOM.width

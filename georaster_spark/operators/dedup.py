@@ -135,14 +135,21 @@ def simhash64(sh: DataFrame) -> DataFrame:
     Returns (doc_id, simhash) with simhash as BIGINT (bit 63 unused
     to stay positive — 63 effective bits).
     """
-    h1 = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5("sh"), 16, 15), 16, 10).cast("long")
+    # md5 is evaluated ONCE per shingle here; the 63 vote aggregates
+    # below see only cheap long shifts (md5 inside each agg expr is
+    # not CSE'd across aggregates and costs ~60x the whole stage).
+    md = F.md5("sh")
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(md, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md, 16, 15), 16, 10).cast("long").alias("h2"),
+    )
     votes = []
     for j in range(63):
-        src = h1 if j < 32 else h2
+        src = F.col("h1") if j < 32 else F.col("h2")
         bit = F.shiftright(src, j if j < 32 else j - 32) % 2
         votes.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
-    agg = sh.groupBy("doc_id").agg(*votes)
+    agg = hashed.groupBy("doc_id").agg(*votes)
     sim = F.lit(0).cast("long")
     for j in range(63):
         sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)

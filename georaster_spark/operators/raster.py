@@ -179,6 +179,99 @@ def window_from_tiles(
     return out
 
 
+def crop(pixels: DataFrame, x0: int, y0: int, w: int, h: int) -> DataFrame:
+    """Crop workload (``examples/crop.rs:13-29``): clip a pixel window
+    and rebase coordinates to the crop origin — the output raster's
+    (0,0) is the window's top-left (``crop.rs:28``: ``put_pixel(x -
+    x0, y - y0)``). Compose with ``pixels_to_tiles`` on a w×h
+    geometry to materialize the crop as a new tiled raster."""
+    return pixels.where(
+        F.col("x").between(x0, x0 + w - 1) & F.col("y").between(y0, y0 + h - 1)
+    ).select(
+        "raster_id",
+        "image_idx",
+        "band",
+        (F.col("x") - x0).cast("int").alias("x"),
+        (F.col("y") - y0).cast("int").alias("y"),
+        "value",
+    )
+
+
+# ascii ramp of examples/img2ascii.rs:58 (10 chars; index 9 duplicated
+# in the reference's ramp on purpose)
+ASCII_RAMP = " .:-=+░▒▓▓"
+
+
+def grey_to_ascii_cols(luminance: Column) -> Column:
+    """``grey2ascii`` (``examples/img2ascii.rs:56-62``): ramp char at
+    round((len-1) * luminance). Character-based substring, so the
+    multi-byte ramp chars index correctly in both Spark and DuckDB."""
+    idx = F.round(luminance * F.lit(float(len(ASCII_RAMP) - 1)), 0).cast("int")
+    return F.substring(F.lit(ASCII_RAMP), idx + F.lit(1), F.lit(1))
+
+
+def rgb_to_ascii_cols(r: Column, g: Column, b: Column) -> Column:
+    """``rgb2ascii`` (``examples/img2ascii.rs:64-67``): inverted
+    average luma, then the grey ramp."""
+    lum = (F.lit(255.0) - (r + g + b).cast("double") / F.lit(3.0)) / F.lit(255.0)
+    return grey_to_ascii_cols(lum)
+
+
+def ascii_lines(chars: DataFrame, x: str = "x", y: str = "y", ch: str = "ch") -> DataFrame:
+    """Assemble per-pixel chars into one text line per raster row —
+    the img2ascii sink (``examples/img2ascii.rs:45-52``). collect_list
+    is unordered; the (x, char) structs are array_sorted so the line
+    is deterministic regardless of physical row order."""
+    return chars.groupBy(F.col(y).alias("y")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(x).alias("x"), F.col(ch).alias("ch")))),
+                lambda e: e["ch"],
+            ),
+            "",
+        ).alias("line")
+    )
+
+
+def xyz_lookup(
+    points: DataFrame,
+    tile_pixels: DataFrame,
+    z: int,
+    tile_size: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """World→value via the XYZ tile pyramid — the engine form of
+    ``get_pixel_at(z, coord)`` (``src/pmtiles.rs:37-51``):
+
+    1. cell-encode each point at zoom z (``tms.tile``, ``:43``),
+    2. per-tile linear geotransform in the tile's lon/lat bounds with
+       the top-origin y-flip (``coord_to_pixel``, ``:53-69``; flip at
+       ``:67``) and ``.round()`` pixel snapping,
+    3. equi-join to ``tile_pixels (cell, px, py, ...)`` — the "tile
+       fetch"; a missing tile/pixel yields NO row (the reference
+       errors on missing tiles, ``:28`` — we diverge to empty-result
+       semantics, assertable, like OOB reads).
+
+    The async tile-archive I/O boundary of the reference becomes the
+    join's shuffle boundary (SURVEY.md §3.3). At scale the join is a
+    shuffle on ``cell`` — the tile table side is pre-partitioned by
+    cell, so only the probe side moves.
+    """
+    from georaster_spark import cells
+
+    pts = points.withColumn(
+        "cell", cells.cell_encode_cols(F.col(lon_col), F.col(lat_col), z)
+    )
+    lon0, _lat0, lon1, lat1 = cells.cell_bounds_cols(F.col("cell"), z)
+    psx = (lon1 - lon0) / F.lit(float(tile_size))
+    psy = (lat1 - _lat0) / F.lit(float(tile_size))
+    pts = pts.withColumn(
+        "px", F.round((F.col(lon_col) - lon0) / psx, 0).cast("int")
+    ).withColumn("py", F.round((lat1 - F.col(lat_col)) / psy, 0).cast("int"))
+    return pts.join(tile_pixels, ["cell", "px", "py"])
+
+
 def assemble_rgb(pixels: DataFrame) -> DataFrame:
     """Pivot per-band rows into an RGB(A) array per pixel — the
     DataFrame analog of ``raster_value`` sample assembly

@@ -287,6 +287,112 @@ def sql_terrarium_decode():
     """
 
 
+def q_crop(spark, sf_dir):
+    """Crop workload (examples/crop.rs): clip the golden DTM window,
+    rebase to the crop origin, and re-tile for the output raster
+    (100×100, tile 64 — exercises the writer's chunk-index math on a
+    fresh geometry)."""
+    from georaster_spark.grid import RasterGeometry
+
+    out_geom = RasterGeometry(width=100, height=100, tile_w=64, tile_h=64)
+    px = dtm_pixels_df(spark, partitions=32)
+    cropped = R.crop(px, 2500, 3000, 100, 100)
+    return cropped.select(
+        "x",
+        "y",
+        F.col("value").cast("long").alias("value"),
+        out_geom.tile_index_cols(F.col("x"), F.col("y")).cast("long").alias("out_tile"),
+    )
+
+
+def sql_crop():
+    return f"""
+    WITH px AS ({dtm_pixels_sql()})
+    SELECT CAST(x - 2500 AS INT) AS x, CAST(y - 3000 AS INT) AS y,
+           CAST(value AS BIGINT) AS value,
+           CAST((y - 3000) // 64 * 2 + (x - 2500) // 64 AS BIGINT) AS out_tile
+    FROM px
+    WHERE x BETWEEN 2500 AND 2599 AND y BETWEEN 3000 AND 3099
+    """
+
+
+def q_img2ascii(spark, sf_dir):
+    """img2ascii workload (examples/img2ascii.rs): full scan of the
+    world400 RGB fixture through the real decode path (tiles →
+    pixels → RGB assembly), inverted-luma ramp, one text line per
+    raster row."""
+    from georaster_spark.datagen import array_to_tiles_df, fixture_world400
+
+    geom, arr = fixture_world400()
+    tiles = array_to_tiles_df(spark, "world400", geom, arr)
+    px = R.tiles_to_pixels(tiles, geom)
+    rgb = R.assemble_rgb(px)
+    chars = rgb.select(
+        "x",
+        "y",
+        R.rgb_to_ascii_cols(
+            F.col("rgba")[0], F.col("rgba")[1], F.col("rgba")[2]
+        ).alias("ch"),
+    )
+    return R.ascii_lines(chars).select(F.col("y").cast("long").alias("y"), "line")
+
+
+def sql_img2ascii():
+    from georaster_spark.datagen import world400_pixels_sql
+
+    ramp = R.ASCII_RAMP
+    lum = "(255.0 - (r + g + b) / 3.0) / 255.0"
+    ch = f"substring('{ramp}', CAST(round({lum} * 9.0, 0) AS INT) + 1, 1)"
+    return f"""
+    WITH px AS ({world400_pixels_sql()})
+    SELECT CAST(y AS BIGINT) AS y, string_agg({ch}, '' ORDER BY x) AS line
+    FROM px GROUP BY y
+    """
+
+
+def q_xyz_lookup(spark, sf_dir):
+    """World→value via the XYZ tile pyramid (src/pmtiles.rs:37-51):
+    geocoded docs probed against a synthetic tile archive — cell
+    encode, per-tile y-flip geotransform, tile join, terrarium
+    height decode."""
+    from georaster_spark.datagen import XYZ_TILE_SIZE, XYZ_Z, xyz_tile_pixels_df
+
+    d = docs_geocoded(spark, sf_dir)
+    out = R.xyz_lookup(d, xyz_tile_pixels_df(spark), XYZ_Z, XYZ_TILE_SIZE)
+    h = terrarium_height(F.col("r"), F.col("g"), F.col("b"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "cell",
+        F.col("px").cast("long").alias("px"),
+        F.col("py").cast("long").alias("py"),
+        F.col("r").cast("long").alias("r"),
+        F.round(h * 1000000.0, 0).cast("long").alias("height_um"),
+    )
+
+
+def sql_xyz_lookup():
+    from georaster_spark.cells import cell_zxy_sql, tile_bounds_sql
+    from georaster_spark.datagen import XYZ_TILE_SIZE, XYZ_Z, xyz_tile_pixels_sql
+
+    cell = cells.cell_encode_sql("lon", "lat", XYZ_Z)
+    _, xe, ye = cell_zxy_sql("cell")
+    lon0, _lat0, lon1, lat1 = tile_bounds_sql(xe, ye, XYZ_Z)
+    ts = float(XYZ_TILE_SIZE)
+    px = f"CAST(round((lon - {lon0}) / (({lon1} - {lon0}) / {ts!r}), 0) AS INT)"
+    py = f"CAST(round(({lat1} - lat) / (({lat1} - {_lat0}) / {ts!r}), 0) AS INT)"
+    return f"""
+    WITH g AS ({_geo_cte()}),
+    pts AS (SELECT doc_id, lon, lat, {cell} AS cell FROM g),
+    loc AS (SELECT doc_id, cell, {px} AS px, {py} AS py FROM pts),
+    tp AS ({xyz_tile_pixels_sql()})
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, cell,
+           CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+           CAST(r AS BIGINT) AS r,
+           CAST(round(((r * 256.0 + g + b / 255.0) - 32768.0) * 1000000.0, 0) AS BIGINT) AS height_um
+    FROM loc JOIN tp USING (cell, px, py)
+    """
+
+
 # =====================================================================
 # relational coverage (SURVEY.md §2.3)
 # =====================================================================
@@ -1211,6 +1317,9 @@ QUERIES = {
     "tile_assignment": q_tile_assignment,
     "rasterize_grid": q_rasterize_grid,
     "terrarium_decode": q_terrarium_decode,
+    "crop": q_crop,
+    "img2ascii": q_img2ascii,
+    "xyz_lookup": q_xyz_lookup,
     "tpch_q1": q_tpch_q1,
     "revenue_join": q_revenue_join,
     "window_topk": q_window_topk,
@@ -1251,6 +1360,9 @@ ORACLES = {
     "tile_assignment": sql_tile_assignment(),
     "rasterize_grid": sql_rasterize_grid(),
     "terrarium_decode": sql_terrarium_decode(),
+    "crop": sql_crop(),
+    "img2ascii": sql_img2ascii(),
+    "xyz_lookup": sql_xyz_lookup(),
     "tpch_q1": sql_tpch_q1(),
     "revenue_join": sql_revenue_join(),
     "window_topk": sql_window_topk(),

@@ -1,0 +1,133 @@
+"""Reference example-workload parity: crop (examples/crop.rs),
+img2ascii (examples/img2ascii.rs), and the PMTiles world→value tile
+pyramid lookup (src/pmtiles.rs:37-69) with its golden height."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from georaster_spark import cells
+from georaster_spark.datagen import array_to_tiles_df, fixture_world400
+from georaster_spark.functions.decode import terrarium_height
+from georaster_spark.operators import raster as R
+
+
+class TestCrop:
+    def test_crop_rebases_and_preserves_values(self, spark):
+        # 10×8 raster with value = 100*y + x: crop 5x4+3+2 must rebase
+        # to origin (crop.rs:28) and carry the source values
+        px = spark.range(80).select(
+            F.lit("r").alias("raster_id"),
+            F.lit(0).alias("image_idx"),
+            F.lit(0).alias("band"),
+            (F.col("id") % 10).cast("int").alias("x"),
+            (F.col("id") / 10).cast("int").alias("y"),
+            ((F.col("id") / 10).cast("int") * 100 + F.col("id") % 10).cast("double").alias("value"),
+        )
+        out = R.crop(px, 3, 2, 5, 4).collect()
+        assert len(out) == 20
+        for r in out:
+            assert 0 <= r["x"] < 5 and 0 <= r["y"] < 4
+            assert r["value"] == (r["y"] + 2) * 100 + (r["x"] + 3)
+
+    def test_crop_clips_at_image_edge(self, spark):
+        px = spark.range(9).select(
+            F.lit("r").alias("raster_id"), F.lit(0).alias("image_idx"),
+            F.lit(0).alias("band"),
+            (F.col("id") % 3).cast("int").alias("x"),
+            (F.col("id") / 3).cast("int").alias("y"),
+            F.col("id").cast("double").alias("value"),
+        )
+        # window extends past the 3×3 image: only in-image pixels emit
+        assert R.crop(px, 2, 2, 5, 5).count() == 1
+
+
+class TestImg2Ascii:
+    def test_grey_ramp_goldens(self, spark):
+        # grey2ascii (img2ascii.rs:56-62): index = round(9 * lum)
+        df = spark.createDataFrame(
+            [(0.0,), (1.0,), (0.5,), (0.04,)], "lum double"
+        ).select(R.grey_to_ascii_cols(F.col("lum")).alias("ch"))
+        assert [r["ch"] for r in df.collect()] == [" ", "▓", "+", " "]
+
+    def test_rgb_is_inverted_luma(self, spark):
+        # rgb2ascii (img2ascii.rs:64-67): avg = 255 - (r+g+b)/3 —
+        # black pixels render DARK (densest glyph), white blank
+        df = spark.createDataFrame(
+            [(0, 0, 0), (255, 255, 255)], "r int, g int, b int"
+        ).select(R.rgb_to_ascii_cols(F.col("r"), F.col("g"), F.col("b")).alias("ch"))
+        assert [r["ch"] for r in df.collect()] == ["▓", " "]
+
+    def test_world400_lines(self, spark):
+        geom, arr = fixture_world400()
+        tiles = array_to_tiles_df(spark, "world400", geom, arr)
+        rgb = R.assemble_rgb(R.tiles_to_pixels(tiles, geom))
+        chars = rgb.select(
+            "x", "y",
+            R.rgb_to_ascii_cols(F.col("rgba")[0], F.col("rgba")[1], F.col("rgba")[2]).alias("ch"),
+        )
+        lines = {r["y"]: r["line"] for r in R.ascii_lines(chars).collect()}
+        assert len(lines) == 200 and all(len(v) == 400 for v in lines.values())
+        # spot-check one pixel against the scalar formula
+        x, y = 17, 3
+        s = sum((x + 2 * y + 37 * b) % 256 for b in range(3))
+        idx = round((255.0 - s / 3.0) / 255.0 * 9)
+        assert lines[y][x] == R.ASCII_RAMP[idx]
+
+
+class TestXyzLookup:
+    """src/pmtiles.rs:37-69 semantics + the golden height."""
+
+    Z, TS = 12, 512
+    CHASSERAL = (7.059309, 47.133037)  # src/pmtiles.rs:96-103
+    GOLDEN_H = 1598.5294117647063  # src/pmtiles.rs:121-133
+
+    def _tile(self, spark, xt: int, yt: int, rgb=(134, 62, 135)):
+        """One constant-fill 512×512 tile as (cell, px, py, r, g, b)."""
+        cell = cells.zxy_to_cell(self.Z, xt, yt)
+        r, g, b = rgb
+        return spark.range(self.TS * self.TS).select(
+            F.lit(cell).alias("cell"),
+            (F.col("id") % self.TS).cast("int").alias("px"),
+            (F.col("id") / self.TS).cast("int").alias("py"),
+            F.lit(r).cast("int").alias("r"),
+            F.lit(g).cast("int").alias("g"),
+            F.lit(b).cast("int").alias("b"),
+        )
+
+    def test_pmtiles_golden_height(self, spark):
+        lon, lat = self.CHASSERAL
+        pts = spark.createDataFrame([(lon, lat)], "lon double, lat double")
+        out = R.xyz_lookup(pts, self._tile(spark, 2128, 1438), self.Z, self.TS)
+        rows = out.withColumn(
+            "h", terrarium_height(F.col("r"), F.col("g"), F.col("b"))
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["h"] == pytest.approx(self.GOLDEN_H, abs=1e-9)
+
+    def test_pixel_address_matches_scalar_formula(self, spark):
+        lon, lat = self.CHASSERAL
+        pts = spark.createDataFrame([(lon, lat)], "lon double, lat double")
+        row = R.xyz_lookup(pts, self._tile(spark, 2128, 1438), self.Z, self.TS).collect()[0]
+        # scalar mirror of cell_bounds_cols' exact spelling
+        n = float(1 << self.Z)
+        lon0, lon1 = 2128 / n * 360.0 - 180.0, 2129 / n * 360.0 - 180.0
+
+        def lat_of(yy: float) -> float:
+            t = math.pi * (1.0 - 2.0 * yy / n)
+            return math.degrees(math.atan((math.exp(t) - math.exp(-t)) / 2.0))
+
+        lat1, lat0 = lat_of(1438.0), lat_of(1439.0)
+        assert row["px"] == round((lon - lon0) / ((lon1 - lon0) / self.TS))
+        assert row["py"] == round((lat1 - lat) / ((lat1 - lat0) / self.TS))
+        assert (row["px"], row["py"]) == (163, 230)
+
+    def test_missing_tile_yields_no_row(self, spark):
+        # invalid_tiles analog (src/pmtiles.rs:107-119): the archive
+        # has no tile for the probed cell ⇒ empty result, not an error
+        pts = spark.createDataFrame([(0.5, 0.5)], "lon double, lat double")
+        out = R.xyz_lookup(pts, self._tile(spark, 2128, 1438), self.Z, self.TS)
+        assert out.count() == 0
