@@ -28,6 +28,8 @@ HEADLINE = [
     "dtm_overview_max",
     "tile_assignment",
     "rasterize_grid",
+    "crop",
+    "xyz_lookup",
     "tpch_q1",
     "revenue_join",
     "window_topk",

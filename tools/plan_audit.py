@@ -1,0 +1,123 @@
+"""Physical-plan audit: capture ``explain('formatted')`` for the
+scale-critical queries and check the properties that decide whether
+the plan survives a 100x scale-up. Writes BENCH/PLANS.md and exits
+non-zero on violations.
+
+Checked invariants:
+- flagship pip_join: polygon cover index is BROADCAST (the big doc
+  side never shuffles before the ray-cast);
+- flagship + text queries: column pruning reaches the parquet scan
+  (the BINARY ``html`` column is never read unless asked);
+- tpch_q1: the shipdate filter is PUSHED to the parquet scan;
+- revenue_join: both dimension joins are broadcast (no shuffle of
+  orders);
+- asof_join: ZERO join operators (union + window trick: one shuffle);
+- media decode: no Exchange touches the blob column (narrow kernel).
+
+    python tools/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import re
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def n_nodes(plan: str, op: str) -> int:
+    """Count physical nodes by their '(N) Op' detail headers — each
+    operator appears once there (the tree rendering would double-count)."""
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, re.M))
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    from georaster_spark import queries as Q
+    from georaster_spark.operators.multimodal import decode_image_features, with_media
+    from georaster_spark.session import get_spark
+
+    spark = get_spark("plan_audit", cores=4, shuffle_partitions=4)
+
+    checks: list[tuple[str, str, bool]] = []  # (query, invariant, ok)
+    plans: dict[str, str] = {}
+
+    def check(name: str, invariant: str, ok: bool):
+        checks.append((name, invariant, ok))
+
+    # flagship: broadcast cover join + html never scanned
+    flagship = Q.flagship(spark, SF)
+    p = plans["flagship"] = explain_str(flagship)
+    check("flagship", "cover index joined via BroadcastHashJoin", "BroadcastHashJoin" in p)
+    check("flagship", "documents scan prunes the BINARY html column", "html" not in p)
+
+    # tpch_q1: predicate pushdown to the parquet scan
+    p = plans["tpch_q1"] = explain_str(Q.q_tpch_q1(spark, SF))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    check(
+        "tpch_q1",
+        "l_shipdate filter pushed to parquet scan",
+        any("l_shipdate" in l and "[]" not in l for l in pushed),
+    )
+
+    # revenue_join: both dims broadcast — the orders fact never
+    # shuffles for the join
+    p = plans["revenue_join"] = explain_str(Q.q_revenue_join(spark, SF))
+    check(
+        "revenue_join",
+        "2 broadcast joins (customer, nation), no sort-merge join",
+        n_nodes(p, "BroadcastHashJoin") == 2 and "SortMergeJoin" not in p,
+    )
+
+    # asof: union+window trick means no join operator at all
+    p = plans["asof_join"] = explain_str(Q.q_asof_join(spark, SF))
+    check("asof_join", "zero join nodes (union + last-ignorenulls window)", "Join" not in p)
+
+    # media decode over the raw table: blobs flow scan->kernel with no
+    # Exchange in between (narrow stage)
+    d = with_media(spark.read.parquet(f"{SF}/documents.parquet"))
+    p = plans["media_decode"] = explain_str(decode_image_features(d))
+    check("media_decode", "no Exchange before the Arrow kernel (blobs never shuffle)", "Exchange" not in p)
+
+    # window_topk: exactly one shuffle (hash by o_custkey)
+    p = plans["window_topk"] = explain_str(Q.q_window_topk(spark, SF))
+    check("window_topk", "single Exchange for the window partition key", n_nodes(p, "Exchange") == 1)
+    check("window_topk", "rank predicate pushed into WindowGroupLimit", n_nodes(p, "WindowGroupLimit") >= 1)
+
+    # xyz_lookup: the generated tile side has no parquet scan of docs
+    # columns beyond doc_id (pruning through the probe side)
+    p = plans["xyz_lookup"] = explain_str(Q.q_xyz_lookup(spark, SF))
+    check("xyz_lookup", "documents scan prunes text/html for the probe", "text" not in p and "html" not in p)
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/PLANS.md", "w") as f:
+        f.write("# Physical-plan audit (explain('formatted') invariants)\n\n")
+        f.write("Run: `python tools/plan_audit.py` — regenerated per round.\n\n")
+        f.write("| query | invariant | status |\n|---|---|---|\n")
+        for name, inv, ok in checks:
+            f.write(f"| {name} | {inv} | {'PASS' if ok else 'FAIL'} |\n")
+        f.write("\n")
+        for name, plan in plans.items():
+            f.write(f"## {name}\n\n```\n{plan.strip()}\n```\n\n")
+
+    failed = [(n, i) for n, i, ok in checks if not ok]
+    for n, i, ok in checks:
+        print(f"{'PASS' if ok else 'FAIL'} {n}: {i}")
+    if failed:
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
