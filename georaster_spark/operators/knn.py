@@ -89,12 +89,16 @@ def knn_join(
                 .where(F.col("rank") <= k)
                 .select("query_id", doc_key, "dist_m", "rank")
             )
-            got = {
-                r["query_id"]: (r["cnt"], r["kth"])
-                for r in topk.groupBy("query_id")
-                .agg(F.count(F.lit(1)).alias("cnt"), F.max("dist_m").alias("kth"))
-                .collect()
-            }
+            # top-k is at most k rows per query — collect it ONCE and
+            # derive both the convergence check and (when done) the
+            # result from the same rows; returning `topk` directly
+            # would recompute the whole candidate join at the caller's
+            # first action.
+            rows = topk.collect()
+            got: dict[str, tuple[int, float]] = {}
+            for r in rows:
+                cnt, kth = got.get(r["query_id"], (0, 0.0))
+                got[r["query_id"]] = (cnt + 1, max(kth, r["dist_m"]))
             done = all(
                 qid in got
                 and got[qid][0] >= k
@@ -102,7 +106,7 @@ def knn_join(
                 for qid in pending
             )
             if done or rings >= max_rings:
-                return topk
+                return spark.createDataFrame(rows, topk.schema)
             rings *= 2
     finally:
         docs_c.unpersist()

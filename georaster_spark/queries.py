@@ -393,6 +393,69 @@ def sql_xyz_lookup():
     """
 
 
+CAST_INT_DTYPES = ["i16", "i32", "u8"]
+CAST_FLOAT_DTYPES = ["f32", "f64"]
+
+
+def q_value_casts(spark, sf_dir):
+    """Checked-cast + Display coverage (R17/R20, src/lib.rs:53-124):
+    per-dtype sample values through try_cast_i64/u64/f64 and
+    format_value. k=9 is NoData (NULL): never converts, renders
+    '<NoData>'. Float families refuse integer casts (no F32→i64 arm);
+    negative values refuse u64."""
+    from georaster_spark.functions.decode import (
+        format_value,
+        try_cast_f64,
+        try_cast_i64,
+        try_cast_u64,
+    )
+
+    frames = []
+    for dtype in CAST_INT_DTYPES + CAST_FLOAT_DTYPES:
+        base = spark.range(10)
+        v = F.col("id") * 37 - 128
+        if dtype in CAST_FLOAT_DTYPES:
+            v = v.cast("double") + F.lit(0.25)
+        value = F.when(F.col("id") != 9, v)
+        frames.append(
+            base.select(
+                F.lit(dtype).alias("dtype"),
+                F.col("id").alias("k"),
+                try_cast_i64(value, dtype).alias("as_i64"),
+                try_cast_u64(value, dtype).alias("as_u64"),
+                F.round(try_cast_f64(value, dtype) * 1000000.0, 0)
+                .cast("long")
+                .alias("as_f64_e6"),
+                format_value(value).alias("disp"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def sql_value_casts():
+    parts = []
+    for dtype in CAST_INT_DTYPES:
+        parts.append(f"""
+        SELECT '{dtype}' AS dtype, range AS k,
+               CASE WHEN range != 9 THEN range * 37 - 128 END AS as_i64,
+               CASE WHEN range != 9 AND range * 37 - 128 >= 0 THEN range * 37 - 128 END AS as_u64,
+               CAST(CASE WHEN range != 9 THEN round((range * 37 - 128) * 1000000.0, 0) END AS BIGINT) AS as_f64_e6,
+               CASE WHEN range = 9 THEN '<NoData>' ELSE CAST(range * 37 - 128 AS VARCHAR) END AS disp
+        FROM range(10)""")
+    for dtype in CAST_FLOAT_DTYPES:
+        v = "(CAST(range * 37 - 128 AS DOUBLE) + 0.25)"
+        parts.append(f"""
+        SELECT '{dtype}' AS dtype, range AS k,
+               CAST(NULL AS BIGINT) AS as_i64, CAST(NULL AS BIGINT) AS as_u64,
+               CAST(CASE WHEN range != 9 THEN round({v} * 1000000.0, 0) END AS BIGINT) AS as_f64_e6,
+               CASE WHEN range = 9 THEN '<NoData>' ELSE CAST({v} AS VARCHAR) END AS disp
+        FROM range(10)""")
+    return " UNION ALL ".join(parts)
+
+
 # =====================================================================
 # relational coverage (SURVEY.md §2.3)
 # =====================================================================
@@ -581,6 +644,61 @@ def sql_events_window_agg():
            CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1, 2
+    """
+
+
+def q_event_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (median/p90) of value per event
+    type — both engines use the (n-1)*p linear interpolation, so the
+    doubles agree after e6 rounding."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)") * 1000000.0, 0)
+        .cast("long")
+        .alias("p50_e6"),
+        F.round(F.expr("percentile(value, 0.9)") * 1000000.0, 0)
+        .cast("long")
+        .alias("p90_e6"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+def sql_event_percentiles():
+    return """
+    SELECT event_type,
+           CAST(round(quantile_cont(value, 0.5) * 1000000.0, 0) AS BIGINT) AS p50_e6,
+           CAST(round(quantile_cont(value, 0.9) * 1000000.0, 0) AS BIGINT) AS p90_e6,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """
+
+
+def q_pivot_lang(spark, sf_dir):
+    """Pivot: doc counts per source × language as columns (fixed
+    pivot values — at scale an unbounded pivot would need a distinct
+    pass; pinning the column set keeps it one aggregation)."""
+    d = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "it"]
+    out = (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("source")] + [
+        F.coalesce(F.col(l), F.lit(0)).cast("long").alias(f"n_{l}") for l in langs
+    ]
+    return out.select(*cols)
+
+
+def sql_pivot_lang():
+    cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{l}"
+        for l in ["de", "en", "es", "fr", "it"]
+    )
+    return f"""
+    SELECT source,
+           {cols}
+    FROM documents GROUP BY source
     """
 
 
@@ -1320,6 +1438,7 @@ QUERIES = {
     "crop": q_crop,
     "img2ascii": q_img2ascii,
     "xyz_lookup": q_xyz_lookup,
+    "value_casts": q_value_casts,
     "tpch_q1": q_tpch_q1,
     "revenue_join": q_revenue_join,
     "window_topk": q_window_topk,
@@ -1327,6 +1446,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "events_json": q_events_json,
     "events_window_agg": q_events_window_agg,
+    "event_percentiles": q_event_percentiles,
+    "pivot_lang": q_pivot_lang,
     "cube_lang_source": q_cube_lang_source,
     "set_ops": q_set_ops,
     "text_stats": q_text_stats,
@@ -1363,6 +1484,7 @@ ORACLES = {
     "crop": sql_crop(),
     "img2ascii": sql_img2ascii(),
     "xyz_lookup": sql_xyz_lookup(),
+    "value_casts": sql_value_casts(),
     "tpch_q1": sql_tpch_q1(),
     "revenue_join": sql_revenue_join(),
     "window_topk": sql_window_topk(),
@@ -1370,6 +1492,8 @@ ORACLES = {
     "sessionize": sql_sessionize(),
     "events_json": sql_events_json(),
     "events_window_agg": sql_events_window_agg(),
+    "event_percentiles": sql_event_percentiles(),
+    "pivot_lang": sql_pivot_lang(),
     "cube_lang_source": sql_cube_lang_source(),
     "set_ops": sql_set_ops(),
     "text_stats": sql_text_stats(),
