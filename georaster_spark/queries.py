@@ -1390,6 +1390,23 @@ def sql_stream_window_agg():
     """
 
 
+def q_stream_to_table(spark, sf_dir):
+    """Exactly-once streaming sink: watermarked window agg streamed
+    via foreachBatch into the snapshot table layer (idempotent
+    batch-tagged commits); the committed table must equal the batch
+    aggregate."""
+    import tempfile
+
+    from georaster_spark.streaming.events import stream_to_table
+
+    base = tempfile.mkdtemp(prefix="stream_sink_")
+    return stream_to_table(spark, sf_dir, f"{base}/table", f"{base}/ckpt")
+
+
+def sql_stream_to_table():
+    return sql_stream_window_agg()
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState);
     equals the batch window-function sessionizer on static input."""
@@ -1468,6 +1485,7 @@ QUERIES = {
     "media_audio": q_media_audio,
     "stream_window_agg": q_stream_window_agg,
     "stream_sessionize": q_stream_sessionize,
+    "stream_to_table": q_stream_to_table,
 }
 
 ORACLES = {
@@ -1514,6 +1532,7 @@ ORACLES = {
     "media_audio": sql_media_audio(),
     "stream_window_agg": sql_stream_window_agg(),
     "stream_sessionize": sql_stream_sessionize(),
+    "stream_to_table": sql_stream_to_table(),
 }
 
 

@@ -48,13 +48,21 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FileStreamSource requires a *directory*; the testdata table is a
     single file, so it is exposed through a symlink dir under /tmp
     (read-only on the data itself)."""
+    import hashlib
     import os
     import tempfile
 
     src = f"{sf_dir}/events.parquet"
     if os.path.isfile(src):
-        d = tempfile.mkdtemp(prefix="stream_events_")
-        os.symlink(src, os.path.join(d, "events.parquet"))
+        # deterministic per source path: a restart from a checkpoint
+        # must resolve the SAME directory or FileStreamSource's
+        # recorded offsets point at a dead basePath
+        tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+        d = os.path.join(tempfile.gettempdir(), f"stream_events_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
         src = d
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = spark.readStream.schema(schema).parquet(src)
@@ -173,6 +181,72 @@ def _sessionize_fn(
             ],
             columns=["user_id", "session_id", "session_start", "n_events", "event_types"],
         )
+
+
+def _batch_committer(table_path: str):
+    """foreachBatch sink with sink-side idempotence: each microbatch
+    commits ONE snapshot tagged with its batch_id; a replayed batch
+    (failure between sink write and checkpoint commit — the half of
+    exactly-once the engine must supply) finds its id already in the
+    committed chain and does nothing. The snapshot pointer swap is
+    atomic, so readers never see a partial batch."""
+    from georaster_spark.sources import icetable
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            done = {
+                m.get("extra", {}).get("batch_id")
+                for m in icetable.committed_chain(table_path)
+            }
+        except FileNotFoundError:
+            done = set()
+        if batch_id in done:
+            return
+        # complete-mode aggregate: every batch carries the full
+        # result, so the commit is an overwrite snapshot
+        icetable.write_table(
+            batch_df, table_path, mode="overwrite", extra={"batch_id": batch_id}
+        )
+
+    return commit
+
+
+def stream_to_table(
+    spark: SparkSession, sf_dir: str, table_path: str, checkpoint_dir: str
+) -> DataFrame:
+    """Watermarked windowed aggregate streamed into the E10 table
+    layer with exactly-once delivery (checkpoint for source progress
+    + idempotent batch-tagged snapshot commits for the sink).
+
+    Returns the committed table contents; on a static input one
+    availableNow replay lands the batch group-by result exactly."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 1000000.0, 0).cast("long")).alias(
+                "sum_value_e6"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "sum_value_e6", "n")
+    )
+    q = (
+        agg.writeStream.foreachBatch(_batch_committer(table_path))
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - defensive
+        q.stop()
+        raise TimeoutError("stream_to_table did not drain in 300s")
+
+    from georaster_spark.sources import icetable
+
+    return icetable.read_table(spark, table_path)
 
 
 def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,3 +53,41 @@ def test_stream_sessionize_session_invariants(spark):
         starts = [s["session_start"] for s in sess]
         assert starts == sorted(starts)
         assert all(s["n_events"] >= 1 for s in sess)
+
+
+def test_stream_to_table_exactly_once(spark, tmp_path):
+    """foreachBatch sink into the snapshot table layer: result equals
+    the batch aggregate; a restart with the same checkpoint is a
+    no-op; a replayed batch_id never double-commits."""
+    from pyspark.sql import functions as F
+
+    from georaster_spark.sources import icetable
+    from georaster_spark.streaming.events import _batch_committer, stream_to_table
+
+    sf = "/root/testdata/sf0.001"
+    table = str(tmp_path / "win_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    out = stream_to_table(spark, sf, table, ckpt)
+    batch = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 1000000.0, 0).cast("long")).alias("sum_value_e6"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+    n_snaps = len(icetable.snapshots(table))
+    # restart with the same checkpoint: source has no new data -> the
+    # committed chain must not grow
+    out2 = stream_to_table(spark, sf, table, ckpt)
+    assert len(icetable.snapshots(table)) == n_snaps
+    assert out2.count() == out.count()
+
+    # sink-side idempotence: replaying an already-committed batch id
+    # (crash between snapshot commit and checkpoint write) is a no-op
+    committed = icetable.read_manifest(table)["extra"]["batch_id"]
+    _batch_committer(table)(batch.limit(1), committed)
+    assert len(icetable.snapshots(table)) == n_snaps
