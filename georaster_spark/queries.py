@@ -1350,6 +1350,24 @@ def sql_media_frames():
     """
 
 
+def q_media_resize(spark, sf_dir):
+    """Resize stub over the decode pipeline: output geometry fixed at
+    64x64, digest derived deterministically from the source digest
+    (real path swaps one kernel function for PIL resize)."""
+    from georaster_spark.operators.multimodal import resize_image
+
+    return resize_image(_docs_media(spark, sf_dir), 64, 64)
+
+
+def sql_media_resize():
+    m = "md5('IMG0' || text)"
+    return f"""
+    SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+           md5({m} || 'x64x64') AS digest
+    FROM documents
+    """
+
+
 def q_media_audio(spark, sf_dir):
     """Audio metadata from blob length — JVM-side Column algebra, no
     decode round-trip for metadata-only queries."""
@@ -1482,6 +1500,7 @@ QUERIES = {
     "moving_avg": q_moving_avg,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
+    "media_resize": q_media_resize,
     "media_audio": q_media_audio,
     "stream_window_agg": q_stream_window_agg,
     "stream_sessionize": q_stream_sessionize,
@@ -1529,6 +1548,7 @@ ORACLES = {
     "moving_avg": sql_moving_avg(),
     "media_features": sql_media_features(),
     "media_frames": sql_media_frames(),
+    "media_resize": sql_media_resize(),
     "media_audio": sql_media_audio(),
     "stream_window_agg": sql_stream_window_agg(),
     "stream_sessionize": sql_stream_sessionize(),

@@ -163,6 +163,54 @@ def read_table(
     return out
 
 
+def expire_snapshots(path: str, keep_last: int = 1) -> dict[str, int]:
+    """Snapshot GC (Iceberg ``expire_snapshots`` analog): keep the
+    newest ``keep_last`` committed snapshots; drop older manifests,
+    crashed-uncommitted manifests, and every data file no kept
+    manifest references. Append-mode manifests reference files from
+    older snapshot dirs, so GC is file-level, never dir-level.
+
+    The oldest kept manifest's parent link is cut (set to null) so
+    the chain never dangles into an expired manifest. Time travel
+    remains available within the kept window; rollback past it is
+    gone — that's the storage/history trade the operation makes.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    chain = committed_chain(path)
+    keep = chain[-keep_last:]
+    keep_ids = {m["snapshot_id"] for m in keep}
+    keep_files = {os.path.normpath(f["path"]) for m in keep for f in m["files"]}
+
+    # cut the parent link of the oldest kept manifest
+    oldest = keep[0]
+    if oldest.get("parent_snapshot_id") is not None:
+        oldest = dict(oldest, parent_snapshot_id=None)
+        tmp = _manifest_path(path, oldest["snapshot_id"]) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(oldest, f)
+        os.replace(tmp, _manifest_path(path, oldest["snapshot_id"]))
+
+    removed_manifests = 0
+    for m in snapshots(path):
+        if m["snapshot_id"] not in keep_ids:
+            os.remove(_manifest_path(path, m["snapshot_id"]))
+            removed_manifests += 1
+
+    removed_files = 0
+    data_root = os.path.join(path, "data")
+    for root, _dirs, names in os.walk(data_root, topdown=False):
+        for n in names:
+            p = os.path.join(root, n)
+            rel = os.path.normpath(os.path.relpath(p, path))
+            if n.endswith(".parquet") and rel not in keep_files:
+                os.remove(p)
+                removed_files += 1
+        if not os.listdir(root):
+            os.rmdir(root)
+    return {"removed_manifests": removed_manifests, "removed_files": removed_files}
+
+
 def rollback(path: str, snapshot_id: str) -> None:
     """Repoint ``current`` to an older snapshot (data retained)."""
     if not os.path.exists(_manifest_path(path, snapshot_id)):

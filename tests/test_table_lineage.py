@@ -128,3 +128,49 @@ class TestLineageResume:
             "text", F.when(F.col("part") == 2, F.lit("X")).otherwise(F.col("text"))
         )
         assert not lineage.verify_text_identity(docs, corrupted, "part", ["url", "text"])
+
+
+class TestExpireSnapshots:
+    def test_expire_keeps_live_data_and_reclaims_the_rest(self, spark, docs, tmp_path):
+        path = str(tmp_path / "t_gc")
+        half1 = docs.where(F.col("part") < 4).select("url", "part")
+        half2 = docs.where(F.col("part") >= 4).select("url", "part")
+        s1 = icetable.write_table(half1, path)
+        s2 = icetable.write_table(half2, path, mode="append")
+        s3 = icetable.write_table(half1.limit(10), path)  # overwrite
+
+        # crashed attempt: manifest + data written, pointer never swapped
+        import json, os
+        orphan_dir = os.path.join(path, "data", "snap-9999999999999-deadbeef")
+        os.makedirs(orphan_dir)
+        open(os.path.join(orphan_dir, "junk.parquet"), "w").write("x")
+        with open(os.path.join(path, "metadata", "manifest-9999999999999-deadbeef.json"), "w") as f:
+            json.dump({"snapshot_id": "9999999999999-deadbeef", "parent_snapshot_id": s2,
+                       "committed_at": 9e12, "schema": {}, "partition_by": [], "mode": "append",
+                       "files": [{"path": "data/snap-9999999999999-deadbeef/junk.parquet", "bytes": 1}],
+                       "extra": {}}, f)
+
+        stats = icetable.expire_snapshots(path, keep_last=1)
+        assert stats["removed_manifests"] == 3  # s1, s2, crashed orphan
+        assert stats["removed_files"] > 0
+        # live snapshot unchanged and fully readable
+        assert icetable.current_snapshot(path) == s3
+        assert icetable.read_table(spark, path).count() == 10
+        assert icetable.committed_chain(path)[0]["parent_snapshot_id"] is None
+        # expired history is gone: manifests deleted, orphan dir reclaimed
+        with pytest.raises(FileNotFoundError):
+            icetable.read_manifest(path, s1)
+        assert not os.path.exists(orphan_dir)
+
+    def test_expire_keep_two_preserves_time_travel_window(self, spark, docs, tmp_path):
+        path = str(tmp_path / "t_gc2")
+        half1 = docs.where(F.col("part") < 4).select("url", "part")
+        s1 = icetable.write_table(half1, path)
+        s2 = icetable.write_table(docs.select("url", "part"), path)
+        s3 = icetable.write_table(half1.limit(5), path)
+        icetable.expire_snapshots(path, keep_last=2)
+        # s2 (parent of live) still time-travelable; s1 expired
+        assert icetable.read_table(spark, path, snapshot_id=s2).count() == 400
+        assert icetable.read_table(spark, path).count() == 5
+        with pytest.raises(FileNotFoundError):
+            icetable.read_manifest(path, s1)
