@@ -742,6 +742,43 @@ def sql_set_ops():
     """
 
 
+def q_sql_api(spark, sf_dir):
+    """ANSI-SQL surface parity: the engine accepts the ORACLE'S OWN
+    SQL text via spark.sql over registered views — same string, two
+    engines, one result."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_sql_api())
+
+
+def sql_sql_api():
+    return """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """
+
+
+def q_wordcount(spark, sf_dir):
+    """Webtext wordcount via LATERAL VIEW explode (generator/UDTF
+    surface): one shuffle on the word key — the canonical map-side-
+    combined aggregation."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("""
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
+        GROUP BY word
+    """)
+
+
+def sql_wordcount():
+    return """
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """
+
+
 # =====================================================================
 # training-data pipeline: text / dedup / similarity
 # =====================================================================
@@ -1485,6 +1522,8 @@ QUERIES = {
     "pivot_lang": q_pivot_lang,
     "cube_lang_source": q_cube_lang_source,
     "set_ops": q_set_ops,
+    "sql_api": q_sql_api,
+    "wordcount": q_wordcount,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
@@ -1533,6 +1572,8 @@ ORACLES = {
     "pivot_lang": sql_pivot_lang(),
     "cube_lang_source": sql_cube_lang_source(),
     "set_ops": sql_set_ops(),
+    "sql_api": sql_sql_api(),
+    "wordcount": sql_wordcount(),
     "text_stats": sql_text_stats(),
     "lang_id": sql_lang_id(),
     "dedup_exact": sql_dedup_exact(),

@@ -31,6 +31,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "200000000"))
 REPS = int(os.environ.get("SCALING_REPS", "3"))
 RES = 11
+# the host is multi-tenant: neighbor load above this 1-min loadavg
+# measurably depresses the wide level (16 threads can't get 16 clean
+# cores) and fakes sub-linear scaling. Wait (bounded) for a quiet
+# window and RECORD the load seen at each rep so the evidence is
+# interpretable.
+QUIET_LOAD = float(os.environ.get("SCALING_QUIET_LOAD", "2.5"))
+QUIET_WAIT_S = int(os.environ.get("SCALING_QUIET_WAIT_S", "180"))
+
+
+def _wait_for_quiet_host() -> None:
+    t0 = time.time()
+    while os.getloadavg()[0] > QUIET_LOAD and time.time() - t0 < QUIET_WAIT_S:
+        time.sleep(10)
 
 
 def run_level(cores: int) -> dict:
@@ -74,8 +87,11 @@ def run_level(cores: int) -> dict:
     pipeline(1_000_000)  # warmup: JIT, broadcast machinery
 
     walls = []
+    loads = []
     joined_rows = None
     for _ in range(REPS):
+        _wait_for_quiet_host()
+        loads.append(round(os.getloadavg()[0], 1))
         wall, joined_rows = pipeline(N_DOCS)
         walls.append(wall)
     wall = min(walls)  # the host is shared/noisy: min is the capability
@@ -85,6 +101,7 @@ def run_level(cores: int) -> dict:
         "joined_rows": int(joined_rows),
         "wall_sec": round(wall, 3),
         "all_walls": [round(w, 2) for w in walls],
+        "loadavg_at_rep": loads,
         "docs_per_sec": round(N_DOCS / wall, 1),
     }
 
