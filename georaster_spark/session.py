@@ -43,6 +43,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # whole-table MIN/MAX/COUNT answered from parquet footers —
+        # free for metadata-style queries (off by default)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
