@@ -24,6 +24,7 @@ HEADLINE = [
     "cell_hist",
     "pip_join",
     "knn",
+    "knn_table",
     "dtm_window_max",
     "dtm_overview_max",
     "tile_assignment",

@@ -40,6 +40,102 @@ def _disk_boundary_dist_m(cell: int, rings: int) -> float:
     return max(rings * min(cell_w, cell_h) - half_diag, 0.0)
 
 
+def knn_table_join(
+    docs: DataFrame,
+    pois: list[tuple[str, float, float]],
+    k: int,
+    res: int,
+    ring: int = 1,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    doc_key: str = "doc_id",
+) -> DataFrame:
+    """k nearest POIs for EVERY document — the table-scale kNN (E6
+    generalized from per-query to per-row, the shape a 100 TB
+    enrichment actually runs).
+
+    Plan: each POI's cell-disk at resolution ``res`` is expanded
+    driver-side and broadcast; docs equi-join on their own cell (one
+    narrow probe — the big side never shuffles for candidate
+    generation), then a per-doc window takes the top-k. Chebyshev
+    symmetry makes the poi→disk index equivalent to probing the doc's
+    own disk. Docs whose kth candidate is NOT provably inside the
+    searched disk (ring-boundary bound, cf. ``_disk_boundary_dist_m``)
+    — or with < k candidates — fall back to an exact broadcast
+    cross-join against the full POI list; the union is exactly the
+    brute-force result for every doc.
+
+    Returns (<doc_key>, poi_id, dist_m, rank); ties break on
+    (dist, poi_id). One shuffle total (the top-k window on doc key).
+    """
+    from georaster_spark.cells import cell_encode_cols
+
+    spark: SparkSession = docs.sparkSession
+    docs_c = docs.where(F.col(lon_col).isNotNull()).withColumn(
+        "cell", cell_encode_cols(F.col(lon_col), F.col(lat_col), res)
+    )
+
+    idx_rows = [
+        (c, pid, plon, plat)
+        for pid, plon, plat in pois
+        for c in cell_disk_py(cell_encode_py(plon, plat, res), ring)
+    ]
+    idx = spark.createDataFrame(
+        idx_rows, "cell long, poi_id string, p_lon double, p_lat double"
+    )
+
+    dist = haversine_cols(F.col(lon_col), F.col(lat_col), F.col("p_lon"), F.col("p_lat"))
+    w = Window.partitionBy(doc_key).orderBy(F.col("dist_m").asc(), F.col("poi_id").asc())
+    cand = (
+        docs_c.join(F.broadcast(idx), "cell")
+        .withColumn("dist_m", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+    # per-doc disk-boundary bound from the doc's OWN cell geometry —
+    # Column form of _disk_boundary_dist_m
+    from georaster_spark.cells import cell_bounds_cols
+
+    lon0, lat0, lon1, lat1 = cell_bounds_cols(F.col("cell"), res)
+    m_per_deg_lat = math.pi * EARTH_RADIUS_M / 180.0
+    lat_mid = (lat0 + lat1) / 2
+    cell_h = (lat1 - lat0) * F.lit(m_per_deg_lat)
+    cell_w = (lon1 - lon0) * F.lit(m_per_deg_lat) * F.cos(F.radians(lat_mid))
+    half_diag = F.sqrt(cell_w * cell_w + cell_h * cell_h) / 2
+    boundary = F.greatest(
+        F.lit(float(ring)) * F.least(cell_w, cell_h) - half_diag, F.lit(0.0)
+    )
+
+    # stats carry `cell` (functionally dependent on the doc) so the
+    # boundary derives inside the aggregate — no re-join with docs.
+    # The proven set is doc-keyed and potentially huge: it flows
+    # through semi/anti joins on doc_key (the window already
+    # partitioned cand that way), NEVER through a broadcast.
+    stats = (
+        cand.groupBy(doc_key, "cell")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.max("dist_m").alias("_kth"))
+        .withColumn("_proven", (F.col("_cnt") >= k) & (F.col("_kth") <= boundary))
+    )
+    proven_keys = stats.where(F.col("_proven")).select(doc_key)
+
+    fast = cand.join(proven_keys, doc_key, "left_semi")
+    # anti join keeps docs with too-few candidates AND docs with zero
+    # candidates (absent from stats entirely)
+    exact_docs = docs_c.join(proven_keys, doc_key, "left_anti").select(
+        doc_key, lon_col, lat_col
+    )
+    pois_df = spark.createDataFrame(pois, "poi_id string, p_lon double, p_lat double")
+    exact = (
+        exact_docs.crossJoin(F.broadcast(pois_df))
+        .withColumn("dist_m", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    out_cols = [doc_key, "poi_id", "dist_m", "rank"]
+    return fast.select(*out_cols).unionByName(exact.select(*out_cols))
+
+
 def knn_join(
     docs: DataFrame,
     query_points: list[tuple[str, float, float]],

@@ -156,6 +156,37 @@ def sql_knn():
     """
 
 
+POIS = [(f"poi{i}", 7.1 + (i % 8) * 0.25, 45.1 + (i // 8) * 0.45) for i in range(40)]
+
+
+def q_knn_table(spark, sf_dir):
+    """Table-scale kNN (operators/knn.py knn_table_join): every doc's
+    3 nearest POIs via broadcast cell-disk index + per-doc window,
+    exact-fallback for boundary cases — equals brute force."""
+    from georaster_spark.operators.knn import knn_table_join
+
+    d = docs_geocoded(spark, sf_dir)
+    out = knn_table_join(d, POIS, k=3, res=9, ring=1, doc_key="doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "poi_id",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def sql_knn_table():
+    vals = ", ".join(f"('{pid}', {plon!r}, {plat!r})" for pid, plon, plat in POIS)
+    hav = haversine_sql("g.lon", "g.lat", "p.plon", "p.plat")
+    return f"""
+    WITH g AS ({_geo_cte()}), p(poi_id, plon, plat) AS (VALUES {vals})
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, poi_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT g.doc_id, p.poi_id,
+             row_number() OVER (PARTITION BY g.doc_id ORDER BY {hav}, p.poi_id) AS rank
+      FROM g CROSS JOIN p
+    ) WHERE rank <= 3
+    """
+
+
 def q_dtm_window_max(spark, sf_dir):
     px = dtm_pixels_df(spark, partitions=32)
     return px.agg(
@@ -1502,6 +1533,7 @@ QUERIES = {
     "cell_parent_rollup": q_cell_parent_rollup,
     "pip_join": q_pip_join,
     "knn": q_knn,
+    "knn_table": q_knn_table,
     "dtm_window_max": q_dtm_window_max,
     "dtm_overview_max": q_dtm_overview_max,
     "tile_assignment": q_tile_assignment,
@@ -1552,6 +1584,7 @@ ORACLES = {
     "cell_parent_rollup": sql_cell_parent_rollup(),
     "pip_join": sql_pip_join(),
     "knn": sql_knn(),
+    "knn_table": sql_knn_table(),
     "dtm_window_max": sql_dtm_window_max(),
     "dtm_overview_max": sql_dtm_overview_max(),
     "tile_assignment": sql_tile_assignment(),

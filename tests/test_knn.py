@@ -56,3 +56,42 @@ def test_knn_k_larger_than_ring(spark, docs):
     assert len(rows) == 60
     want = brute_force(60)["q1"]
     assert [r.url for r in rows] == want
+
+
+POIS = [(f"poi{i}", 7.1 + (i % 8) * 0.25, 45.1 + (i // 8) * 0.45) for i in range(40)]
+
+
+def test_knn_table_join_matches_brute_force(spark, docs):
+    """Every doc's top-3 POIs must equal the exact cross-join result —
+    covering both the cell-index fast path and the boundary/too-few
+    fallback path."""
+    from georaster_spark.operators.knn import knn_table_join
+
+    docs_k = docs.withColumn("doc_id", F.col("doc_seq"))
+    got = {
+        (r["doc_id"], r["rank"]): r["poi_id"]
+        for r in knn_table_join(docs_k, POIS, k=3, res=9, ring=1, doc_key="doc_id").collect()
+    }
+    # brute force in NumPy
+    i = np.arange(N_DOCS)
+    lon, lat = geocode_np(i)
+    import itertools
+    want = {}
+    for j in i:
+        dists = sorted(
+            (haversine_np(np.array([lon[j]]), np.array([lat[j]]),
+                          np.array([plon]), np.array([plat]))[0], pid)
+            for pid, plon, plat in POIS
+        )
+        for rank, (_, pid) in enumerate(dists[:3], 1):
+            want[(j, rank)] = pid
+    assert got == want
+    assert len(got) == N_DOCS * 3
+
+
+def test_knn_table_join_candidate_path_is_broadcast(spark, docs):
+    from georaster_spark.operators.knn import knn_table_join
+
+    docs_k = docs.withColumn("doc_id", F.col("doc_seq"))
+    plan = knn_table_join(docs_k, POIS, k=3, res=9, doc_key="doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
