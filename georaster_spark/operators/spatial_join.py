@@ -211,6 +211,93 @@ def pip_join(
     return cand.where(F.col("full") | inside(F.col("poly_id"), lon, lat)).drop("full")
 
 
+def _disk1_cells_col(cell: Column, res: int) -> Column:
+    """ARRAY of the 9 cells in a cell's Chebyshev disk(1) as pure
+    Column algebra — x wraps at the antimeridian, y clamps at the
+    poles (out-of-range neighbors dropped via array filter)."""
+    from georaster_spark.cells import _XSHIFT, _ZSHIFT, cell_zxy_cols
+
+    n = 1 << res
+    _, x, y = cell_zxy_cols(cell)
+    entries = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            xx = (x + F.lit(dx) + F.lit(n)) % F.lit(n)
+            yy = y + F.lit(dy)
+            entries.append(
+                F.when(
+                    (yy >= 0) & (yy < n),
+                    F.lit(res).cast("long") * F.lit(_ZSHIFT) + xx * F.lit(_XSHIFT) + yy,
+                )
+            )
+    return F.array_compact(F.array(*entries))
+
+
+def within_distance_pairs(
+    docs: DataFrame,
+    d_meters: float,
+    res: int,
+    key: str = "doc_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    max_abs_lat: float = 85.0,
+) -> DataFrame:
+    """All (a < b) document pairs within ``d_meters`` — the
+    ST_DWithin self-join, rewritten from a quadratic theta-join into
+    a cell EQUI-join (the only shape that scales):
+
+    - left side explodes each doc onto its Chebyshev disk(1) cells
+      (9x narrow amplification, no shuffle to build);
+    - right side keys by its own cell, so each qualifying pair joins
+      on exactly ONE cell (b's) — no post-join dedup needed;
+    - exact haversine ≤ d filters candidates JVM-side.
+
+    Correct iff ``d_meters`` ≤ the minimum cell extent at ``res``
+    within the data's latitude band (guarded below): any pair within
+    d then lies in the same or an adjacent cell. Skewed hot cells
+    fall to AQE's skew-join splitting (the join key is the cell).
+    """
+    import math as _m
+
+    from georaster_spark.cells import cell_encode_cols
+    from georaster_spark.functions.geo import EARTH_RADIUS_M
+
+    # min ground extent at the band edge: lon extent shrinks by
+    # cos(lat); mercator cell height (deg) also shrinks ~cos(lat)
+    deg = 360.0 / (1 << res)
+    m_per_deg = _m.pi * EARTH_RADIUS_M / 180.0
+    min_extent = deg * m_per_deg * _m.cos(_m.radians(max_abs_lat))
+    if d_meters > min_extent:
+        raise ValueError(
+            f"d={d_meters}m exceeds min cell extent {min_extent:.0f}m at res {res}"
+            f" for |lat|<={max_abs_lat} — use a coarser res"
+        )
+
+    keyed = docs.withColumn("cell", cell_encode_cols(F.col(lon), F.col(lat), res))
+    left = keyed.select(
+        F.col(key).alias("key_a"),
+        F.col(lon).alias("lon_a"),
+        F.col(lat).alias("lat_a"),
+        F.explode(_disk1_cells_col(F.col("cell"), res)).alias("cell"),
+    )
+    right = keyed.select(
+        F.col(key).alias("key_b"),
+        F.col(lon).alias("lon_b"),
+        F.col(lat).alias("lat_b"),
+        "cell",
+    )
+    from georaster_spark.functions.geo import haversine_cols as _hav
+
+    dist = _hav(F.col("lon_a"), F.col("lat_a"), F.col("lon_b"), F.col("lat_b"))
+    return (
+        left.join(right, "cell")
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= F.lit(float(d_meters)))
+        .select("key_a", "key_b", "dist_m")
+    )
+
+
 def salted_cell_counts(
     docs_with_cell: DataFrame,
     salt_k: int = 16,

@@ -158,6 +158,35 @@ def sql_knn():
 
 POIS = [(f"poi{i}", 7.1 + (i % 8) * 0.25, 45.1 + (i // 8) * 0.45) for i in range(40)]
 
+DWITHIN_M = 2000.0
+
+
+def q_dwithin_pairs(spark, sf_dir):
+    """ST_DWithin self-join (operators/spatial_join.py
+    within_distance_pairs): all doc pairs within 2 km via the
+    neighbor-cell equi-join rewrite — exercises the hot-cell skew
+    path (20% of docs share one cell)."""
+    from georaster_spark.operators.spatial_join import within_distance_pairs
+
+    d = docs_geocoded(spark, sf_dir)
+    out = within_distance_pairs(d, DWITHIN_M, res=12, max_abs_lat=47.2)
+    return out.select(
+        F.col("key_a").cast("long").alias("doc_a"),
+        F.col("key_b").cast("long").alias("doc_b"),
+        F.round(F.col("dist_m") * 1000.0, 0).cast("long").alias("dist_mm"),
+    )
+
+
+def sql_dwithin_pairs():
+    hav = haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+    WITH g AS ({_geo_cte()})
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(round({hav} * 1000.0, 0) AS BIGINT) AS dist_mm
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE {hav} <= {DWITHIN_M!r}
+    """
+
 
 def q_knn_table(spark, sf_dir):
     """Table-scale kNN (operators/knn.py knn_table_join): every doc's
@@ -1534,6 +1563,7 @@ QUERIES = {
     "pip_join": q_pip_join,
     "knn": q_knn,
     "knn_table": q_knn_table,
+    "dwithin_pairs": q_dwithin_pairs,
     "dtm_window_max": q_dtm_window_max,
     "dtm_overview_max": q_dtm_overview_max,
     "tile_assignment": q_tile_assignment,
@@ -1585,6 +1615,7 @@ ORACLES = {
     "pip_join": sql_pip_join(),
     "knn": sql_knn(),
     "knn_table": sql_knn_table(),
+    "dwithin_pairs": sql_dwithin_pairs(),
     "dtm_window_max": sql_dtm_window_max(),
     "dtm_overview_max": sql_dtm_overview_max(),
     "tile_assignment": sql_tile_assignment(),

@@ -81,3 +81,51 @@ def test_hot_cell_skew_exists(spark, docs):
         reverse=True,
     )
     assert counts[0] >= N_DOCS // 5  # ~20% pinned to the hot box
+
+
+def test_disk1_cells_col_matches_scalar(spark):
+    """Column disk(1) equals cell_disk_py, including the antimeridian
+    wrap (x=0) and pole clamp (y=0)."""
+    from georaster_spark.cells import cell_disk_py, zxy_to_cell
+    from georaster_spark.operators.spatial_join import _disk1_cells_col
+
+    res = 6
+    probes = [zxy_to_cell(res, 0, 0), zxy_to_cell(res, 63, 31), zxy_to_cell(res, 17, 63)]
+    df = spark.createDataFrame([(c,) for c in probes], "cell long").select(
+        "cell", F.sort_array(_disk1_cells_col(F.col("cell"), res)).alias("disk")
+    )
+    for r in df.collect():
+        assert r["disk"] == cell_disk_py(r["cell"], 1)
+
+
+def test_within_distance_pairs_matches_brute_force(spark, docs):
+    import numpy as np
+
+    from georaster_spark.datagen import geocode_np
+    from georaster_spark.functions.geo import haversine_np
+    from georaster_spark.operators.spatial_join import within_distance_pairs
+
+    docs_k = docs.withColumn("doc_id", F.col("doc_seq"))
+    got = {
+        (r["key_a"], r["key_b"]) for r in
+        within_distance_pairs(docs_k, 2000.0, res=12, max_abs_lat=47.2).collect()
+    }
+    n = docs.count()
+    i = np.arange(n)
+    lon, lat = geocode_np(i)
+    want = set()
+    for a in range(n):
+        d = haversine_np(np.full(n - a - 1, lon[a]), np.full(n - a - 1, lat[a]),
+                         lon[a + 1:], lat[a + 1:])
+        for off in np.nonzero(d <= 2000.0)[0]:
+            want.add((a, a + 1 + off))
+    assert got == want and len(got) > 100  # hot cell guarantees pairs
+
+
+def test_within_distance_rejects_too_fine_res(spark, docs):
+    import pytest as _pytest
+
+    from georaster_spark.operators.spatial_join import within_distance_pairs
+
+    with _pytest.raises(ValueError, match="coarser res"):
+        within_distance_pairs(docs, 50_000.0, res=12)
