@@ -325,6 +325,53 @@ def rasterize(
     )
 
 
+def zonal_stats(
+    pixels: DataFrame,
+    zones: list[tuple[str, int, int, int, int]],
+    block: int = 256,
+    values: str = "value",
+) -> DataFrame:
+    """Zonal statistics: per-zone count/min/max/sum/mean over pixel
+    windows — the raster analog of the polygon cover join (E3/E4
+    pattern applied to pixel space).
+
+    ``zones``: [(zone_id, x0, y0, w, h)] pixel-space rectangles,
+    possibly overlapping. Naive plan is a non-equi range join (BNLJ —
+    quadratic, dies at scale); instead each zone is expanded onto the
+    coarse ``block`` grid it touches, the (block, zone) index is
+    broadcast, pixels equi-join on their own block id, and the exact
+    bounds check filters JVM-side. One shuffle: the final per-zone
+    aggregate.
+    """
+    idx_rows = []
+    for zid, x0, y0, w, h in zones:
+        if w <= 0 or h <= 0:
+            continue
+        for by in range(y0 // block, (y0 + h - 1) // block + 1):
+            for bx in range(x0 // block, (x0 + w - 1) // block + 1):
+                idx_rows.append((bx, by, zid, x0, y0, x0 + w - 1, y0 + h - 1))
+    spark = pixels.sparkSession
+    idx = spark.createDataFrame(
+        idx_rows,
+        "bx int, by int, zone_id string, zx0 int, zy0 int, zx1 int, zy1 int",
+    )
+    keyed = pixels.withColumn("bx", (F.col("x") / block).cast("int")).withColumn(
+        "by", (F.col("y") / block).cast("int")
+    )
+    cand = keyed.join(F.broadcast(idx), ["bx", "by"]).where(
+        F.col("x").between(F.col("zx0"), F.col("zx1"))
+        & F.col("y").between(F.col("zy0"), F.col("zy1"))
+    )
+    v = F.col(values)
+    return cand.groupBy("zone_id").agg(
+        F.count(v).alias("n_px"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v).alias("sum_v"),
+        F.avg(v).alias("mean_v"),
+    )
+
+
 def build_overview(
     pixels: DataFrame, factor: int = 2, agg: str = "max", image_idx: int = 1
 ) -> DataFrame:

@@ -289,6 +289,54 @@ def sql_tile_assignment():
     """
 
 
+ZONES = [
+    ("golden", 2500, 3000, 100, 100),
+    ("west", 0, 0, 1000, 5000),
+    ("overlap", 2400, 2900, 400, 400),
+    ("strip", 0, 4000, 5000, 100),
+    ("tiny", 0, 0, 1, 1),
+]
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics over the DTM (operators/raster.py
+    zonal_stats): per-zone count/min/max/sum/mean via the
+    block-cover broadcast join — overlapping zones multiply
+    candidates, never rows of the raster."""
+    px = dtm_pixels_df(spark, partitions=32)
+    out = R.zonal_stats(px, ZONES, block=512)
+    return out.select(
+        "zone_id",
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.round(F.col("sum_v") / F.col("n_px") * 1000000.0, 0)
+        .cast("long")
+        .alias("mean_e6"),
+    )
+
+
+def sql_zonal_stats():
+    vals = ", ".join(
+        f"('{z}', {x0}, {y0}, {x0 + w - 1}, {y0 + h - 1})" for z, x0, y0, w, h in ZONES
+    )
+    return f"""
+    WITH px AS ({dtm_pixels_sql()}),
+    zones(zone_id, zx0, zy0, zx1, zy1) AS (VALUES {vals}),
+    agg AS (
+      SELECT zone_id, CAST(count(value) AS BIGINT) AS n_px,
+             CAST(min(value) AS BIGINT) AS min_v, CAST(max(value) AS BIGINT) AS max_v,
+             CAST(sum(value) AS BIGINT) AS sum_v
+      FROM px JOIN zones ON px.x BETWEEN zx0 AND zx1 AND px.y BETWEEN zy0 AND zy1
+      GROUP BY zone_id
+    )
+    SELECT zone_id, n_px, min_v, max_v, sum_v,
+           CAST(round(sum_v / n_px * 1000000.0, 0) AS BIGINT) AS mean_e6
+    FROM agg
+    """
+
+
 GRID64 = dict(origin_x=7.0, origin_y=47.0, px=2.0 / 64.0)
 
 
@@ -1568,6 +1616,7 @@ QUERIES = {
     "dtm_overview_max": q_dtm_overview_max,
     "tile_assignment": q_tile_assignment,
     "rasterize_grid": q_rasterize_grid,
+    "zonal_stats": q_zonal_stats,
     "terrarium_decode": q_terrarium_decode,
     "crop": q_crop,
     "img2ascii": q_img2ascii,
@@ -1620,6 +1669,7 @@ ORACLES = {
     "dtm_overview_max": sql_dtm_overview_max(),
     "tile_assignment": sql_tile_assignment(),
     "rasterize_grid": sql_rasterize_grid(),
+    "zonal_stats": sql_zonal_stats(),
     "terrarium_decode": sql_terrarium_decode(),
     "crop": sql_crop(),
     "img2ascii": sql_img2ascii(),

@@ -131,3 +131,26 @@ class TestXyzLookup:
         pts = spark.createDataFrame([(0.5, 0.5)], "lon double, lat double")
         out = R.xyz_lookup(pts, self._tile(spark, 2128, 1438), self.Z, self.TS)
         assert out.count() == 0
+
+
+class TestZonalStats:
+    def test_overlap_and_bounds(self, spark):
+        # 8×8 raster, value = y*8+x; two overlapping zones + one
+        # off-raster zone (must be absent from the result)
+        px = spark.range(64).select(
+            F.lit("r").alias("raster_id"), F.lit(0).alias("image_idx"),
+            F.lit(0).alias("band"),
+            (F.col("id") % 8).cast("int").alias("x"),
+            (F.col("id") / 8).cast("int").alias("y"),
+            F.col("id").cast("double").alias("value"),
+        )
+        zones = [("a", 0, 0, 4, 4), ("b", 2, 2, 4, 4), ("off", 100, 100, 5, 5)]
+        got = {r["zone_id"]: r for r in R.zonal_stats(px, zones, block=4).collect()}
+        assert set(got) == {"a", "b"}
+        assert got["a"]["n_px"] == 16 and got["b"]["n_px"] == 16
+        assert got["a"]["min_v"] == 0.0 and got["a"]["max_v"] == 27.0
+        assert got["b"]["min_v"] == 18.0 and got["b"]["max_v"] == 45.0
+        # overlap pixels (2..3, 2..3) count in BOTH zones: sums are
+        # the closed-form window totals, each including the overlap
+        assert got["a"]["sum_v"] == sum(y * 8 + x for y in range(4) for x in range(4))
+        assert got["b"]["sum_v"] == sum(y * 8 + x for y in range(2, 6) for x in range(2, 6))
