@@ -368,6 +368,79 @@ def sql_rasterize_grid():
     """
 
 
+def q_band_math(spark, sf_dir):
+    """Map algebra over a multi-band raster: normalized band
+    difference (NDVI-shaped) per pixel — pure Column arithmetic after
+    the per-band pivot, entirely inside codegen."""
+    from georaster_spark.datagen import array_to_tiles_df, fixture_world400
+
+    geom, arr = fixture_world400()
+    tiles = array_to_tiles_df(spark, "world400", geom, arr)
+    rgb = R.assemble_rgb(R.tiles_to_pixels(tiles, geom))
+    r, g = F.col("rgba")[0].cast("double"), F.col("rgba")[1].cast("double")
+    return rgb.select(
+        "x",
+        "y",
+        F.round((g - r) / (g + r) * 1000000.0, 0).cast("long").alias("ndvi_e6"),
+    )
+
+
+def sql_band_math():
+    from georaster_spark.datagen import world400_pixels_sql
+
+    return f"""
+    WITH px AS ({world400_pixels_sql()})
+    SELECT x, y,
+           CAST(round((CAST(g AS DOUBLE) - CAST(r AS DOUBLE)) / (CAST(g AS DOUBLE) + CAST(r AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS ndvi_e6
+    FROM px
+    """
+
+
+STOPWORDS = ["the", "a", "of", "and", "cell", "doc"]
+
+
+def q_doc_quality(spark, sf_dir):
+    """Webtext quality scoring: punctuation ratio, stopword ratio,
+    length saturation — combined into one deterministic score (the
+    heuristic-filter stage of a training-data pipeline)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), " ")
+    n_tok = F.size(tok).cast("double")
+    stop_ratio = F.size(F.filter(tok, lambda t: t.isin(STOPWORDS))).cast("double") / n_tok
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "[.,;:!?]", ""))
+    ).cast("double")
+    punct_ratio = n_punct / F.greatest(F.length("text"), F.lit(1)).cast("double")
+    len_sat = F.least(n_tok / 100.0, F.lit(1.0))
+    score = stop_ratio * 0.4 + len_sat * 0.4 + punct_ratio * 0.2
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio * 1000000.0, 0).cast("long").alias("stop_ratio_e6"),
+        F.round(punct_ratio * 1000000.0, 0).cast("long").alias("punct_ratio_e6"),
+        F.round(score * 1000000.0, 0).cast("long").alias("quality_e6"),
+    )
+
+
+def sql_doc_quality():
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_ratio = (
+        f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({stops}))) AS DOUBLE)"
+        " / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    )
+    punct_ratio = (
+        "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)"
+        " / CAST(greatest(length(text), 1) AS DOUBLE)"
+    )
+    len_sat = "least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)"
+    return f"""
+    SELECT doc_id,
+           CAST(round({stop_ratio} * 1000000.0, 0) AS BIGINT) AS stop_ratio_e6,
+           CAST(round({punct_ratio} * 1000000.0, 0) AS BIGINT) AS punct_ratio_e6,
+           CAST(round(({stop_ratio} * 0.4 + {len_sat} * 0.4 + {punct_ratio} * 0.2) * 1000000.0, 0) AS BIGINT) AS quality_e6
+    FROM documents
+    """
+
+
 def q_terrarium_decode(spark, sf_dir):
     df = spark.range(0, 4096).select(
         F.col("id").alias("i"),
@@ -1617,6 +1690,8 @@ QUERIES = {
     "tile_assignment": q_tile_assignment,
     "rasterize_grid": q_rasterize_grid,
     "zonal_stats": q_zonal_stats,
+    "band_math": q_band_math,
+    "doc_quality": q_doc_quality,
     "terrarium_decode": q_terrarium_decode,
     "crop": q_crop,
     "img2ascii": q_img2ascii,
@@ -1670,6 +1745,8 @@ ORACLES = {
     "tile_assignment": sql_tile_assignment(),
     "rasterize_grid": sql_rasterize_grid(),
     "zonal_stats": sql_zonal_stats(),
+    "band_math": sql_band_math(),
+    "doc_quality": sql_doc_quality(),
     "terrarium_decode": sql_terrarium_decode(),
     "crop": sql_crop(),
     "img2ascii": sql_img2ascii(),

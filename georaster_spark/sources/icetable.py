@@ -91,13 +91,30 @@ def write_table(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     extra: dict[str, Any] | None = None,
+    cluster_by: list[str] | None = None,
+    n_files: int | None = None,
 ) -> str:
     """Write a new snapshot and atomically commit it. Returns the
     snapshot id. ``mode='append'`` keeps prior snapshot's files live
     in the new manifest (file-level append, like Iceberg's
-    append-files commit)."""
+    append-files commit).
+
+    ``cluster_by`` range-partitions and sorts the data on the given
+    keys before writing (Iceberg ``write.sort-order`` analog): each
+    file then covers a disjoint key range, so parquet footer min/max
+    stats prune point and range reads to ~one file — e.g. cluster on
+    ``morton_key_cols(cell)`` for spatial locality. ``n_files``
+    bounds the file count (defaults to Spark's range-partition
+    choice)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(mode)
+    if cluster_by:
+        cols = [df[c] for c in cluster_by]
+        df = (
+            df.repartitionByRange(n_files, *cols)
+            if n_files
+            else df.repartitionByRange(*cols)
+        ).sortWithinPartitions(*cols)
     snapshot_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
     data_dir = os.path.join(path, "data", f"snap-{snapshot_id}")
     writer = df.write.mode("errorifexists")

@@ -174,3 +174,53 @@ class TestExpireSnapshots:
         assert icetable.read_table(spark, path).count() == 5
         with pytest.raises(FileNotFoundError):
             icetable.read_manifest(path, s1)
+
+
+class TestClusteredLayout:
+    def test_cluster_by_yields_disjoint_file_ranges(self, spark, docs, tmp_path):
+        """cluster_by range-partitions + sorts, so each parquet file
+        covers a disjoint key range — the property that makes footer
+        min/max stats prune point reads to ~one file. Verified from
+        the actual parquet footers."""
+        import pyarrow.parquet as pq
+
+        from georaster_spark.cells import cell_encode_cols, morton_key_cols
+
+        d = docs.withColumn(
+            "cell", cell_encode_cols(F.col("lon"), F.col("lat"), 11)
+        ).withColumn("mkey", morton_key_cols(F.col("cell")))
+
+        clustered = str(tmp_path / "clustered")
+        icetable.write_table(d, clustered, cluster_by=["mkey"], n_files=8)
+
+        def file_ranges(table_path):
+            m = icetable.read_manifest(table_path)
+            ranges = []
+            for f in m["files"]:
+                md = pq.read_metadata(os.path.join(table_path, f["path"]))
+                idx = md.schema.names.index("mkey")
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min); maxs.append(st.max)
+                ranges.append((min(mins), max(maxs)))
+            return sorted(ranges)
+
+        ranges = file_ranges(clustered)
+        assert len(ranges) >= 4
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, "clustered files must cover disjoint key ranges"
+
+        # unclustered baseline: every file spans ~the whole key space
+        baseline = str(tmp_path / "unclustered")
+        icetable.write_table(d.repartition(8), baseline)
+        b_ranges = file_ranges(baseline)
+        overlaps = sum(
+            1 for (lo1, hi1), (lo2, hi2) in zip(b_ranges, b_ranges[1:]) if hi1 > lo2
+        )
+        assert overlaps > 0, "baseline should overlap (else the test proves nothing)"
+
+        # pruning consequence: a point key hits exactly one clustered file
+        probe = ranges[3][0]
+        hits = [1 for lo, hi in ranges if lo <= probe <= hi]
+        assert sum(hits) == 1
