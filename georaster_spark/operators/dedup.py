@@ -127,6 +127,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def positioned_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Word n-gram shingles WITH position: (doc_id, pos, sh). Unlike
+    ``shingles`` this keeps duplicates and order — required by
+    position-sensitive fingerprinting (winnowing)."""
+    tok = F.split(F.col(text_col), " ")
+    n_sh = F.greatest(F.size(tok) - (n - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(1), n_sh), lambda i: F.array_join(F.slice(tok, i, n), " ")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(sh).alias("pos", "sh")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, shingle_n: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash selection
+    scheme of Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+    positioned k-gram, slide a ``window``-wide frame over the hash
+    sequence, keep each window's MINIMUM, dedupe.
+
+    Guarantee: any shared substring of length ≥ window+k-1 words
+    between two documents yields at least one shared fingerprint —
+    the local property that makes winnowed sets comparable across
+    documents without aligning them. Distinct (doc_id, fp) rows out;
+    one shuffle (the per-doc window sort).
+    """
+    hashed = positioned_shingles(docs, n=shingle_n).select(
+        "doc_id", "pos", shingle_hash().alias("h")
+    )
+    from pyspark.sql import Window as W
+
+    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    n_pos = W.partitionBy("doc_id")
+    # full windows only — except a doc shorter than one window, which
+    # contributes its single (shortened) window so no doc is dropped
+    fp = (
+        hashed.withColumn("_n", F.max("pos").over(n_pos))
+        .withColumn("fp", F.min("h").over(frame))
+        .where(
+            (F.col("pos") + window - 1 <= F.col("_n"))
+            | ((F.col("_n") < window - 1) & (F.col("pos") == 0))
+        )
+    )
+    return fp.select("doc_id", "fp").distinct()
+
+
 def simhash64(sh: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: sign of the per-bit sum of ±1 votes
     from each shingle hash bit. Bit j of the base hash h: uses two

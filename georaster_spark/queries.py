@@ -1120,6 +1120,42 @@ def sql_ngram_jaccard():
     """
 
 
+WINNOW_W = 4
+
+
+def q_winnow_fps(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (operators/dedup.py):
+    per-doc window-minimum selection over positioned k-gram hashes —
+    any shared ≥(w+k-1)-word substring shares a fingerprint."""
+    from georaster_spark.operators.dedup import winnow_fingerprints
+
+    out = winnow_fingerprints(_docs_spread(spark, sf_dir), shingle_n=SHINGLE_N, window=WINNOW_W)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "fp")
+
+
+def sql_winnow_fps():
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(len(string_split(text, ' ')) - {SHINGLE_N - 1}, 1))) AS i
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+{SHINGLE_N - 1}], ' ')), 1, 15) AS BIGINT) % {_MH_P} AS h
+      FROM pos
+    ),
+    win AS (
+      SELECT doc_id, pos, max(pos) OVER (PARTITION BY doc_id) AS _n,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM hashed
+    )
+    SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, fp FROM win
+    WHERE pos + {WINNOW_W - 1} <= _n OR (_n < {WINNOW_W - 1} AND pos = 0)
+    """
+
+
 MINHASH_SEEDS = 16
 LSH_BANDS = 4  # 4 rows per band
 
@@ -1715,6 +1751,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "winnow_fps": q_winnow_fps,
     "embedding_topk": q_embedding_topk,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -1770,6 +1807,7 @@ ORACLES = {
     "dedup_exact": sql_dedup_exact(),
     "ngram_jaccard": sql_ngram_jaccard(),
     "minhash_lsh": sql_minhash_lsh(),
+    "winnow_fps": sql_winnow_fps(),
     "embedding_topk": sql_embedding_topk(),
     "simhash_pairs": sql_simhash_pairs(),
     "embedding_neardup": sql_embedding_neardup(),

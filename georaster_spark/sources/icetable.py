@@ -180,6 +180,31 @@ def read_table(
     return out
 
 
+def compact(
+    spark: SparkSession, path: str, target_files: int, cluster_by: list[str] | None = None
+) -> str:
+    """Small-file compaction (Iceberg ``rewrite_data_files`` analog):
+    rewrite the live snapshot into ``target_files`` files — streaming
+    appends and per-partition incremental commits accumulate small
+    files that tank scan throughput at scale. The rewrite commits as
+    a normal snapshot (atomic, time-travel to the pre-compaction
+    state still works until expire_snapshots reclaims it). Rows and
+    schema are unchanged — only layout."""
+    m = read_manifest(path)
+    df = read_table(spark, path)
+    if not cluster_by:
+        df = df.coalesce(target_files)
+    return write_table(
+        df,
+        path,
+        partition_by=m.get("partition_by") or None,
+        mode="overwrite",
+        extra={"compaction": True, "source_snapshot": m["snapshot_id"]},
+        cluster_by=cluster_by,
+        n_files=target_files if cluster_by else None,
+    )
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict[str, int]:
     """Snapshot GC (Iceberg ``expire_snapshots`` analog): keep the
     newest ``keep_last`` committed snapshots; drop older manifests,

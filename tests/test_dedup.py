@@ -54,3 +54,52 @@ def test_simhash_near_pairs(spark, docs):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(docs, max_hamming=10).collect()}
     assert pairs.get((3, 100)) == 0  # identical fingerprint
     assert (5, 101) in pairs
+
+
+def test_winnow_matches_scalar_reference(spark, docs):
+    """Operator output equals a straightforward scalar winnowing
+    implementation, doc by doc."""
+    import hashlib
+
+    from georaster_spark.operators.dedup import MH_P, winnow_fingerprints
+
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(docs, shingle_n=3, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    def scalar_winnow(text: str, n=3, w=4) -> set[int]:
+        toks = text.split(" ")
+        n_sh = max(len(toks) - (n - 1), 1)
+        hs = []
+        for i in range(n_sh):
+            sh = " ".join(toks[i : i + n])
+            hs.append(int(hashlib.md5(sh.encode()).hexdigest()[:15], 16) % MH_P)
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == len(rows)
+    for r in rows:
+        assert got[r["doc_id"]] == scalar_winnow(r["text"]), r["doc_id"]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Docs sharing a ≥(w+n-1)-word run share ≥1 fingerprint; fully
+    disjoint docs share none."""
+    from georaster_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w+n-1
+    d = spark.createDataFrame(
+        [
+            (0, f"unique0 prefix {shared} suffix zero"),
+            (1, f"other1 start {shared} ending one"),
+            (2, "completely different words nothing common here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(d, shingle_n=3, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1]
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])

@@ -224,3 +224,27 @@ class TestClusteredLayout:
         probe = ranges[3][0]
         hits = [1 for lo, hi in ranges if lo <= probe <= hi]
         assert sum(hits) == 1
+
+
+class TestCompaction:
+    def test_compact_shrinks_files_keeps_rows_and_history(self, spark, docs, tmp_path):
+        path = str(tmp_path / "t_compact")
+        d = docs.select("url", "part")
+        # 5 small append snapshots -> many small files
+        pre = None
+        for p in range(5):
+            pre = icetable.write_table(
+                d.where(F.col("part") == p).repartition(4), path,
+                mode="append" if p else "overwrite",
+            )
+        n_rows = icetable.read_table(spark, path).count()
+        n_files_before = len(icetable.read_manifest(path)["files"])
+        assert n_files_before >= 15
+
+        snap = icetable.compact(spark, path, target_files=2)
+        m = icetable.read_manifest(path)
+        assert m["snapshot_id"] == snap and m["extra"]["compaction"] is True
+        assert len(m["files"]) <= 2
+        assert icetable.read_table(spark, path).count() == n_rows
+        # pre-compaction state still time-travelable
+        assert icetable.read_table(spark, path, snapshot_id=pre).count() == n_rows
