@@ -1049,6 +1049,37 @@ def sql_lang_id():
     """
 
 
+def q_html_tags(spark, sf_dir):
+    """Python UDTF surface (functions/text.py HtmlTags): lateral
+    row-expanding parse of the BINARY html column into its tag
+    sequence — registration, lateral join, binary input, exact
+    oracle. html is reconstructed from text exactly as the datagen
+    builds it (testdata ships the text projection only)."""
+    from georaster_spark.functions.text import register
+
+    register(spark)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "html",
+        F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")).cast(
+            "binary"
+        ),
+    )
+    d.createOrReplaceTempView("docs_html")
+    return spark.sql(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, t.tag_idx, t.tag "
+        "FROM docs_html, LATERAL html_tags(html) t"
+    )
+
+
+def sql_html_tags():
+    return r"""
+    WITH h AS (SELECT doc_id, '<html><body>' || text || '</body></html>' AS s FROM documents),
+    t AS (SELECT doc_id, regexp_extract_all(s, '</?([a-z]+)>', 1) AS tags FROM h)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i - 1 AS INT) AS tag_idx, tags[i] AS tag
+    FROM (SELECT doc_id, tags, unnest(generate_series(1, len(tags))) AS i FROM t)
+    """
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: group by content hash, keep lowest doc_id."""
     d = _t(spark, sf_dir, "documents")
@@ -1748,6 +1779,7 @@ QUERIES = {
     "wordcount": q_wordcount,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "html_tags": q_html_tags,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -1804,6 +1836,7 @@ ORACLES = {
     "wordcount": sql_wordcount(),
     "text_stats": sql_text_stats(),
     "lang_id": sql_lang_id(),
+    "html_tags": sql_html_tags(),
     "dedup_exact": sql_dedup_exact(),
     "ngram_jaccard": sql_ngram_jaccard(),
     "minhash_lsh": sql_minhash_lsh(),

@@ -91,3 +91,65 @@ def test_stream_to_table_exactly_once(spark, tmp_path):
     committed = icetable.read_manifest(table)["extra"]["batch_id"]
     _batch_committer(table)(batch.limit(1), committed)
     assert len(icetable.snapshots(table)) == n_snaps
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Three microbatches (maxFilesPerTrigger=1): the watermark
+    advances past window [00:00,01:00), the window is evicted and
+    emitted, and a later batch's late row for it must be DROPPED
+    (append-mode count stays 1) while on-time rows keep finalizing
+    later windows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_file(name, rows, mtime):
+        ts = pa.array([pa.scalar(t, type=pa.timestamp("us")) for t, _ in rows])
+        uid = pa.array([u for _, u in rows], type=pa.int64())
+        p = str(tmp_path / name)
+        pq.write_table(pa.table({"ts": ts, "user_id": uid}), p)
+        os.utime(p, (mtime, mtime))
+
+    import datetime as dt
+
+    base = dt.datetime(2025, 6, 1)
+    h = dt.timedelta(hours=1)
+    m10 = dt.timedelta(minutes=10)
+    # batch 0 advances the watermark to 02:10; batch 1 evicts + emits
+    # the hour-0/1 windows; batch 2 delivers the late 00:20 row AFTER
+    # eviction — the only point where Spark GUARANTEES the drop
+    # (late-but-not-yet-evicted rows may still aggregate)
+    write_file("b1.parquet", [(base + m10, 1), (base + h + m10, 2), (base + 3 * h + m10, 3)], 1000)
+    write_file("b2.parquet", [(base + 5 * h + m10, 4)], 2000)
+    write_file("b3.parquet", [(base + 2 * m10, 9), (base + 6 * h + m10, 5)], 3000)
+
+    from pyspark.sql import functions as F
+
+    schema = "ts timestamp, user_id long"
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["w"]["start"].hour: r["n"] for r in spark.table("late_test").collect()
+    }
+    # hour 0: count stays 1 — the late 00:20 row arrived after its
+    # window was evicted and was dropped; hours 1/3 finalized
+    # normally; hours 5 and 6 never finalize (final watermark 05:10)
+    assert got == {0: 1, 1: 1, 3: 1}
+    assert sum(got.values()) == 3  # the late row is counted nowhere
