@@ -100,6 +100,22 @@ def main() -> int:
     p = plans["xyz_lookup"] = explain_str(Q.q_xyz_lookup(spark, SF))
     check("xyz_lookup", "documents scan prunes text/html for the probe", "text" not in p and "html" not in p)
 
+    # dwithin: the theta-join must have been rewritten away — cell
+    # equi-join only, never a nested-loop
+    p = plans["dwithin_pairs"] = explain_str(Q.q_dwithin_pairs(spark, SF))
+    check("dwithin_pairs", "no BroadcastNestedLoopJoin (cell equi-join rewrite)", "NestedLoop" not in p)
+
+    # zonal stats: zone index broadcast; exactly one aggregate shuffle
+    p = plans["zonal_stats"] = explain_str(Q.q_zonal_stats(spark, SF))
+    check("zonal_stats", "zone index joined via BroadcastHashJoin", n_nodes(p, "BroadcastHashJoin") >= 1)
+    check("zonal_stats", "single Exchange (the per-zone aggregate)", n_nodes(p, "Exchange") == 1)
+
+    # table kNN: candidate generation is a broadcast probe, no BNLJ on
+    # the fast path (the exact fallback's crossJoin is bounded by the
+    # escape set)
+    p = plans["knn_table"] = explain_str(Q.q_knn_table(spark, SF))
+    check("knn_table", "candidate probe is a BroadcastHashJoin", n_nodes(p, "BroadcastHashJoin") >= 1)
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (explain('formatted') invariants)\n\n")
