@@ -141,3 +141,25 @@ def test_asof_join_single_shuffle_no_blowup(asof_frames):
     # the union trick must not produce any join node (no range/BNLJ)
     assert "Join" not in plan
     assert out.count() == left.count()
+
+
+def test_ivf_bucket_as_partition_column_prunes(spark, vectors, tmp_path):
+    """The 100 TB ANN plan writes the IVF bucket as a partition
+    column; probing nprobe buckets must then prune at the file level
+    (PartitionFilters in the scan, only nprobe/ncentroid dirs read)."""
+    from georaster_spark.operators.ann import centroids_row, ivf_assign, normalized
+    from georaster_spark.sources import icetable
+
+    cents = centroids_row(vectors, 8)
+    corpus = ivf_assign(normalized(vectors), cents).select(
+        "vec_id", F.col("vnorm").cast("array<double>").alias("vnorm"), "bucket"
+    )
+    path = str(tmp_path / "ivf_corpus")
+    icetable.write_table(corpus, path, partition_by=["bucket"])
+
+    probe = icetable.read_table(spark, path).where(F.col("bucket").isin(1, 3))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan or "PartitionFilters: [isnotnull(bucket" in plan
+    n_buckets = icetable.read_table(spark, path).select("bucket").distinct().count()
+    assert n_buckets >= 4  # corpus actually spread over buckets
+    assert probe.select("bucket").distinct().count() <= 2
