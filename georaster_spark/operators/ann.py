@@ -102,6 +102,58 @@ def ivf_assign(df: DataFrame, cents: DataFrame, vec_col: str = "vnorm") -> DataF
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame, k: int, iters: int = 3, id_col: str = "vec_id"
+) -> DataFrame:
+    """Spherical k-means refinement of the coarse quantizer, entirely
+    in DataFrame ops (the "swap for k-means|| without touching the
+    plan" upgrade the IVF docstring promises):
+
+    init = first k vectors (deterministic); each iteration assigns
+    every vector to its max-cosine centroid (narrow broadcast pass),
+    then recomputes centroids as the per-dimension mean
+    (posexplode → groupBy(bucket, pos) — one shuffle per iteration,
+    partial-aggregated map-side) renormalized to unit length.
+
+    Returns the same 1-row ``cents`` shape ``centroids_row`` yields,
+    so ``ivf_assign``/``ivf_topk`` consume it unchanged. Clusters
+    that lose all members drop out (k shrinks) — acceptable for
+    blocking/probing; deterministic for fixed input.
+    """
+    cents = centroids_row(vectors, k, id_col)
+    vn = normalized(vectors).select(id_col, "vnorm")
+    for _ in range(iters):
+        assigned = ivf_assign(vn, cents)
+        dims = assigned.select("bucket", F.posexplode("vnorm").alias("pos", "v"))
+        means = dims.groupBy("bucket", "pos").agg(F.avg("v").alias("m"))
+        arrs = means.groupBy("bucket").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda e: e["m"]
+            ).alias("cvec_raw")
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("cvec_raw"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        cents = (
+            arrs.withColumn("cvec", F.transform(F.col("cvec_raw"), lambda x: x / nrm))
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("bucket").cast("int").alias("cid"),
+                            F.col("cvec").alias("cvec"),
+                        )
+                    )
+                ).alias("cents")
+            )
+        )
+    return cents
+
+
 def take_centroids(df: DataFrame, n_centroids: int, id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
     """Deterministic coarse quantizer: the first ``n_centroids``
     vectors by id, L2-normalized. Replace with k-means|| at scale —
@@ -123,15 +175,18 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k: bucket the corpus once, probe ``nprobe`` buckets per
     query. Output (query_id, vec_id, rank, cos_e6).
 
     Plan shape: corpus-side ``ivf_assign`` is narrow; the probe join
     is an equi-join on ``bucket`` with the (queries × nprobe) side
-    broadcast — the corpus never shuffles.
+    broadcast — the corpus never shuffles. Pass ``cents`` (e.g. from
+    ``kmeans_centroids``) to override the naive quantizer.
     """
-    cents = centroids_row(vectors, n_centroids, id_col)
+    if cents is None:
+        cents = centroids_row(vectors, n_centroids, id_col)
     corpus = ivf_assign(normalized(vectors), cents).select(id_col, "vnorm", "bucket")
 
     qn = normalized(queries.withColumnRenamed(query_id_col, "query_id"), "embedding")

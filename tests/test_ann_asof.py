@@ -163,3 +163,46 @@ def test_ivf_bucket_as_partition_column_prunes(spark, vectors, tmp_path):
     n_buckets = icetable.read_table(spark, path).select("bucket").distinct().count()
     assert n_buckets >= 4  # corpus actually spread over buckets
     assert probe.select("bucket").distinct().count() <= 2
+
+
+def test_kmeans_centroids_improve_quantization(spark, vectors):
+    """Spherical k-means must not worsen the quantizer: mean max-
+    cosine to the nearest centroid improves (or holds) vs the naive
+    first-k init, and the result is deterministic."""
+    from georaster_spark.operators.ann import (
+        centroids_row,
+        dot,
+        ivf_assign,
+        kmeans_centroids,
+        normalized,
+    )
+
+    def mean_best_cos(cents):
+        vn = normalized(vectors).select("vec_id", "vnorm")
+        assigned = ivf_assign(vn, cents)
+        # re-join centroid vectors to score the assignment
+        c = assigned.crossJoin(F.broadcast(cents))
+        best = F.array_max(
+            F.transform(F.col("cents"), lambda e: dot(F.col("vnorm"), e["cvec"]))
+        )
+        return c.agg(F.avg(best)).collect()[0][0]
+
+    naive = centroids_row(vectors, 8)
+    km = kmeans_centroids(vectors, 8, iters=3)
+    q_naive, q_km = mean_best_cos(naive), mean_best_cos(km)
+    assert q_km >= q_naive - 1e-9
+    km2 = kmeans_centroids(vectors, 8, iters=3)
+    assert km.collect() == km2.collect()
+
+
+def test_ivf_topk_accepts_kmeans_centroids(spark, vectors):
+    from georaster_spark.operators.ann import ivf_topk, kmeans_centroids
+
+    q = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centroids(vectors, 8, iters=2)
+    out = ivf_topk(vectors, q, k=5, cents=cents)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(r["rank"] in range(1, 6) for r in rows)
