@@ -183,6 +183,94 @@ def _sessionize_fn(
         )
 
 
+_LIVE_STATE = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("open_start", LongType()),  # epoch us; NULL = no open session
+        StructField("open_n", LongType()),
+        StructField("open_types", StringType()),
+    ]
+)
+
+
+def _sessionize_live_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Event-time-timeout sessionizer: emits a session when a LATER
+    event closes it (gap exceeded within data) OR when the watermark
+    passes the session's gap deadline (timeout flush) — the live
+    deployment shape the batch-replay sessionizer can't cover."""
+    (user_id,) = key
+
+    def row(n_sessions, start_us, n, types_csv):
+        return pd.DataFrame(
+            [
+                (
+                    user_id,
+                    n_sessions,
+                    pd.Timestamp(start_us, unit="us"),
+                    n,
+                    ",".join(sorted(set(types_csv.split(",")))) if types_csv else "",
+                )
+            ],
+            columns=["user_id", "session_id", "session_start", "n_events", "event_types"],
+        )
+
+    if state.hasTimedOut:
+        last_ts, n_sessions, open_start, open_n, open_types = state.get
+        out = []
+        if open_start is not None:
+            out.append(row(n_sessions, open_start, open_n, open_types))
+        state.update((last_ts, n_sessions, None, None, None))
+        # state kept (counters) — no further timeout until new data
+        yield from out
+        return
+
+    last_ts, n_sessions, open_start, open_n, open_types = (
+        state.get if state.exists else (None, 0, None, None, None)
+    )
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out = []
+    if chunks:
+        whole = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for ts, etype in zip(whole["ts"], whole["event_type"]):
+            us = int(ts.value // 1000)
+            if last_ts is None or us - last_ts > SESSION_GAP_S * 1_000_000:
+                if open_start is not None:
+                    out.append(row(n_sessions, open_start, open_n, open_types))
+                n_sessions += 1
+                open_start, open_n, open_types = us, 0, ""
+            if open_start is None:  # fresh after a timeout flush
+                n_sessions += 1
+                open_start, open_n, open_types = us, 0, ""
+            open_n += 1
+            open_types = f"{open_types},{etype}" if open_types else etype
+            last_ts = us
+    state.update((last_ts, n_sessions, open_start, open_n, open_types))
+    if last_ts is not None:
+        # flush deadline: gap after the newest event (ms for the API)
+        state.setTimeoutTimestamp(last_ts // 1000 + SESSION_GAP_S * 1000)
+    yield from out
+
+
+def sessionize_live(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Wire the live sessionizer over a STREAMING events DataFrame
+    (ts/event_id/user_id/event_type columns): watermarked, event-time
+    timeouts, append output. Sessions appear as soon as they close —
+    by gap or by watermark — instead of only at availableNow drain."""
+    ev = events.withWatermark("ts", watermark).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_live_fn,
+        outputStructType=_SESS_OUT,
+        stateStructType=_LIVE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def _batch_committer(table_path: str):
     """foreachBatch sink with sink-side idempotence: each microbatch
     commits ONE snapshot tagged with its batch_id; a replayed batch

@@ -153,3 +153,65 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # normally; hours 5 and 6 never finalize (final watermark 05:10)
     assert got == {0: 1, 1: 1, 3: 1}
     assert sum(got.values()) == 3  # the late row is counted nowhere
+
+
+def test_live_sessionizer_flushes_by_gap_and_watermark(spark, tmp_path):
+    """sessionize_live emits a session when a later event closes it
+    (gap) and when the watermark passes its deadline (event-time
+    timeout) — without waiting for stream end. A session whose
+    deadline the watermark never reaches stays open (unemitted)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georaster_spark.streaming.events import sessionize_live
+
+    base = dt.datetime(2025, 6, 1)
+
+    def write_file(name, rows, mtime):
+        p = str(tmp_path / name)
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([t for t, *_ in rows], type=pa.timestamp("us")),
+                    "event_id": pa.array([e for _, e, _, _ in rows], type=pa.int64()),
+                    "user_id": pa.array([u for _, _, u, _ in rows], type=pa.int64()),
+                    "event_type": pa.array([y for *_, y in rows]),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (mtime, mtime))
+
+    mins = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    write_file("b1.parquet", [(mins(0), 1, 1, "view"), (mins(10), 2, 1, "click")], 1000)
+    write_file("b2.parquet", [(mins(120), 3, 1, "purchase")], 2000)
+    write_file("b3.parquet", [(mins(300), 4, 2, "view")], 3000)
+
+    ev = (
+        spark.readStream.schema("ts timestamp, event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    sess = sessionize_live(ev, watermark="30 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("live_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(
+        (r["user_id"], r["session_id"], r["session_start"], r["n_events"], r["event_types"])
+        for r in spark.table("live_sess").collect()
+    )
+    # u1 session 1 closed by the gap to 02:00; u1 session 2 flushed by
+    # the watermark (04:30 > 02:30 deadline); u2's session never
+    # reaches its deadline -> still open, not emitted
+    assert rows == [
+        (1, 1, mins(0), 2, "click,view"),
+        (1, 2, mins(120), 1, "purchase"),
+    ]
