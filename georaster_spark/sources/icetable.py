@@ -180,6 +180,42 @@ def read_table(
     return out
 
 
+def merge_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete: bool = False,
+) -> str:
+    """Copy-on-write MERGE (Iceberg ``MERGE INTO`` analog): rows in
+    ``updates`` replace current rows with matching ``key_cols``
+    (upsert — unmatched updates insert); ``delete=True`` instead
+    removes matching keys. One atomic snapshot commit; time travel to
+    the pre-merge state remains until expiry.
+
+    Plan: current LEFT-ANTI-joins the (small, broadcastable) update
+    key set — the big side shuffles at most once on the key, and
+    Catalyst broadcasts the key set when it fits. Row-level deltas
+    (merge-on-read) are the scale upgrade when update rate is high;
+    the commit contract here is unchanged by that swap.
+    """
+    m = read_manifest(path)
+    current = read_table(spark, path)
+    keys = updates.select(*key_cols).distinct()
+    kept = current.join(keys, key_cols, "left_anti")
+    out = kept if delete else kept.unionByName(updates.select(*current.columns))
+    return write_table(
+        out,
+        path,
+        partition_by=m.get("partition_by") or None,
+        mode="overwrite",
+        extra={
+            "merge": {"keys": key_cols, "delete": delete},
+            "source_snapshot": m["snapshot_id"],
+        },
+    )
+
+
 def compact(
     spark: SparkSession, path: str, target_files: int, cluster_by: list[str] | None = None
 ) -> str:

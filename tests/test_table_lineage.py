@@ -248,3 +248,36 @@ class TestCompaction:
         assert icetable.read_table(spark, path).count() == n_rows
         # pre-compaction state still time-travelable
         assert icetable.read_table(spark, path, snapshot_id=pre).count() == n_rows
+
+
+class TestMerge:
+    def test_upsert_replaces_and_inserts(self, spark, docs, tmp_path):
+        path = str(tmp_path / "t_merge")
+        d = docs.select("url", "part", F.lit("v1").alias("ver"))
+        pre = icetable.write_table(d, path)
+        updates = (
+            docs.where(F.col("part") == 2)
+            .select("url", "part", F.lit("v2").alias("ver"))
+            .unionByName(
+                spark.createDataFrame([("https://new.example/x", 99, "v2")],
+                                      "url string, part long, ver string")
+            )
+        )
+        icetable.merge_table(spark, path, updates, key_cols=["url"])
+        t = icetable.read_table(spark, path)
+        assert t.count() == 401  # 400 originals (50 replaced) + 1 insert
+        assert t.where(F.col("ver") == "v2").count() == 51
+        assert t.where((F.col("part") == 2) & (F.col("ver") == "v1")).count() == 0
+        # pre-merge state still time-travelable
+        assert icetable.read_table(spark, path, snapshot_id=pre).where(
+            F.col("ver") == "v2"
+        ).count() == 0
+
+    def test_delete_removes_keys(self, spark, docs, tmp_path):
+        path = str(tmp_path / "t_del")
+        icetable.write_table(docs.select("url", "part"), path)
+        victims = docs.where(F.col("part") < 2).select("url")
+        icetable.merge_table(spark, path, victims, key_cols=["url"], delete=True)
+        t = icetable.read_table(spark, path)
+        assert t.count() == 300
+        assert t.where(F.col("part") < 2).count() == 0
