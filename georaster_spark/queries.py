@@ -899,6 +899,24 @@ def sql_cube_lang_source():
     """
 
 
+def q_rollup_lang_source(spark, sf_dir):
+    """ROLLUP variant of the cube: hierarchical (lang, source)
+    subtotals + grand total."""
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def sql_rollup_lang_source():
+    return """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """
+
+
 def q_set_ops(spark, sf_dir):
     """exceptAll/intersect coverage: order keys that do/don't appear
     in lineitem."""
@@ -1774,6 +1792,7 @@ QUERIES = {
     "event_percentiles": q_event_percentiles,
     "pivot_lang": q_pivot_lang,
     "cube_lang_source": q_cube_lang_source,
+    "rollup_lang_source": q_rollup_lang_source,
     "set_ops": q_set_ops,
     "sql_api": q_sql_api,
     "wordcount": q_wordcount,
@@ -1831,6 +1850,7 @@ ORACLES = {
     "event_percentiles": sql_event_percentiles(),
     "pivot_lang": sql_pivot_lang(),
     "cube_lang_source": sql_cube_lang_source(),
+    "rollup_lang_source": sql_rollup_lang_source(),
     "set_ops": sql_set_ops(),
     "sql_api": sql_sql_api(),
     "wordcount": sql_wordcount(),
