@@ -78,6 +78,29 @@ def try_cast_f64(value: Column, dtype: str) -> Column:
     return F.lit(None).cast("double")
 
 
+def cast_i64_strict(value: Column, dtype: str) -> Column:
+    """Strict ``i64::try_from``: a float-family source RAISES at
+    execution (the reference's ValueRange error, ``src/lib.rs:93-99``)
+    instead of NULLing. NoData (NULL input) raises too — matching
+    ``i64::try_from(NoData)`` being an error (``src/lib.rs:101``)."""
+    if dtype not in _INT_DTYPES:
+        return F.raise_error(F.lit(f"ValueRange: cannot convert {dtype} to i64"))
+    return F.when(
+        value.isNull(), F.raise_error(F.lit("ValueRange: NoData does not convert"))
+    ).otherwise(value.cast("long"))
+
+
+def cast_u64_strict(value: Column, dtype: str) -> Column:
+    """Strict ``u64::try_from``: negative values and float/NoData
+    sources raise (``src/lib.rs:75-90``)."""
+    if dtype not in _INT_DTYPES:
+        return F.raise_error(F.lit(f"ValueRange: cannot convert {dtype} to u64"))
+    return F.when(
+        value.isNull() | (value < 0),
+        F.raise_error(F.lit("ValueRange: negative/NoData does not convert to u64")),
+    ).otherwise(value.cast("long"))
+
+
 def format_value(value: Column, rgba: Column | None = None) -> Column:
     """``Display for RasterValue`` analog (``src/lib.rs:53-73``):
     scalar → digits, RGB → ``(r,g,b)``, NULL → ``<NoData>``."""

@@ -242,3 +242,27 @@ class TestValueFunctions:
         rows = df.select(format_value(F.col("value")).alias("s")).collect()
         assert rows[0].s == "107.0"
         assert rows[1].s == "<NoData>"
+
+
+class TestStrictCasts:
+    """Strict conversion forms raise like the reference's ValueRange
+    errors (src/lib.rs:75-124; try_ forms NULL instead)."""
+
+    def test_strict_i64_ok_and_raises(self, spark):
+        from pyspark.sql.utils import PythonException
+
+        from georaster_spark.functions.decode import cast_i64_strict, cast_u64_strict
+
+        df = spark.createDataFrame([(5.0,), (-3.0,)], "v double")
+        ok = df.select(cast_i64_strict(F.col("v"), "i32").alias("x")).collect()
+        assert sorted(r["x"] for r in ok) == [-3, 5]
+        # float family -> error at execution
+        with pytest.raises(Exception, match="ValueRange"):
+            df.select(cast_i64_strict(F.col("v"), "f32").alias("x")).collect()
+        # negative -> u64 error
+        with pytest.raises(Exception, match="ValueRange"):
+            df.select(cast_u64_strict(F.col("v"), "i32").alias("x")).collect()
+        # NoData -> error
+        nd = spark.createDataFrame([(None,)], "v double")
+        with pytest.raises(Exception, match="ValueRange"):
+            nd.select(cast_i64_strict(F.col("v"), "i32").alias("x")).collect()
