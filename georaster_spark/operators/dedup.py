@@ -177,6 +177,65 @@ def winnow_fingerprints(
     return fp.select("doc_id", "fp").distinct()
 
 
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iters: int = 30
+) -> DataFrame:
+    """Connected components over near-dup pairs — the clustering step
+    that turns pairwise matches into dedup groups (keep one doc per
+    component). Iterative min-label propagation:
+
+    every node starts labeled with itself; each round a node adopts
+    the minimum label in its neighborhood; stop at fixpoint (checked
+    with one count per round — converges in O(component diameter)
+    rounds, and near-dup components are shallow in practice).
+
+    Returns (node, component) with component = min node id in the
+    component. Each round is one shuffle (the groupBy on node);
+    labels are re-persisted per round and the previous round freed —
+    driver holds only the loop, never the data.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels.withColumnRenamed("node", "v"), "v")
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(neigh, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("node", F.col("label").alias("component"))
+    finally:
+        edges.unpersist()
+
+
 def simhash64(sh: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: sign of the per-bit sum of ±1 votes
     from each shingle hash bit. Bit j of the base hash h: uses two

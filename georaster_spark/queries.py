@@ -1352,6 +1352,40 @@ def sql_simhash_pairs():
     """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Dedup clustering: connected components over the SimHash
+    near-dup pairs (operators/dedup.py connected_components) —
+    component id = min doc id, the canonical keeper."""
+    from georaster_spark.operators.dedup import (
+        connected_components,
+        simhash_near_pairs,
+    )
+
+    pairs = simhash_near_pairs(_docs_spread(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def sql_dedup_components():
+    return f"""
+    WITH RECURSIVE pairs AS ({sql_simhash_pairs()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT CAST(u AS BIGINT) AS node,
+           CAST(least(u, min(v)) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """
+
+
 NEARDUP_COS_E6 = 420000  # synthetic embeddings are near-orthogonal
 # (max pairwise cosine ≈ 0.51); a real near-dup pass would use ≥ 0.95
 
@@ -1805,6 +1839,7 @@ QUERIES = {
     "winnow_fps": q_winnow_fps,
     "embedding_topk": q_embedding_topk,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_components": q_dedup_components,
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
     "asof_join": q_asof_join,
@@ -1863,6 +1898,7 @@ ORACLES = {
     "winnow_fps": sql_winnow_fps(),
     "embedding_topk": sql_embedding_topk(),
     "simhash_pairs": sql_simhash_pairs(),
+    "dedup_components": sql_dedup_components(),
     "embedding_neardup": sql_embedding_neardup(),
     "ann_ivf": sql_ann_ivf(),
     "asof_join": sql_asof_join(),

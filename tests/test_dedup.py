@@ -103,3 +103,13 @@ def test_winnow_shared_substring_guarantee(spark):
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[0] & fps[1]
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_connected_components_known_graph(spark):
+    from georaster_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 3)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
