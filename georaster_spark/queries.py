@@ -49,9 +49,6 @@ def docs_geocoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("lon", lon).withColumn("lat", lat)
 
 
-_GEO_SQL = None
-
-
 def _geo_cte() -> str:
     lon, lat = geocode_sql("doc_id")
     return f"SELECT doc_id, text, lang, source, n_chars, {lon} AS lon, {lat} AS lat FROM documents"
