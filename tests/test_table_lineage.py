@@ -281,3 +281,23 @@ class TestMerge:
         t = icetable.read_table(spark, path)
         assert t.count() == 300
         assert t.where(F.col("part") < 2).count() == 0
+
+
+class TestPartitionedMaintenance:
+    def test_merge_and_compact_preserve_partitioning(self, spark, docs, tmp_path):
+        """merge/compact must carry the table's partition spec through
+        the rewrite — losing it would silently kill partition pruning."""
+        path = str(tmp_path / "t_part_maint")
+        icetable.write_table(docs.select("url", "part"), path, partition_by=["part"])
+        updates = spark.createDataFrame(
+            [("https://new.example/y", 3)], "url string, part long"
+        )
+        icetable.merge_table(spark, path, updates, key_cols=["url"])
+        assert icetable.read_manifest(path)["partition_by"] == ["part"]
+        icetable.compact(spark, path, target_files=2)
+        m = icetable.read_manifest(path)
+        assert m["partition_by"] == ["part"]
+        t = icetable.read_table(spark, path)
+        assert t.count() == 401
+        plan = t.where(F.col("part") == 3)._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(part" in plan
