@@ -1550,6 +1550,29 @@ def sql_distinct_exact():
     """
 
 
+def q_approx_percentile(spark, sf_dir):
+    """Approximate percentile vs exact, gated by an error bound both
+    engines agree on (sketches are engine-specific; the bound is the
+    contract — same pattern as the HLL check in distinct_exact)."""
+    e = _t(spark, sf_dir, "events")
+    exact = F.expr("percentile(value, 0.5)")
+    approx = F.expr("percentile_approx(value, 0.5, 1000)")
+    return e.groupBy("event_type").agg(
+        F.round(exact * 1000000.0, 0).cast("long").alias("p50_exact_e6"),
+        (F.abs(approx - exact) <= F.lit(0.01) * F.greatest(F.abs(exact), F.lit(1.0)))
+        .alias("approx_within_1pct"),
+    )
+
+
+def sql_approx_percentile():
+    return """
+    SELECT event_type,
+           CAST(round(quantile_cont(value, 0.5) * 1000000.0, 0) AS BIGINT) AS p50_exact_e6,
+           TRUE AS approx_within_1pct
+    FROM events GROUP BY event_type
+    """
+
+
 def q_raster_info(spark, sf_dir):
     """The reference's `info` workload (examples/info.rs): inspect the
     raster catalog — one row per registered image level (COG
@@ -1841,6 +1864,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "asof_join": q_asof_join,
     "distinct_exact": q_distinct_exact,
+    "approx_percentile": q_approx_percentile,
     "raster_info": q_raster_info,
     "moving_avg": q_moving_avg,
     "media_features": q_media_features,
@@ -1900,6 +1924,7 @@ ORACLES = {
     "ann_ivf": sql_ann_ivf(),
     "asof_join": sql_asof_join(),
     "distinct_exact": sql_distinct_exact(),
+    "approx_percentile": sql_approx_percentile(),
     "raster_info": sql_raster_info(),
     "moving_avg": sql_moving_avg(),
     "media_features": sql_media_features(),
