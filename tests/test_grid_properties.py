@@ -110,3 +110,30 @@ def test_zero_size_window_documented_divergence(spark):
         (F.col("id") / 4).cast("int").alias("y"),
     )
     assert px.where(g.window_filter(F.col("x"), F.col("y"), 1, 1, 0, 0)).count() == 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    st.floats(min_value=-84.9, max_value=84.9, allow_nan=False),
+    st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    st.floats(min_value=-84.9, max_value=84.9, allow_nan=False),
+)
+def test_haversine_metric_properties(lon1, lat1, lon2, lat2):
+    """Distance kernel sanity: symmetric, zero on identity, bounded by
+    half the Earth's circumference, positive for distinct points."""
+    import math
+
+    import numpy as np
+
+    from georaster_spark.functions.geo import EARTH_RADIUS_M, haversine_np
+
+    def d(a, b, c, e):
+        return float(haversine_np(np.array([a]), np.array([b]), np.array([c]), np.array([e]))[0])
+
+    assert d(lon1, lat1, lon1, lat1) == 0.0
+    ab, ba = d(lon1, lat1, lon2, lat2), d(lon2, lat2, lon1, lat1)
+    assert abs(ab - ba) <= 1e-6
+    assert ab <= math.pi * EARTH_RADIUS_M + 1.0
+    if (lon1, lat1) != (lon2, lat2):
+        assert ab >= 0.0
