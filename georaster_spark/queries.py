@@ -1095,6 +1095,41 @@ def sql_html_tags():
     """
 
 
+SAMPLE_RATES_E6 = {"en": 750000, "de": 500000, "fr": 250000, "es": 100000, "it": 50000}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep rates via
+    a portable md5-derived hash of the doc key — the quota-
+    downsampling stage of a training-data pipeline, reproducible
+    across engines and runs (unlike rand()-based sampleBy)."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % 1000000
+    rate = F.element_at(
+        F.create_map(
+            *[x for k, v in sorted(SAMPLE_RATES_E6.items()) for x in (F.lit(k), F.lit(v))]
+        ),
+        F.col("lang"),
+    )
+    return d.where(h < rate).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+
+
+def sql_stratified_sample():
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES_E6.items())
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+          < CASE lang {cases} END
+    """
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: group by content hash, keep lowest doc_id."""
     d = _t(spark, sf_dir, "documents")
@@ -1853,6 +1888,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "html_tags": q_html_tags,
+    "stratified_sample": q_stratified_sample,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -1913,6 +1949,7 @@ ORACLES = {
     "text_stats": sql_text_stats(),
     "lang_id": sql_lang_id(),
     "html_tags": sql_html_tags(),
+    "stratified_sample": sql_stratified_sample(),
     "dedup_exact": sql_dedup_exact(),
     "ngram_jaccard": sql_ngram_jaccard(),
     "minhash_lsh": sql_minhash_lsh(),
