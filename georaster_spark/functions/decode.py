@@ -45,29 +45,47 @@ def height_from_rgba(rgba: Column, encoding: str = "terrarium") -> Column:
     raise ValueError(encoding)
 
 
-# integer families that may convert to i64/u64 (reference allows only
-# integral sources; float→int is a ValueRange-style failure,
-# src/lib.rs:93-99 has no F32/F64 arm for i64)
-_INT_DTYPES = {"u8", "u16", "u32", "u64", "i8", "i16", "i32", "i64"}
+# per-target source families, matching the reference's TryFrom arms
+# exactly: u64::try_from accepts ONLY the unsigned family
+# (src/lib.rs:75-88 — U8/U16/U32/U64 arms, everything else is
+# ValueRange); i64::try_from accepts every integral family EXCEPT U64
+# (src/lib.rs:89-105 — no U64 arm: a u64 may exceed i64::MAX);
+# f64::try_from accepts every numeric family (src/lib.rs:106-124).
+_U64_SRC_DTYPES = {"u8", "u16", "u32", "u64"}
+_I64_SRC_DTYPES = {"u8", "u16", "u32", "i8", "i16", "i32", "i64"}
+_INT_DTYPES = _U64_SRC_DTYPES | _I64_SRC_DTYPES
 _FLOAT_DTYPES = {"f32", "f64"}
 
 
 def try_cast_i64(value: Column, dtype: str) -> Column:
-    """``i64::try_from(RasterValue)`` analog: integral families cast,
-    float/other families are NULL (the try_ spelling of ValueRange).
-    NULL input (NoData) stays NULL (``src/lib.rs:101``)."""
-    if dtype in _INT_DTYPES:
+    """``i64::try_from(RasterValue)`` analog: integral families except
+    u64 cast; u64/float/other families are NULL (the try_ spelling of
+    ValueRange — src/lib.rs:89-105 has no U64/F32/F64 arm). NULL input
+    (NoData) stays NULL."""
+    if dtype in _I64_SRC_DTYPES:
         return value.cast("long")
     return F.lit(None).cast("long")
 
 
 def try_cast_u64(value: Column, dtype: str) -> Column:
-    """``u64::try_from`` analog: integral and non-negative, else NULL
-    (``src/lib.rs:75-90``). U64 full range noted as DECIMAL territory
-    (SURVEY.md §7 risk 3) — we carry DOUBLE-exact up to 2^53."""
-    if dtype in _INT_DTYPES:
-        return F.when(value >= 0, value.cast("long"))
+    """``u64::try_from`` analog: ONLY unsigned families convert — a
+    signed source is ValueRange regardless of sign (src/lib.rs:75-88
+    has U8/U16/U32/U64 arms only). Unsigned storage is never negative,
+    so no sign check is needed. U64 full range noted as DECIMAL
+    territory (SURVEY.md §7 risk 3) — this LONG form is exact to 2^63;
+    ``try_cast_u64_decimal`` carries the full 2^64 range."""
+    if dtype in _U64_SRC_DTYPES:
+        return value.cast("long")
     return F.lit(None).cast("long")
+
+
+def try_cast_u64_decimal(value: Column, dtype: str) -> Column:
+    """Full-range u64 conversion: DECIMAL(20,0) holds all of
+    0..2^64-1 exactly (src/lib.rs:75-88; SURVEY.md §7 risk 3). Input
+    must already be exact (integral/decimal storage, not double)."""
+    if dtype in _U64_SRC_DTYPES:
+        return value.cast("decimal(20,0)")
+    return F.lit(None).cast("decimal(20,0)")
 
 
 def try_cast_f64(value: Column, dtype: str) -> Column:
@@ -79,11 +97,11 @@ def try_cast_f64(value: Column, dtype: str) -> Column:
 
 
 def cast_i64_strict(value: Column, dtype: str) -> Column:
-    """Strict ``i64::try_from``: a float-family source RAISES at
-    execution (the reference's ValueRange error, ``src/lib.rs:93-99``)
+    """Strict ``i64::try_from``: a u64- or float-family source RAISES
+    at execution (the reference's ValueRange error, src/lib.rs:89-105)
     instead of NULLing. NoData (NULL input) raises too — matching
-    ``i64::try_from(NoData)`` being an error (``src/lib.rs:101``)."""
-    if dtype not in _INT_DTYPES:
+    ``i64::try_from(NoData)`` being an error."""
+    if dtype not in _I64_SRC_DTYPES:
         return F.raise_error(F.lit(f"ValueRange: cannot convert {dtype} to i64"))
     return F.when(
         value.isNull(), F.raise_error(F.lit("ValueRange: NoData does not convert"))
@@ -91,13 +109,13 @@ def cast_i64_strict(value: Column, dtype: str) -> Column:
 
 
 def cast_u64_strict(value: Column, dtype: str) -> Column:
-    """Strict ``u64::try_from``: negative values and float/NoData
-    sources raise (``src/lib.rs:75-90``)."""
-    if dtype not in _INT_DTYPES:
+    """Strict ``u64::try_from``: any signed or float source raises
+    (src/lib.rs:75-88 — only unsigned arms exist), as does NoData."""
+    if dtype not in _U64_SRC_DTYPES:
         return F.raise_error(F.lit(f"ValueRange: cannot convert {dtype} to u64"))
     return F.when(
-        value.isNull() | (value < 0),
-        F.raise_error(F.lit("ValueRange: negative/NoData does not convert to u64")),
+        value.isNull(),
+        F.raise_error(F.lit("ValueRange: NoData does not convert to u64")),
     ).otherwise(value.cast("long"))
 
 

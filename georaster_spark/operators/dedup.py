@@ -207,6 +207,7 @@ def connected_components(
         .persist()
     )
     try:
+        changed = -1
         for _ in range(max_iters):
             neigh = (
                 edges.join(labels.withColumnRenamed("node", "v"), "v")
@@ -231,6 +232,14 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # partially-propagated labels are WRONG (a long chain's
+            # tail still carries a stale label) — fail loudly rather
+            # than silently diverge from the transitive-closure oracle
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds"
+                f" ({changed} labels still changing) — raise max_iters"
+            )
         return labels.select("node", F.col("label").alias("component"))
     finally:
         edges.unpersist()

@@ -263,14 +263,19 @@ def within_distance_pairs(
     from georaster_spark.functions.geo import EARTH_RADIUS_M
 
     # min ground extent at the band edge: lon extent shrinks by
-    # cos(lat); mercator cell height (deg) also shrinks ~cos(lat)
+    # cos(lat); mercator cell height (deg) also shrinks ~cos(lat).
+    # A doc AT max_abs_lat sits in a cell whose far edge reaches
+    # beyond it — mercator dφ = dy*cos(φ) ≤ deg, so max_abs_lat+deg
+    # bounds the far edge — and the cos(lat) height model is only
+    # first-order, so keep a 0.95 margin on top.
     deg = 360.0 / (1 << res)
     m_per_deg = _m.pi * EARTH_RADIUS_M / 180.0
-    min_extent = deg * m_per_deg * _m.cos(_m.radians(max_abs_lat))
+    lat_edge = min(89.9, max_abs_lat + deg)
+    min_extent = 0.95 * deg * m_per_deg * _m.cos(_m.radians(lat_edge))
     if d_meters > min_extent:
         raise ValueError(
-            f"d={d_meters}m exceeds min cell extent {min_extent:.0f}m at res {res}"
-            f" for |lat|<={max_abs_lat} — use a coarser res"
+            f"d={d_meters}m exceeds safe min cell extent {min_extent:.0f}m at res"
+            f" {res} for |lat|<={max_abs_lat} — use a coarser res"
         )
 
     keyed = docs.withColumn("cell", cell_encode_cols(F.col(lon), F.col(lat), res))

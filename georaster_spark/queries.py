@@ -571,8 +571,13 @@ def sql_xyz_lookup():
     """
 
 
-CAST_INT_DTYPES = ["i16", "i32", "u8"]
+# dtype panels mirror the reference's per-target TryFrom arms
+# (src/lib.rs:75-124): signed sources never convert to u64 (regardless
+# of sign); u64 never converts to i64; floats convert only to f64.
+CAST_SIGNED_DTYPES = ["i16", "i32"]
+CAST_UNSIGNED_DTYPES = ["u8", "u32", "u64"]
 CAST_FLOAT_DTYPES = ["f32", "f64"]
+CAST_INT_DTYPES = CAST_SIGNED_DTYPES + CAST_UNSIGNED_DTYPES
 
 
 def q_value_casts(spark, sf_dir):
@@ -580,7 +585,8 @@ def q_value_casts(spark, sf_dir):
     per-dtype sample values through try_cast_i64/u64/f64 and
     format_value. k=9 is NoData (NULL): never converts, renders
     '<NoData>'. Float families refuse integer casts (no F32→i64 arm);
-    negative values refuse u64."""
+    signed families refuse u64 (only U8/U16/U32/U64 arms exist);
+    u64 refuses i64 (no U64 arm, it may exceed i64::MAX)."""
     from georaster_spark.functions.decode import (
         format_value,
         try_cast_f64,
@@ -591,7 +597,10 @@ def q_value_casts(spark, sf_dir):
     frames = []
     for dtype in CAST_INT_DTYPES + CAST_FLOAT_DTYPES:
         base = spark.range(10)
-        v = F.col("id") * 37 - 128
+        if dtype in CAST_UNSIGNED_DTYPES:
+            v = F.col("id") * 37  # unsigned storage is never negative
+        else:
+            v = F.col("id") * 37 - 128
         if dtype in CAST_FLOAT_DTYPES:
             v = v.cast("double") + F.lit(0.25)
         value = F.when(F.col("id") != 9, v)
@@ -615,13 +624,26 @@ def q_value_casts(spark, sf_dir):
 
 def sql_value_casts():
     parts = []
-    for dtype in CAST_INT_DTYPES:
+    for dtype in CAST_SIGNED_DTYPES:
         parts.append(f"""
         SELECT '{dtype}' AS dtype, range AS k,
                CASE WHEN range != 9 THEN range * 37 - 128 END AS as_i64,
-               CASE WHEN range != 9 AND range * 37 - 128 >= 0 THEN range * 37 - 128 END AS as_u64,
+               CAST(NULL AS BIGINT) AS as_u64,
                CAST(CASE WHEN range != 9 THEN round((range * 37 - 128) * 1000000.0, 0) END AS BIGINT) AS as_f64_e6,
                CASE WHEN range = 9 THEN '<NoData>' ELSE CAST(range * 37 - 128 AS VARCHAR) END AS disp
+        FROM range(10)""")
+    for dtype in CAST_UNSIGNED_DTYPES:
+        as_i64 = (
+            "CAST(NULL AS BIGINT)"
+            if dtype == "u64"
+            else "CASE WHEN range != 9 THEN range * 37 END"
+        )
+        parts.append(f"""
+        SELECT '{dtype}' AS dtype, range AS k,
+               {as_i64} AS as_i64,
+               CASE WHEN range != 9 THEN range * 37 END AS as_u64,
+               CAST(CASE WHEN range != 9 THEN round((range * 37) * 1000000.0, 0) END AS BIGINT) AS as_f64_e6,
+               CASE WHEN range = 9 THEN '<NoData>' ELSE CAST(range * 37 AS VARCHAR) END AS disp
         FROM range(10)""")
     for dtype in CAST_FLOAT_DTYPES:
         v = "(CAST(range * 37 - 128 AS DOUBLE) + 0.25)"

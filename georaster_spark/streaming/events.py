@@ -61,7 +61,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = os.path.join(tempfile.gettempdir(), f"stream_events_{tag}")
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, "events.parquet")
-        if not os.path.exists(link):
+        # lexists: a dangling symlink must be repaired, not re-created
+        # (os.path.exists follows the link and would report False)
+        if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(src):
+            os.unlink(link)
+        if not os.path.lexists(link):
             os.symlink(src, link)
         src = d
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema

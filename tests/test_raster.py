@@ -221,20 +221,42 @@ class TestValueFunctions:
     def test_try_casts(self, spark):
         """TryFrom semantics (src/lib.rs:75-124, tests :184-196):
         float family → i64/u64 is None; NoData (NULL) never converts;
-        negative → u64 is None."""
+        signed family → u64 is None (u64::try_from has only unsigned
+        arms); u64 → i64 is None (i64::try_from has no U64 arm)."""
         df = spark.createDataFrame(
             [(107.0,), (-3.0,), (None,)], "value double"
         )
         rows = df.select(
             try_cast_i64(F.col("value"), "i32").alias("i_ok"),
             try_cast_i64(F.col("value"), "f32").alias("i_bad"),
-            try_cast_u64(F.col("value"), "i32").alias("u"),
+            try_cast_i64(F.col("value"), "u64").alias("i_u64"),
+            try_cast_u64(F.col("value"), "u32").alias("u_ok"),
+            try_cast_u64(F.col("value"), "i32").alias("u_signed"),
             try_cast_f64(F.col("value"), "f32").alias("f"),
         ).collect()
         assert [r.i_ok for r in rows] == [107, -3, None]
         assert [r.i_bad for r in rows] == [None, None, None]
-        assert [r.u for r in rows] == [107, None, None]
+        assert [r.i_u64 for r in rows] == [None, None, None]
+        assert [r.u_ok for r in rows] == [107, -3, None]  # garbage-in: u32 storage is never negative
+        assert [r.u_signed for r in rows] == [None, None, None]
         assert [r.f for r in rows] == [107.0, -3.0, None]
+
+    def test_u64_decimal_full_range(self, spark):
+        """DECIMAL(20,0) path is exact above 2^63 (SURVEY §7 risk 3)."""
+        from decimal import Decimal
+
+        from georaster_spark.functions.decode import try_cast_u64_decimal
+
+        big = 2**64 - 1
+        df = spark.createDataFrame(
+            [(Decimal(big),), (Decimal(2**53 + 1),)], "value decimal(20,0)"
+        )
+        rows = df.select(
+            try_cast_u64_decimal(F.col("value"), "u64").alias("d"),
+            try_cast_u64_decimal(F.col("value"), "i64").alias("signed_is_null"),
+        ).collect()
+        assert [int(r.d) for r in rows] == [big, 2**53 + 1]
+        assert [r.signed_is_null for r in rows] == [None, None]
 
     def test_format_value(self, spark):
         """Display analog (src/lib.rs:53-73)."""
@@ -259,10 +281,18 @@ class TestStrictCasts:
         # float family -> error at execution
         with pytest.raises(Exception, match="ValueRange"):
             df.select(cast_i64_strict(F.col("v"), "f32").alias("x")).collect()
-        # negative -> u64 error
+        # u64 -> i64 error (no U64 arm in i64::try_from, src/lib.rs:89-105)
+        with pytest.raises(Exception, match="ValueRange"):
+            df.select(cast_i64_strict(F.col("v"), "u64").alias("x")).collect()
+        # signed family -> u64 error (only unsigned arms, src/lib.rs:75-88)
         with pytest.raises(Exception, match="ValueRange"):
             df.select(cast_u64_strict(F.col("v"), "i32").alias("x")).collect()
+        # unsigned -> u64 ok
+        uok = df.select(cast_u64_strict(F.col("v"), "u32").alias("x")).collect()
+        assert sorted(r["x"] for r in uok) == [-3, 5]
         # NoData -> error
         nd = spark.createDataFrame([(None,)], "v double")
         with pytest.raises(Exception, match="ValueRange"):
             nd.select(cast_i64_strict(F.col("v"), "i32").alias("x")).collect()
+        with pytest.raises(Exception, match="ValueRange"):
+            nd.select(cast_u64_strict(F.col("v"), "u32").alias("x")).collect()
