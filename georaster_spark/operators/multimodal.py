@@ -80,14 +80,20 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i, media in zip(pdf[id_col], pdf["media"]):
-                b = bytes(media)
-                w, hgt, luma = _decode_bytes(b)
-                rows.append((i, len(b), w, hgt, luma, hashlib.md5(b).hexdigest()))
+            # the digest itself is per-item (as a real codec would
+            # be), but everything derived from it is pandas-vectorized
+            # — one md5 per blob, no per-row tuple assembly
+            blobs = pdf["media"].map(bytes)
+            digest = blobs.map(lambda b: hashlib.md5(b).hexdigest())
             yield pd.DataFrame(
-                rows,
-                columns=[id_col, "n_bytes", "width", "height", "mean_luma", "digest"],
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_bytes": blobs.str.len().astype("int64"),
+                    "width": digest.str.slice(0, 4).apply(int, base=16) % 1024 + 1,
+                    "height": digest.str.slice(4, 8).apply(int, base=16) % 1024 + 1,
+                    "mean_luma": digest.str.slice(8, 10).apply(int, base=16),
+                    "digest": digest,
+                }
             )
 
     return df.select(id_col, "media").mapInPandas(kernel, schema=schema)

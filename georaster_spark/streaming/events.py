@@ -75,15 +75,34 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+class _capped_shuffle_partitions:
+    """A streaming query pins spark.sql.shuffle.partitions at start
+    and creates one state-store instance per partition — under a
+    200-partition default the state-store setup dominates a small
+    availableNow replay. Cap it around .start() and restore after
+    (the running query keeps its pinned value)."""
+
+    def __init__(self, spark: SparkSession, n: int = 16):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def _run_to_memory(stream: DataFrame, name: str, output_mode: str) -> None:
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _capped_shuffle_partitions(stream.sparkSession):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     if q.isActive:  # pragma: no cover - defensive
         q.stop()
         raise TimeoutError(f"stream {name} did not drain in 300s")
@@ -324,14 +343,15 @@ def stream_to_table(
         )
         .select(F.col("w.start").alias("hour"), "event_type", "sum_value_e6", "n")
     )
-    q = (
-        agg.writeStream.foreachBatch(_batch_committer(table_path))
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _capped_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(_batch_committer(table_path))
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     if q.isActive:  # pragma: no cover - defensive
         q.stop()
         raise TimeoutError("stream_to_table did not drain in 300s")
