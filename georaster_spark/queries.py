@@ -1673,6 +1673,124 @@ def sql_raster_info():
     """
 
 
+# real-file ingestion (R1's actual semantics): parse the reference's
+# own TIFF fixture bytes — header/IFD walk, GeoTIFF tags, Deflate
+# chunks — through the two-stage Spark plan in sources/geotiff.py.
+# small_world_pct excluded: palette rasters are unsupported in the
+# reference too (tests/geotiff.rs:307-308).
+TIFF_DIR = "/root/reference/data/tiff"
+TIFF_INGEST_FILES = [
+    "byte.tif",
+    "f32nan_data.tif",
+    "float32.tif",
+    "float64.tif",
+    "incomplete_strips.tiff",
+    "int16.tif",
+    "int32.tif",
+    "rgbsmall.tif",
+    "sat.tif",
+    "sat_multiband.tif",
+    "small_world.tif",
+    "utm.tif",
+]
+
+# (file, width, height, bands, origin_x_e6, origin_y_e6, px_x_e9,
+#  py_e9, geo_params, n_px, n_nodata, sum_v_e3). Metadata columns are
+# the reference's OWN test assertions (tests/geotiff.rs byte:58-75,
+# rgbsmall:129-143, small_world:225-233, sat:424-436, utm:315-326,
+# f32nan:6-16); the three aggregate columns are pinned from the first
+# verified decode (HALF_UP per-pixel rounding, the engine-wide rule).
+TIFF_INGEST_GOLDEN = [
+    ("byte", 20, 20, 1, 440720000000, 3751320000000, 60000000000, -60000000000, "NAD27 / UTM zone 11N|", 400, 0, 50706000),
+    ("f32nan_data", 128, 128, 1, 0, 0, 1000000000, 1000000000, None, 16384, 8957, 102819350),
+    ("float32", 20, 20, 1, 440720000000, 3751320000000, 60000000000, -60000000000, "NAD27 / UTM zone 11N|", 400, 0, 50706000),
+    ("float64", 20, 20, 1, 440720000000, 3751320000000, 60000000000, -60000000000, "NAD27 / UTM zone 11N|", 400, 0, 50706000),
+    ("incomplete_strips", 1, 9, 1, None, None, None, None, None, 9, 0, 720000),
+    ("int16", 20, 20, 1, 440720000000, 3751320000000, 60000000000, -60000000000, "NAD27 / UTM zone 11N|", 400, 0, 50706000),
+    ("int32", 20, 20, 1, 440720000000, 3751320000000, 60000000000, -60000000000, "NAD27 / UTM zone 11N|", 400, 0, 50706000),
+    ("rgbsmall", 50, 50, 3, -44840320, -22932584, 3432000, -3432000, "WGS 84|", 7500, 0, 460094000),
+    ("sat", 200, 200, 3, 2747994296800, 1205137243500, 1889889558, -1889889531, "CH1903+ / LV95|CH1903+|", 120000, 0, 8096673000),
+    ("sat_multiband", 200, 200, 3, 2747994296800, 1205137243500, 1889889558, -1889889531, "CH1903+ / LV95|CH1903+|", 120000, 0, 8096673000),
+    ("small_world", 400, 200, 3, -180000000, 90000000, 900000000, -900000000, "WGS 84|", 240000, 0, 13229691000),
+    ("utm", 512, 512, 1, 440720000000, 3751320000000, 60000000000, -60000000000, "UTM    11 S E000|", 262144, 0, 27298436000),
+]
+
+
+def q_raster_ingest(spark, sf_dir):
+    """Real TIFF byte ingestion (R1, src/geotiff.rs:44-81,255-289):
+    per-file metadata from the header walk joined to per-file pixel
+    aggregates from the distributed chunk-decode plan. The metadata
+    side is a dozen rows (broadcast); the aggregate side is one
+    partial-aggregated groupBy on raster_id."""
+    from georaster_spark.sources.geotiff import open_tiff, pixels_df
+
+    paths = [f"{TIFF_DIR}/{n}" for n in TIFF_INGEST_FILES]
+    agg = (
+        pixels_df(spark, paths)
+        .groupBy("raster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_px"),
+            F.count(F.when(F.col("value").isNull(), 1)).alias("n_nodata"),
+            F.sum(F.round(F.col("value") * 1000.0, 0).cast("long")).alias("sum_v_e3"),
+        )
+    )
+    meta_rows = []
+    for p in paths:
+        tf = open_tiff(p)
+        img = tf.images[0]
+        o, ps = tf.origin(), tf.pixel_size()
+        rid = p.rsplit("/", 1)[1].rsplit(".", 1)[0]
+        meta_rows.append(
+            (
+                rid, img.width, img.height, img.spp,
+                int(round(o[0] * 1e6)) if o else None,
+                int(round(o[1] * 1e6)) if o else None,
+                int(round(ps[0] * 1e9)) if ps else None,
+                int(round(ps[1] * 1e9)) if ps else None,
+                tf.geo_params,
+            )
+        )
+    meta = spark.createDataFrame(
+        meta_rows,
+        "file string, width long, height long, bands long, origin_x_e6 long, "
+        "origin_y_e6 long, px_x_e9 long, px_y_e9 long, geo_params string",
+    )
+    return (
+        F.broadcast(meta)
+        .join(agg, meta.file == agg.raster_id)
+        .select(
+            "file", "width", "height", "bands", "origin_x_e6", "origin_y_e6",
+            "px_x_e9", "px_y_e9", "geo_params",
+            F.col("n_px").cast("long").alias("n_px"),
+            F.col("n_nodata").cast("long").alias("n_nodata"),
+            "sum_v_e3",
+        )
+    )
+
+
+def sql_raster_ingest():
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    rows = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in TIFF_INGEST_GOLDEN
+    )
+    return f"""
+    SELECT file, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+           CAST(bands AS BIGINT) AS bands, CAST(origin_x_e6 AS BIGINT) AS origin_x_e6,
+           CAST(origin_y_e6 AS BIGINT) AS origin_y_e6, CAST(px_x_e9 AS BIGINT) AS px_x_e9,
+           CAST(px_y_e9 AS BIGINT) AS px_y_e9, geo_params, CAST(n_px AS BIGINT) AS n_px,
+           CAST(n_nodata AS BIGINT) AS n_nodata, CAST(sum_v_e3 AS BIGINT) AS sum_v_e3
+    FROM (VALUES {rows})
+      AS t(file, width, height, bands, origin_x_e6, origin_y_e6, px_x_e9, px_y_e9,
+           geo_params, n_px, n_nodata, sum_v_e3)
+    """
+
+
 def q_moving_avg(spark, sf_dir):
     """Window-frame coverage: 5-event trailing moving average of value
     per user (rowsBetween frame, SURVEY §2.3 'frames for moving
@@ -1889,6 +2007,7 @@ QUERIES = {
     "stream_window_agg": q_stream_window_agg,
     "stream_sessionize": q_stream_sessionize,
     "stream_to_table": q_stream_to_table,
+    "raster_ingest": q_raster_ingest,
     "geocode_cells": q_geocode_cells,
     "cell_hist": q_cell_hist,
     "cell_parent_rollup": q_cell_parent_rollup,
@@ -1930,8 +2049,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
     "asof_join": q_asof_join,
-    "raster_info": q_raster_info,
     # --- tail: r01 driver-green + pytest-covered (rotation slots) ---
+    "raster_info": q_raster_info,
     "pivot_lang": q_pivot_lang,
     "cube_lang_source": q_cube_lang_source,
     "rollup_lang_source": q_rollup_lang_source,
@@ -1951,6 +2070,7 @@ ORACLES = {
     "stream_window_agg": sql_stream_window_agg(),
     "stream_sessionize": sql_stream_sessionize(),
     "stream_to_table": sql_stream_to_table(),
+    "raster_ingest": sql_raster_ingest(),
     "geocode_cells": sql_geocode_cells(),
     "cell_hist": sql_cell_hist(),
     "cell_parent_rollup": sql_cell_parent_rollup(),

@@ -1,0 +1,512 @@
+"""Real GeoTIFF/COG byte ingestion — stdlib-only (struct + zlib).
+
+This is the engine's R1 surface over ACTUAL file bytes, replacing the
+spec-synthesized fixtures for ingestion paths: TIFF header parse, IFD
+walk, GeoTIFF tag extraction and strip/tile chunk decode, mirroring
+the reference reader's semantics (``src/geotiff.rs:44-81`` open/IFD
+walk, ``:103-117`` origin/pixel_size rules, ``:255-289`` chunk
+decode routing) without translating its implementation: here the
+decode step is a NumPy kernel driven from a Spark chunk table.
+
+Spark-first architecture (scales to a 100 TB COG lake):
+
+1. ``chunk_plan_df``: a *paths* DataFrame goes through an Arrow
+   ``mapInPandas`` kernel that reads ONLY header/IFD bytes (seek-based
+   ranged reads — never the payload) and emits one row per
+   strip/tile chunk: ``(path, raster_id, image_idx, chunk, band,
+   x0, y0, w, h, offset, nbytes, ...)``. Millions of files ⇒ still
+   one small row per chunk, fully distributed.
+2. ``pixels_df``: the chunk table is (optionally) repartitioned —
+   chunk rows are the unit of parallelism, so one giant COG spreads
+   over the cluster — and a second kernel does a ranged read of each
+   chunk's payload, inflates (zlib for Deflate/OldDeflate), wraps it
+   in NumPy, clips grid padding, and emits pixel rows. Blobs never
+   shuffle; only decoded values leave the kernel.
+
+Supported (= the reference fixture matrix, ``tests/geotiff.rs``):
+classic TIFF (II/MM, magic 42), strips + tiles, PlanarConfiguration
+chunky|planar, Compression none|Deflate|OldDeflate, sample types
+u8/u16/u32/i8/i16/i32/f32/f64. Palette rasters raise (the reference
+doesn't support them either, ``tests/geotiff.rs:307-308``); BigTIFF
+and predictors are rejected explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# ---------------------------------------------------------------- tags
+
+TAG_WIDTH = 256
+TAG_HEIGHT = 257
+TAG_BITS_PER_SAMPLE = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_STRIP_OFFSETS = 273
+TAG_SAMPLES_PER_PIXEL = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_BYTE_COUNTS = 279
+TAG_PLANAR_CONFIG = 284
+TAG_PREDICTOR = 317
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_BYTE_COUNTS = 325
+TAG_SAMPLE_FORMAT = 339
+TAG_MODEL_PIXEL_SCALE = 33550
+TAG_MODEL_TIEPOINT = 33922
+TAG_MODEL_TRANSFORMATION = 34264
+TAG_GEO_KEY_DIRECTORY = 34735
+TAG_GEO_DOUBLE_PARAMS = 34736
+TAG_GEO_ASCII_PARAMS = 34737
+TAG_GDAL_NODATA = 42113
+
+COMPRESSION_NONE = 1
+COMPRESSION_DEFLATE = 8
+COMPRESSION_OLD_DEFLATE = 32946
+PHOTOMETRIC_PALETTE = 3
+
+# TIFF field types: code -> (byte size, struct letter)
+_FIELD = {
+    1: (1, "B"),  # BYTE
+    2: (1, "s"),  # ASCII
+    3: (2, "H"),  # SHORT
+    4: (4, "I"),  # LONG
+    5: (8, "II"),  # RATIONAL (2x LONG)
+    6: (1, "b"),  # SBYTE
+    7: (1, "B"),  # UNDEFINED
+    8: (2, "h"),  # SSHORT
+    9: (4, "i"),  # SLONG
+    10: (8, "ii"),  # SRATIONAL
+    11: (4, "f"),  # FLOAT
+    12: (8, "d"),  # DOUBLE
+}
+
+
+def _read_at(f, off: int, n: int) -> bytes:
+    """Ranged read — the only file access pattern this module uses,
+    so the same code path works against seekable object-store
+    streams (a COG reader never slurps the file)."""
+    f.seek(off)
+    b = f.read(n)
+    if len(b) != n:
+        raise ValueError(f"short read at {off}: wanted {n}, got {len(b)}")
+    return b
+
+
+def _tag_values(f, bo: str, typ: int, cnt: int, inline: bytes):
+    size, letter = _FIELD.get(typ, (None, None))
+    if size is None:
+        return None
+    nbytes = size * cnt
+    if nbytes <= 4:
+        raw = inline[:nbytes]
+    else:
+        (off,) = struct.unpack(bo + "I", inline)
+        raw = _read_at(f, off, nbytes)
+    if typ == 2:  # ASCII: NUL-terminated string
+        return raw.split(b"\0")[0].decode("ascii", "replace")
+    if typ in (5, 10):  # rationals -> floats
+        flat = struct.unpack(bo + letter * cnt, raw)
+        return [flat[i] / flat[i + 1] if flat[i + 1] else float("nan") for i in range(0, 2 * cnt, 2)]
+    vals = list(struct.unpack(bo + str(cnt) + letter, raw))
+    return vals
+
+
+@dataclass
+class TiffImage:
+    """One IFD — the reference's ``ImageInfo`` (src/geotiff.rs:30-40)
+    plus the chunk layout the decode plan needs."""
+
+    width: int
+    height: int
+    bits: list[int]
+    formats: list[int]  # 1 uint, 2 int, 3 float
+    spp: int
+    planar: bool
+    compression: int
+    photometric: int
+    rows_per_strip: int | None
+    tile_w: int | None
+    tile_h: int | None
+    offsets: list[int]
+    byte_counts: list[int]
+    predictor: int = 1
+    tags: dict = field(default_factory=dict)
+
+    @property
+    def is_tiled(self) -> bool:
+        return self.tile_w is not None
+
+    @property
+    def chunk_w(self) -> int:
+        return self.tile_w if self.is_tiled else self.width
+
+    @property
+    def chunk_h(self) -> int:
+        return self.tile_h if self.is_tiled else min(self.rows_per_strip or self.height, self.height)
+
+    @property
+    def chunks_across(self) -> int:
+        return -(-self.width // self.chunk_w)
+
+    @property
+    def chunks_down(self) -> int:
+        return -(-self.height // self.chunk_h)
+
+    @property
+    def chunks_per_band(self) -> int:
+        return self.chunks_across * self.chunks_down
+
+    @property
+    def n_bands(self) -> int:
+        return self.spp
+
+    def dtype(self, band: int = 0) -> str:
+        """Engine dtype string (matches functions/decode.py families);
+        reference RasterValue variants src/lib.rs:33-51."""
+        fmt = self.formats[band] if band < len(self.formats) else self.formats[0]
+        bits = self.bits[band] if band < len(self.bits) else self.bits[0]
+        kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
+        if kind is None or (kind == "f" and bits not in (32, 64)) or (
+            kind != "f" and bits not in (8, 16, 32, 64)
+        ):
+            raise ValueError(f"unsupported sample: format={fmt} bits={bits}")
+        return f"{kind}{bits}"
+
+    def np_dtype(self, bo: str, band: int = 0) -> np.dtype:
+        d = self.dtype(band)
+        return np.dtype(("<" if bo == "<" else ">") + {"u": "u", "i": "i", "f": "f"}[d[0]] + str(int(d[1:]) // 8))
+
+
+@dataclass
+class TiffFile:
+    """Parsed header state — the reference's ``GeoTiffReader`` fields
+    (src/geotiff.rs:16-27) minus the live decoder."""
+
+    path: str
+    byte_order: str  # '<' | '>'
+    images: list[TiffImage]
+    pixel_scale: list[float] | None
+    tie_points: list[float] | None
+    model_transformation: list[float] | None
+    geo_keys: list[int] | None
+    geo_params: str | None
+    nodata: str | None
+
+    def origin(self) -> list[float] | None:
+        """src/geotiff.rs:103-108: tiepoint (3,4) wins, else the
+        translation column of ModelTransformation."""
+        if self.tie_points is not None and len(self.tie_points) == 6:
+            return [self.tie_points[3], self.tie_points[4]]
+        if self.model_transformation is not None:
+            t = self.model_transformation
+            return [t[3], t[7]]
+        return None
+
+    def pixel_size(self) -> list[float] | None:
+        """src/geotiff.rs:110-116: pixel scale y is negated."""
+        if self.pixel_scale is not None:
+            return [self.pixel_scale[0], -self.pixel_scale[1]]
+        if self.model_transformation is not None:
+            t = self.model_transformation
+            return [t[0], t[5]]
+        return None
+
+
+def open_tiff(path: str) -> TiffFile:
+    """Header + all-IFD walk (R1/R2; src/geotiff.rs:44-91). Seek-based:
+    reads tag tables and out-of-line values only, never chunk data."""
+    with open(path, "rb") as f:
+        head = _read_at(f, 0, 8)
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError(f"{path}: not a TIFF (no II/MM)")
+        (magic,) = struct.unpack(bo + "H", head[2:4])
+        if magic == 43:
+            raise ValueError(f"{path}: BigTIFF not supported")
+        if magic != 42:
+            raise ValueError(f"{path}: bad magic {magic}")
+        (ifd_off,) = struct.unpack(bo + "I", head[4:8])
+
+        images: list[TiffImage] = []
+        file_tags: dict = {}
+        seen = set()
+        while ifd_off and ifd_off not in seen:
+            seen.add(ifd_off)
+            (n,) = struct.unpack(bo + "H", _read_at(f, ifd_off, 2))
+            table = _read_at(f, ifd_off + 2, 12 * n)
+            tags: dict = {}
+            for i in range(n):
+                tag, typ, cnt = struct.unpack(bo + "HHI", table[12 * i : 12 * i + 8])
+                inline = table[12 * i + 8 : 12 * i + 12]
+                vals = _tag_values(f, bo, typ, cnt, inline)
+                if vals is not None:
+                    tags[tag] = vals
+            (ifd_off,) = struct.unpack(bo + "I", _read_at(f, ifd_off + 2 + 12 * n, 4))
+
+            def one(t, default=None):
+                v = tags.get(t, default)
+                return v[0] if isinstance(v, list) else v
+
+            spp = int(one(TAG_SAMPLES_PER_PIXEL, 1))
+            img = TiffImage(
+                width=int(one(TAG_WIDTH)),
+                height=int(one(TAG_HEIGHT)),
+                bits=[int(b) for b in tags.get(TAG_BITS_PER_SAMPLE, [1])],
+                formats=[int(v) for v in tags.get(TAG_SAMPLE_FORMAT, [1] * spp)],
+                spp=spp,
+                planar=int(one(TAG_PLANAR_CONFIG, 1)) == 2,
+                compression=int(one(TAG_COMPRESSION, 1)),
+                photometric=int(one(TAG_PHOTOMETRIC, 1)),
+                rows_per_strip=(int(one(TAG_ROWS_PER_STRIP)) if TAG_ROWS_PER_STRIP in tags else None),
+                tile_w=(int(one(TAG_TILE_WIDTH)) if TAG_TILE_WIDTH in tags else None),
+                tile_h=(int(one(TAG_TILE_LENGTH)) if TAG_TILE_LENGTH in tags else None),
+                offsets=[int(v) for v in tags.get(TAG_TILE_OFFSETS, tags.get(TAG_STRIP_OFFSETS, []))],
+                byte_counts=[int(v) for v in tags.get(TAG_TILE_BYTE_COUNTS, tags.get(TAG_STRIP_BYTE_COUNTS, []))],
+                predictor=int(one(TAG_PREDICTOR, 1)),
+                tags=tags,
+            )
+            images.append(img)
+            # geo tags live on the first IFD that carries them
+            for t in (
+                TAG_MODEL_PIXEL_SCALE,
+                TAG_MODEL_TIEPOINT,
+                TAG_MODEL_TRANSFORMATION,
+                TAG_GEO_KEY_DIRECTORY,
+                TAG_GEO_ASCII_PARAMS,
+                TAG_GDAL_NODATA,
+            ):
+                if t in tags and t not in file_tags:
+                    file_tags[t] = tags[t]
+
+        return TiffFile(
+            path=path,
+            byte_order=bo,
+            images=images,
+            pixel_scale=file_tags.get(TAG_MODEL_PIXEL_SCALE),
+            tie_points=file_tags.get(TAG_MODEL_TIEPOINT),
+            model_transformation=file_tags.get(TAG_MODEL_TRANSFORMATION),
+            geo_keys=[int(v) for v in file_tags.get(TAG_GEO_KEY_DIRECTORY, [])] or None,
+            geo_params=file_tags.get(TAG_GEO_ASCII_PARAMS),
+            nodata=file_tags.get(TAG_GDAL_NODATA),
+        )
+
+
+# ------------------------------------------------------------- decode
+
+
+def _check_supported(img: TiffImage, path: str) -> None:
+    if img.photometric == PHOTOMETRIC_PALETTE:
+        # parity with the reference: palette is unsupported there too
+        # (tests/geotiff.rs:307-308 UnsupportedError)
+        raise ValueError(f"{path}: palette (RGBPalette) rasters not supported")
+    if img.compression not in (COMPRESSION_NONE, COMPRESSION_DEFLATE, COMPRESSION_OLD_DEFLATE):
+        raise ValueError(f"{path}: compression {img.compression} not supported")
+    if img.predictor != 1:
+        raise ValueError(f"{path}: predictor {img.predictor} not supported")
+    if len({(b, f) for b, f in zip(img.bits, img.formats)}) > 1:
+        raise ValueError(f"{path}: heterogeneous band sample types not supported")
+
+
+def chunk_descriptors(tf: TiffFile, image_idx: int = 0) -> list[dict]:
+    """One dict per strip/tile chunk: where it sits in the grid, which
+    band run it belongs to (planar: all chunks of band 0, then band 1,
+    … — TIFF6 planar layout), and its byte range."""
+    img = tf.images[image_idx]
+    _check_supported(img, tf.path)
+    spb = img.chunks_per_band
+    n_runs = img.spp if img.planar else 1
+    out = []
+    for k, (off, cnt) in enumerate(zip(img.offsets, img.byte_counts)):
+        run = k // spb if img.planar else 0
+        if run >= n_runs:  # trailing entries beyond expected grid
+            raise ValueError(f"{tf.path}: chunk {k} beyond {n_runs} band runs x {spb}")
+        g = k % spb
+        row, col = divmod(g, img.chunks_across)
+        x0 = col * img.chunk_w
+        y0 = row * img.chunk_h
+        out.append(
+            {
+                "path": tf.path,
+                "raster_id": os.path.splitext(os.path.basename(tf.path))[0],
+                "image_idx": image_idx,
+                "chunk": k,
+                "band_run": run,
+                "x0": x0,
+                "y0": y0,
+                # stored chunk extent (tiles stay padded on disk)
+                "stored_w": img.chunk_w,
+                "stored_h": (
+                    img.chunk_h if img.is_tiled else min(img.chunk_h, img.height - y0)
+                ),
+                # valid (unpadded) extent
+                "w": min(img.chunk_w, img.width - x0),
+                "h": min(img.chunk_h, img.height - y0),
+                "offset": off,
+                "nbytes": cnt,
+                "compression": img.compression,
+                "dtype": img.dtype(),
+                "spp": 1 if img.planar else img.spp,
+                "byte_order": tf.byte_order,
+            }
+        )
+    return out
+
+
+def decode_chunk_bytes(raw: bytes, desc: dict) -> np.ndarray:
+    """Chunk payload -> float64 array (stored_h, w_valid, spp), NaN =
+    NoData. Pure NumPy — this is the per-chunk kernel body."""
+    if desc["compression"] in (COMPRESSION_DEFLATE, COMPRESSION_OLD_DEFLATE):
+        raw = zlib.decompress(raw)
+    dt = np.dtype(desc["byte_order"] + {"u": "u", "i": "i", "f": "f"}[desc["dtype"][0]] + str(int(desc["dtype"][1:]) // 8))
+    spp = desc["spp"]
+    want = desc["stored_h"] * desc["stored_w"] * spp
+    flat = np.frombuffer(raw, dtype=dt, count=min(want, len(raw) // dt.itemsize))
+    if flat.size < want:
+        # short final strip written without padding (GDAL does this):
+        # the valid region must still be complete
+        need = desc["h"] * desc["stored_w"] * spp
+        if flat.size < need:
+            raise ValueError(f"chunk {desc['chunk']}: {flat.size} values < {need}")
+        arr = flat[:need].reshape(desc["h"], desc["stored_w"], spp)
+    else:
+        arr = flat[:want].reshape(desc["stored_h"], desc["stored_w"], spp)
+    return arr[: desc["h"], : desc["w"], :].astype(np.float64)
+
+
+def read_chunk(desc: dict) -> np.ndarray:
+    with open(desc["path"], "rb") as f:
+        raw = _read_at(f, desc["offset"], desc["nbytes"])
+    return decode_chunk_bytes(raw, desc)
+
+
+# ------------------------------------------- local single-pixel API
+
+
+def read_pixel(tf: TiffFile, x: int, y: int, image_idx: int = 0):
+    """Reference ``read_pixel`` semantics (src/geotiff.rs:119-136):
+    out-of-bounds -> None (NoData); chunky multi-sample -> tuple of
+    samples; single-sample -> scalar (float, NaN preserved)."""
+    img = tf.images[image_idx]
+    if not (0 <= x < img.width and 0 <= y < img.height):
+        return None
+    descs = chunk_descriptors(tf, image_idx)
+    vals = []
+    for run in range(img.spp if img.planar else 1):
+        spb = img.chunks_per_band
+        col = x // img.chunk_w
+        row = y // img.chunk_h
+        d = descs[run * spb + row * img.chunks_across + col]
+        arr = read_chunk(d)
+        px = arr[y - d["y0"], x - d["x0"], :]
+        vals.extend(px.tolist())
+    if len(vals) == 1:
+        return vals[0]
+    return tuple(vals)
+
+
+# ------------------------------------------------------ spark surface
+
+CHUNK_SCHEMA = (
+    "path string, raster_id string, image_idx int, chunk int, band_run int, "
+    "x0 int, y0 int, stored_w int, stored_h int, w int, h int, "
+    "offset long, nbytes long, compression int, dtype string, spp int, "
+    "byte_order string"
+)
+
+PIXELS_SCHEMA = "raster_id string, image_idx int, band int, x int, y int, value double"
+
+
+def chunk_plan_df(spark, paths: list[str], image_idx: int = 0):
+    """Stage 1: paths -> chunk table. Header parse happens in an Arrow
+    kernel (executor-side ranged reads); the driver only ships path
+    strings, so a million-file catalog stays distributed."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    pdf_schema = CHUNK_SCHEMA
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                tf = open_tiff(p)
+                rows.extend(chunk_descriptors(tf, image_idx))
+            yield pd.DataFrame(
+                rows,
+                columns=[c.split()[0] for c in pdf_schema.split(", ")],
+            )
+
+    paths_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        max(1, min(len(paths), 32))
+    )
+    return paths_df.mapInPandas(kernel, schema=pdf_schema)
+
+
+def pixels_df(spark, paths: list[str], image_idx: int = 0, chunk_partitions: int | None = None):
+    """Stage 2: chunk table -> pixel rows. Each chunk decodes
+    independently (ranged payload read + zlib + NumPy); repartitioning
+    the CHUNK rows — tiny descriptors, not blobs — is how one big COG
+    spreads over the cluster."""
+    chunks = chunk_plan_df(spark, paths, image_idx)
+    if chunk_partitions:
+        chunks = chunks.repartition(chunk_partitions)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                d = r._asdict()
+                arr = read_chunk(d)
+                h, w, spp = arr.shape
+                yy, xx = np.mgrid[0:h, 0:w]
+                for s in range(spp):
+                    band = d["band_run"] if d["spp"] == 1 else s
+                    vals = arr[:, :, s].ravel()
+                    yield pd.DataFrame(
+                        {
+                            "raster_id": d["raster_id"],
+                            "image_idx": d["image_idx"],
+                            "band": band,
+                            "x": (xx.ravel() + d["x0"]).astype("int32"),
+                            "y": (yy.ravel() + d["y0"]).astype("int32"),
+                            # Float64 (masked) so NaN lands as NULL —
+                            # the engine's NoData spelling
+                            "value": pd.Series(vals).astype("Float64"),
+                        }
+                    )
+
+    return chunks.mapInPandas(kernel, schema=PIXELS_SCHEMA)
+
+
+def geometry_of(tf: TiffFile, image_idx: int = 0):
+    """RasterGeometry from real header bytes — feeds raster_catalog
+    (replacing spec-synthesized entries for ingested files)."""
+    from georaster_spark.grid import RasterGeometry
+
+    img = tf.images[image_idx]
+    o = tf.origin() or [0.0, 0.0]
+    ps = tf.pixel_size() or [1.0, 1.0]
+    return RasterGeometry(
+        width=img.width,
+        height=img.height,
+        tile_w=img.chunk_w,
+        tile_h=img.chunk_h,
+        origin_x=o[0],
+        origin_y=o[1],
+        px_sz_x=ps[0],
+        px_sz_y=ps[1],
+        bands=img.spp,
+        planar=img.planar,
+    )

@@ -60,6 +60,24 @@ def raster_meta_df(spark: SparkSession, entries: list[RasterEntry]) -> DataFrame
     return spark.createDataFrame([meta_row(e) for e in entries], META_SCHEMA)
 
 
+def entries_from_files(paths: list[str]) -> list[RasterEntry]:
+    """Real-file registration (R1): parse actual TIFF headers (all
+    IFDs — COG overviews become image_idx rows) into catalog entries.
+    Mirrors ``GeoTiffReader::open`` walking IFDs into ImageInfos
+    (``src/geotiff.rs:44-91``) with bytes, not specs."""
+    import os
+
+    from georaster_spark.sources.geotiff import geometry_of, open_tiff
+
+    out = []
+    for p in paths:
+        tf = open_tiff(p)
+        rid = os.path.splitext(os.path.basename(p))[0]
+        for idx, img in enumerate(tf.images):
+            out.append(RasterEntry(rid, idx, geometry_of(tf, idx), img.dtype()))
+    return out
+
+
 def fixture_entries() -> list[RasterEntry]:
     """All synthetic fixtures (FIXTURES.md §2) + the DTM pyramid: the
     registration a real deployment would do at raster-ingest time."""

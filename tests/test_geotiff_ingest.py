@@ -1,0 +1,184 @@
+"""Real TIFF byte ingestion vs the reference's own integration tests.
+
+Every assertion here re-expresses a golden from
+``/root/reference/tests/geotiff.rs`` against the ACTUAL fixture bytes
+in ``/root/reference/data/tiff/`` — no synthetic stand-ins.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from georaster_spark.sources.geotiff import (
+    chunk_descriptors,
+    chunk_plan_df,
+    geometry_of,
+    open_tiff,
+    pixels_df,
+    read_pixel,
+)
+
+D = "/root/reference/data/tiff"
+
+
+class TestHeaderGoldens:
+    """Metadata asserts from tests/geotiff.rs (origin/pixel_size/
+    geo_params per file)."""
+
+    @pytest.mark.parametrize(
+        "name,dims,origin,px,params",
+        [
+            ("byte.tif", (20, 20), [440720.0, 3751320.0], [60.0, -60.0], "NAD27 / UTM zone 11N|"),
+            ("float32.tif", (20, 20), [440720.0, 3751320.0], [60.0, -60.0], "NAD27 / UTM zone 11N|"),
+            ("int16.tif", (20, 20), [440720.0, 3751320.0], [60.0, -60.0], "NAD27 / UTM zone 11N|"),
+            ("int32.tif", (20, 20), [440720.0, 3751320.0], [60.0, -60.0], "NAD27 / UTM zone 11N|"),
+            ("f32nan_data.tif", (128, 128), [0.0, 0.0], [1.0, 1.0], None),
+            ("rgbsmall.tif", (50, 50), [-44.84032, -22.932584], [0.003432, -0.003432], "WGS 84|"),
+            ("small_world.tif", (400, 200), [-180.0, 90.0], [0.9, -0.9], "WGS 84|"),
+            ("utm.tif", (512, 512), [440720.0, 3751320.0], [60.0, -60.0], "UTM    11 S E000|"),
+            ("sat.tif", (200, 200), [2747994.2968, 1205137.2435],
+             [1.8898895579756552, -1.8898895306859578], "CH1903+ / LV95|CH1903+|"),
+        ],
+    )
+    def test_header(self, name, dims, origin, px, params):
+        tf = open_tiff(f"{D}/{name}")
+        img = tf.images[0]
+        assert (img.width, img.height) == dims
+        assert tf.origin() == origin
+        assert tf.pixel_size() == px
+        assert tf.geo_params == params
+
+    def test_geometry_of_feeds_catalog(self):
+        g = geometry_of(open_tiff(f"{D}/byte.tif"))
+        assert (g.width, g.height, g.origin_x, g.origin_y, g.px_sz_x, g.px_sz_y) == (
+            20, 20, 440720.0, 3751320.0, 60.0, -60.0
+        )
+        g = geometry_of(open_tiff(f"{D}/small_world.tif"))
+        assert (g.bands, g.planar, g.tile_h, g.tiles_down) == (3, True, 20, 10)
+
+
+class TestPixelGoldens:
+    """read_pixel goldens (tests/geotiff.rs byte:70-75, single_band:
+    20-50, rgbsmall:140-143, small_world:235-250, rgb:437-480,
+    rgb_bands:496-498, incomplete_strips:526-551)."""
+
+    @pytest.mark.parametrize(
+        "name", ["byte.tif", "float32.tif", "float64.tif", "int16.tif", "int32.tif", "utm.tif"]
+    )
+    def test_gray_origin_107(self, name):
+        assert read_pixel(open_tiff(f"{D}/{name}"), 0, 0) == 107.0
+
+    def test_f32nan(self):
+        tf = open_tiff(f"{D}/f32nan_data.tif")
+        assert read_pixel(tf, 124, 9) == pytest.approx(np.float32(0.0050608707), abs=0)
+        assert math.isnan(read_pixel(tf, 0, 0))
+        assert read_pixel(tf, 128, 64) is None  # x >= width -> NoData
+        assert read_pixel(tf, 64, 128) is None  # y >= height -> NoData
+        # 2x2 window at (102, 15)
+        got = [read_pixel(tf, x, y) for y in (15, 16) for x in (102, 103)]
+        want = [0.023571081, 0.012901229, 0.305, 0.6975]
+        assert got == pytest.approx([float(np.float32(w)) for w in want], abs=0)
+
+    def test_rgbsmall_planar_deflate(self):
+        # planar + OldDeflate (32946)
+        assert read_pixel(open_tiff(f"{D}/rgbsmall.tif"), 25, 25) == (89.0, 123.0, 37.0)
+
+    def test_small_world_planar_strips(self):
+        tf = open_tiff(f"{D}/small_world.tif")
+        assert read_pixel(tf, 0, 0) == (11.0, 10.0, 50.0)
+        assert read_pixel(tf, 399, 199) == (214.0, 204.0, 194.0)
+        got = [read_pixel(tf, x, y) for y in (30, 31) for x in (30, 31)]
+        assert got == [
+            (76.0, 83.0, 52.0), (132.0, 140.0, 116.0),
+            (149.0, 148.0, 128.0), (46.0, 69.0, 13.0),
+        ]
+
+    def test_sat_tiled_deflate_chunky(self):
+        tf = open_tiff(f"{D}/sat.tif")
+        assert read_pixel(tf, 0, 0) == (59.0, 65.0, 27.0)
+        assert read_pixel(tf, 1, 0) == (63.0, 69.0, 31.0)
+        assert read_pixel(tf, 0, 1) == (53.0, 64.0, 22.0)
+        assert read_pixel(tf, 1, 1) == (59.0, 70.0, 30.0)
+        got = [read_pixel(tf, x, y) for y in (198, 199) for x in (198, 199)]
+        assert got == [
+            (27.0, 21.0, 7.0), (13.0, 8.0, 0.0),
+            (21.0, 12.0, 7.0), (25.0, 15.0, 13.0),
+        ]
+
+    def test_sat_multiband_planar_tiles(self):
+        # reference asserts band 1 == 18 (tests/geotiff.rs:496-498);
+        # our planar read returns all bands
+        assert read_pixel(open_tiff(f"{D}/sat_multiband.tif"), 124, 9)[0] == 18.0
+
+    def test_incomplete_strips(self):
+        tf = open_tiff(f"{D}/incomplete_strips.tiff")
+        for y in range(9):
+            assert read_pixel(tf, 0, y) == 20.0 * y, f"pixel (0, {y})"
+
+    def test_palette_unsupported(self):
+        # parity: reference raises UnsupportedError (tests/geotiff.rs:307-308)
+        with pytest.raises(ValueError, match="palette"):
+            chunk_descriptors(open_tiff(f"{D}/small_world_pct.tif"))
+
+
+class TestSparkIngestion:
+    """The distributed two-stage plan over real bytes."""
+
+    def test_chunk_plan(self, spark):
+        rows = chunk_plan_df(spark, [f"{D}/small_world.tif", f"{D}/sat.tif"]).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.raster_id, []).append(r)
+        # small_world: 10 strips x 3 planar band runs; sat: 1 tile chunk
+        assert len(by_id["small_world"]) == 30
+        assert len(by_id["sat"]) == 1
+        assert {r.band_run for r in by_id["small_world"]} == {0, 1, 2}
+        sat = by_id["sat"][0]
+        assert (sat.stored_w, sat.stored_h, sat.w, sat.h, sat.spp) == (512, 512, 200, 200, 3)
+
+    def test_pixels_goldens_distributed(self, spark):
+        px = pixels_df(spark, [f"{D}/small_world.tif"]).where(
+            (F.col("x") == 0) & (F.col("y") == 0)
+        )
+        got = {r.band: r.value for r in px.collect()}
+        assert got == {0: 11.0, 1: 10.0, 2: 50.0}
+
+    def test_nan_becomes_null(self, spark):
+        px = pixels_df(spark, [f"{D}/f32nan_data.tif"])
+        assert px.where(F.col("value").isNull()).count() == 8957
+        assert (
+            px.where((F.col("x") == 0) & (F.col("y") == 0)).collect()[0].value is None
+        )
+
+    def test_chunky_equals_planar_layout(self, spark):
+        """sat.tif (chunky, one 512-tile) and sat_multiband.tif
+        (planar, 256-tiles) carry the same imagery — two independent
+        layouts must decode to identical pixel values."""
+        a = pixels_df(spark, [f"{D}/sat.tif"]).select("band", "x", "y", "value")
+        b = pixels_df(spark, [f"{D}/sat_multiband.tif"]).select("band", "x", "y", "value")
+        assert a.join(b, ["band", "x", "y", "value"]).count() == 120000
+
+    def test_entries_from_files_register_catalog(self, spark):
+        from georaster_spark.sources.raster_catalog import (
+            entries_from_files,
+            raster_meta_df,
+        )
+
+        rows = raster_meta_df(
+            spark, entries_from_files([f"{D}/byte.tif", f"{D}/sat.tif"])
+        ).collect()
+        by_id = {r.raster_id: r for r in rows}
+        assert by_id["byte"].dtype == "u8" and by_id["byte"].origin_x == 440720.0
+        assert by_id["sat"].bands == 3 and by_id["sat"].pad_right == 312
+
+    def test_ingest_catalog_query_matches_golden(self, spark):
+        from georaster_spark.queries import TIFF_INGEST_GOLDEN, q_raster_ingest
+
+        got = {r.file: tuple(r) for r in q_raster_ingest(spark, "").collect()}
+        assert len(got) == len(TIFF_INGEST_GOLDEN)
+        for row in TIFF_INGEST_GOLDEN:
+            assert got[row[0]] == row, row[0]
