@@ -220,27 +220,59 @@ def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold_e6: int,
     n_centroids: int | None = None,
+    n_assign: int = 3,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(vec_a < vec_b, cos_e6) pairs with cosine ≥ threshold.
 
-    With ``n_centroids`` set, the IVF bucket blocks the self-join
-    (near-dups overwhelmingly share a bucket — document the recall
-    tradeoff); without it, exact brute-force pairs (the oracle path).
+    With ``n_centroids`` set, IVF buckets block the self-join — the
+    scale path: the corpus pairs only within buckets, never
+    all-pairs. Each vector is multi-assigned to its ``n_assign``
+    nearest buckets (a pair is missed only when the perturbation
+    displaces ALL of a vector's top buckets); precision is always 1
+    because the cosine filter is exact either way. A guaranteed-
+    recall adaptive assignment would need every bucket within
+    2·sqrt(2-2τ) of the best score — at near-dup thresholds that
+    slack admits most buckets and prunes nothing, so fixed
+    multi-assign + a measured recall gate (tests/test_ann_asof.py)
+    is the deliberate trade. Without ``n_centroids``: exact
+    brute-force pairs (the oracle/recall-reference path).
     """
     vn = normalized(vectors).select(id_col, "vnorm")
     if n_centroids:
         cents = centroids_row(vectors, n_centroids, id_col)
-        vn = ivf_assign(vn, cents)
-        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
-            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        assigned = (
+            vn.crossJoin(F.broadcast(cents))
+            .select(
+                id_col,
+                "vnorm",
+                F.explode(
+                    F.slice(F.reverse(F.array_sort(_cent_scores("vnorm"))), 1, n_assign)
+                ).alias("probe"),
+            )
+            .select(id_col, "vnorm", F.col("probe.cid").alias("bucket"))
         )
-    else:
-        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        a, b = assigned.alias("a"), assigned.alias("b")
+        cos = dot(F.col("a.vnorm"), F.col("b.vnorm"))
+        return (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .withColumn("cos_e6", F.round(cos * 1000000.0, 0).cast("long"))
+            .where(F.col("cos_e6") >= threshold_e6)
+            .select(
+                F.col(f"a.{id_col}").cast("long").alias("vec_a"),
+                F.col(f"b.{id_col}").cast("long").alias("vec_b"),
+                "cos_e6",
+            )
+            .distinct()  # a pair may share several buckets
+        )
     a, b = vn.alias("a"), vn.alias("b")
     cos = dot(F.col("a.vnorm"), F.col("b.vnorm"))
     return (
-        a.join(b, join_cond)
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .withColumn("cos_e6", F.round(cos * 1000000.0, 0).cast("long"))
         .where(F.col("cos_e6") >= threshold_e6)
         .select(

@@ -127,6 +127,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_lsh(
+    docs: DataFrame,
+    threshold_e6: int,
+    shingle_n: int = 3,
+    n_seeds: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Scale-safe exact-Jaccard: compute Jaccard ONLY on MinHash-LSH
+    candidate pairs instead of joining raw shingles.
+
+    The raw-shingle self-join (``ngram_jaccard_pairs``) goes
+    quadratic on any high-document-frequency shingle — one piece of
+    boilerplate shared by M docs creates M² join rows. Here the
+    candidate set comes from the banded-bucket equi-join (bounded
+    amplification), and the exact Jaccard runs per candidate pair:
+    candidates × shingles(doc_a) equi-joined to shingles on
+    (doc_b, sh) — row count is linear in |candidates| × doc size.
+
+    Result equals the all-pairs form whenever LSH recall at the
+    configured (bands, rows) covers every pair ≥ threshold — the
+    standard banding argument: P(candidate) = 1-(1-s^r)^b, e.g.
+    s=0.8, r=4, b=4 → 0.986 per pair; tests assert exact equality on
+    the testdata. Pairs BELOW threshold are filtered exactly either
+    way, so precision is always 1.
+    """
+    cand = lsh_candidate_pairs(docs, n_seeds, rows_per_band, shingle_n)
+    sh = shingles(docs, n=shingle_n).withColumn("doc_id", F.col("doc_id").cast("long")).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac_e6 = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+        * 1000000.0,
+        0,
+    ).cast("long")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_e6", jac_e6)
+        .where(F.col("jaccard_e6") >= threshold_e6)
+        .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard_e6")
+    )
+
+
 def positioned_shingles(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1193,14 +1193,20 @@ _SHINGLES_SQL = f"""
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup pairs: equi-join on shared shingles →
-    common counts → Jaccard ≥ τ (operators/dedup.py)."""
-    from georaster_spark.operators.dedup import ngram_jaccard_pairs
+    """N-gram Jaccard near-dup pairs, scale-safe form: exact Jaccard
+    computed only on MinHash-LSH candidate pairs (operators/dedup.py
+    ngram_jaccard_pairs_lsh) — no raw-shingle self-join, so one
+    boilerplate shingle shared by M docs can't create M² join rows.
+    The oracle keeps the all-pairs formulation; equality holds at the
+    configured banding (tests assert it)."""
+    from georaster_spark.operators.dedup import ngram_jaccard_pairs_lsh
 
-    return ngram_jaccard_pairs(
+    return ngram_jaccard_pairs_lsh(
         _docs_spread(spark, sf_dir),
         threshold_e6=int(JACCARD_T * 1000000),
         shingle_n=SHINGLE_N,
+        n_seeds=MINHASH_SEEDS,
+        rows_per_band=LSH_BANDS,
     )
 
 
@@ -1441,19 +1447,32 @@ def sql_dedup_components():
 
 
 NEARDUP_COS_E6 = 420000  # synthetic embeddings are near-orthogonal
+NEARDUP_ASSIGN = 3  # IVF multi-assignment width for near-dup blocking
 # (max pairwise cosine ≈ 0.51); a real near-dup pass would use ≥ 0.95
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (operators/ann.py), exact
-    variant (IVF-blocked variant covered by ann_ivf + unit tests)."""
+    """Embedding-cosine near-dup pairs, scale-safe form: the IVF
+    bucket blocks the self-join (operators/ann.py
+    cosine_near_dup_pairs with n_centroids) — the corpus pairs only
+    within buckets, never all-pairs. The oracle replicates the SAME
+    deterministic quantizer in SQL, so the comparison is exact; the
+    recall-vs-exact tradeoff is asserted separately in
+    tests/test_ann_asof.py."""
     from georaster_spark.operators.ann import cosine_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(e, threshold_e6=NEARDUP_COS_E6)
+    return cosine_near_dup_pairs(
+        e,
+        threshold_e6=NEARDUP_COS_E6,
+        n_centroids=IVF_CENTROIDS,
+        n_assign=NEARDUP_ASSIGN,
+    )
 
 
 def sql_embedding_neardup():
+    # same CTE chain as sql_ann_ivf: deterministic first-k quantizer,
+    # argmax bucket (ties -> highest cid), then pairs WITHIN buckets
     return f"""
     WITH flat AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -1462,9 +1481,28 @@ def sql_embedding_neardup():
     ),
     norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1),
     nflat AS (SELECT f.vec_id, i, v / nrm AS v FROM flat f JOIN norms USING (vec_id)),
+    cents AS (SELECT vec_id AS cid, i, v FROM nflat WHERE vec_id < {IVF_CENTROIDS}),
+    scores AS (
+      SELECT n.vec_id, c.cid, sum(n.v * c.v) AS score
+      FROM nflat n JOIN cents c ON n.i = c.i
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        FROM scores
+      ) WHERE rn <= {NEARDUP_ASSIGN}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
     pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS cos
-      FROM nflat a JOIN nflat b ON a.i = b.i AND a.vec_id < b.vec_id
+      SELECT c.vec_a, c.vec_b, sum(x.v * y.v) AS cos
+      FROM cand c
+      JOIN nflat x ON x.vec_id = c.vec_a
+      JOIN nflat y ON y.vec_id = c.vec_b AND y.i = x.i
       GROUP BY 1, 2
     )
     SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,

@@ -206,3 +206,24 @@ def test_ivf_topk_accepts_kmeans_centroids(spark, vectors):
     rows = out.collect()
     assert len(rows) == 15
     assert all(r["rank"] in range(1, 6) for r in rows)
+
+
+def test_ivf_blocked_neardup_recall_vs_exact(spark):
+    """The cataloged IVF-blocked near-dup must (a) be a subset of the
+    exact all-pairs result (precision 1 — the cosine filter is exact
+    either way) and (b) keep recall high on the testdata."""
+    from georaster_spark.operators.ann import cosine_near_dup_pairs
+    from georaster_spark.queries import IVF_CENTROIDS, NEARDUP_COS_E6
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {tuple(r) for r in cosine_near_dup_pairs(e, NEARDUP_COS_E6).collect()}
+    blocked = {
+        tuple(r)
+        for r in cosine_near_dup_pairs(
+            e, NEARDUP_COS_E6, n_centroids=IVF_CENTROIDS
+        ).collect()
+    }
+    assert blocked <= exact
+    assert len(exact) > 0
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.9, f"IVF-blocked near-dup recall {recall:.2f} < 0.9"
