@@ -362,9 +362,10 @@ def chunk_descriptors(tf: TiffFile, image_idx: int = 0) -> list[dict]:
     return out
 
 
-def decode_chunk_bytes(raw: bytes, desc: dict) -> np.ndarray:
-    """Chunk payload -> float64 array (stored_h, w_valid, spp), NaN =
-    NoData. Pure NumPy — this is the per-chunk kernel body."""
+def decode_chunk_bytes(raw: bytes, desc: dict, as_float: bool = True) -> np.ndarray:
+    """Chunk payload -> (h_valid, w_valid, spp) array, NaN = NoData.
+    ``as_float=False`` keeps the native sample dtype (the exact path
+    for u64 > 2^53). Pure NumPy — this is the per-chunk kernel body."""
     if desc["compression"] in (COMPRESSION_DEFLATE, COMPRESSION_OLD_DEFLATE):
         raw = zlib.decompress(raw)
     dt = np.dtype(desc["byte_order"] + {"u": "u", "i": "i", "f": "f"}[desc["dtype"][0]] + str(int(desc["dtype"][1:]) // 8))
@@ -380,13 +381,14 @@ def decode_chunk_bytes(raw: bytes, desc: dict) -> np.ndarray:
         arr = flat[:need].reshape(desc["h"], desc["stored_w"], spp)
     else:
         arr = flat[:want].reshape(desc["stored_h"], desc["stored_w"], spp)
-    return arr[: desc["h"], : desc["w"], :].astype(np.float64)
+    clipped = arr[: desc["h"], : desc["w"], :]
+    return clipped.astype(np.float64) if as_float else clipped
 
 
-def read_chunk(desc: dict) -> np.ndarray:
+def read_chunk(desc: dict, as_float: bool = True) -> np.ndarray:
     with open(desc["path"], "rb") as f:
         raw = _read_at(f, desc["offset"], desc["nbytes"])
-    return decode_chunk_bytes(raw, desc)
+    return decode_chunk_bytes(raw, desc, as_float)
 
 
 # ------------------------------------------- local single-pixel API
@@ -488,6 +490,151 @@ def pixels_df(spark, paths: list[str], image_idx: int = 0, chunk_partitions: int
                     )
 
     return chunks.mapInPandas(kernel, schema=PIXELS_SCHEMA)
+
+
+def decimal_pixels_df(spark, paths: list[str], image_idx: int = 0):
+    """Exact-integer variant of ``pixels_df``: value is DECIMAL(20,0),
+    so u64 samples above 2^53 (inexact in DOUBLE) survive decode
+    (src/lib.rs:33-51 U64 variant; SURVEY §7 risk 3). For integral
+    rasters only — float families raise."""
+    from decimal import Decimal
+
+    chunks = chunk_plan_df(spark, paths, image_idx)
+    schema = "raster_id string, image_idx int, band int, x int, y int, value decimal(20,0)"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                d = r._asdict()
+                if d["dtype"].startswith("f"):
+                    raise ValueError(f"{d['path']}: decimal decode is for integral dtypes")
+                arr = read_chunk(d, as_float=False)
+                h, w, spp = arr.shape
+                yy, xx = np.mgrid[0:h, 0:w]
+                for s in range(spp):
+                    band = d["band_run"] if d["spp"] == 1 else s
+                    yield pd.DataFrame(
+                        {
+                            "raster_id": d["raster_id"],
+                            "image_idx": d["image_idx"],
+                            "band": band,
+                            "x": (xx.ravel() + d["x0"]).astype("int32"),
+                            "y": (yy.ravel() + d["y0"]).astype("int32"),
+                            "value": [Decimal(int(v)) for v in arr[:, :, s].ravel()],
+                        }
+                    )
+
+    return chunks.mapInPandas(kernel, schema=schema)
+
+
+# ------------------------------------------------------------- writer
+
+_DTYPE_TO_TIFF = {
+    # dtype -> (bits, sample_format)
+    "u8": (8, 1), "u16": (16, 1), "u32": (32, 1), "u64": (64, 1),
+    "i8": (8, 2), "i16": (16, 2), "i32": (32, 2), "i64": (64, 2),
+    "f32": (32, 3), "f64": (64, 3),
+}
+
+
+def write_tiff(
+    path: str,
+    arr: np.ndarray,
+    dtype: str,
+    pixel_scale: tuple[float, float] | None = None,
+    origin: tuple[float, float] | None = None,
+    rows_per_strip: int | None = None,
+) -> None:
+    """Minimal classic-TIFF writer (little-endian, uncompressed,
+    chunky strips) — the engine's raster SINK and the fixture source
+    for sample types the reference repo ships no file for (Rgb16,
+    U64 — src/geotiff.rs:393-418, src/lib.rs:42). Round-trips through
+    ``open_tiff``/``pixels_df``.
+
+    ``arr``: (h, w) or (h, w, spp) integer/float array.
+    """
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, spp = arr.shape
+    bits, fmt = _DTYPE_TO_TIFF[dtype]
+    np_dt = np.dtype("<" + {1: "u", 2: "i", 3: "f"}[fmt] + str(bits // 8))
+    rps = rows_per_strip or h
+    n_strips = -(-h // rps)
+
+    payloads = [arr[s * rps : (s + 1) * rps].astype(np_dt).tobytes() for s in range(n_strips)]
+
+    tags: list[tuple[int, int, list]] = [
+        (TAG_WIDTH, 3, [w]),
+        (TAG_HEIGHT, 3, [h]),
+        (TAG_BITS_PER_SAMPLE, 3, [bits] * spp),
+        (TAG_COMPRESSION, 3, [COMPRESSION_NONE]),
+        (TAG_PHOTOMETRIC, 3, [2 if spp >= 3 else 1]),
+        (TAG_SAMPLES_PER_PIXEL, 3, [spp]),
+        (TAG_ROWS_PER_STRIP, 3, [rps]),
+        (TAG_PLANAR_CONFIG, 3, [1]),
+        (TAG_SAMPLE_FORMAT, 3, [fmt] * spp),
+    ]
+    if pixel_scale is not None:
+        tags.append((TAG_MODEL_PIXEL_SCALE, 12, [pixel_scale[0], abs(pixel_scale[1]), 0.0]))
+    if origin is not None:
+        tags.append((TAG_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, origin[0], origin[1], 0.0]))
+    # offsets/byte counts appended after layout is known
+    tags.append((TAG_STRIP_OFFSETS, 4, [0] * n_strips))
+    tags.append((TAG_STRIP_BYTE_COUNTS, 4, [len(p) for p in payloads]))
+    tags.sort(key=lambda t: t[0])
+
+    ifd_off = 8
+    n = len(tags)
+    extra_off = ifd_off + 2 + 12 * n + 4  # out-of-line values start here
+
+    def encode(typ, vals):
+        letter = {3: "H", 4: "I", 12: "d"}[typ]
+        return struct.pack("<" + str(len(vals)) + letter, *vals)
+
+    # first pass: place out-of-line values to find where data starts
+    extras: list[bytes] = []
+    cursor = extra_off
+    placed = []
+    for tag, typ, vals in tags:
+        raw = encode(typ, vals)
+        if len(raw) > 4:
+            placed.append(cursor)
+            extras.append(raw)
+            cursor += len(raw)
+        else:
+            placed.append(None)
+    data_off = cursor
+    offs = []
+    for p in payloads:
+        offs.append(data_off)
+        data_off += len(p)
+    # rewrite strip offsets now that payload positions are known
+    for i, (tag, typ, vals) in enumerate(tags):
+        if tag == TAG_STRIP_OFFSETS:
+            tags[i] = (tag, typ, offs)
+            raw = encode(typ, offs)
+            if len(raw) > 4:  # replace the placeholder extra block
+                idx = sum(1 for j in range(i) if placed[j] is not None)
+                extras[idx] = raw
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", n)
+    for (tag, typ, vals), pl in zip(tags, placed):
+        raw = encode(typ, vals)
+        if pl is None:
+            out += struct.pack("<HHI", tag, typ, len(vals)) + raw.ljust(4, b"\0")
+        else:
+            out += struct.pack("<HHII", tag, typ, len(vals), pl)
+    out += struct.pack("<I", 0)  # no next IFD
+    for raw in extras:
+        out += raw
+    for p in payloads:
+        out += p
+    with open(path, "wb") as f:
+        f.write(bytes(out))
 
 
 def geometry_of(tf: TiffFile, image_idx: int = 0):

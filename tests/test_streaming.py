@@ -215,3 +215,105 @@ def test_live_sessionizer_flushes_by_gap_and_watermark(spark, tmp_path):
         (1, 1, mins(0), 2, "click,view"),
         (1, 2, mins(120), 1, "purchase"),
     ]
+
+
+def test_sessionize_live_kill_and_resume(spark, tmp_path):
+    """Restart-consistency of the stateful sessionizer: drain part A
+    with a checkpoint, 'kill' the query, add part B, restart from the
+    SAME checkpoint — the union of emitted sessions must equal a
+    one-shot run over A+B (state schema carries last_ts/session
+    counter/open-session across restarts, streaming/events.py:14-16)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georaster_spark.streaming.events import sessionize_live
+
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    mins = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+
+    def write_file(d, name, rows, mtime):
+        p = str(d / name)
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([t for t, *_ in rows], type=pa.timestamp("us")),
+                    "event_id": pa.array([e for _, e, _, _ in rows], type=pa.int64()),
+                    "user_id": pa.array([u for _, _, u, _ in rows], type=pa.int64()),
+                    "event_type": pa.array([y for *_, y in rows]),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (mtime, mtime))
+
+    # part A: u1 has a session that CLOSES within A (gap), u2 has an
+    # open session at the A/B boundary
+    part_a = [
+        (mins(0), 1, 1, "view"), (mins(5), 2, 1, "click"),
+        (mins(90), 3, 1, "view"),           # u1 session 2 (gap > 30m)
+        (mins(95), 4, 2, "view"),           # u2 session 1, still open
+    ]
+    # part B: u2 continues within the gap (same session), u1 far later
+    part_b = [
+        (mins(100), 5, 2, "click"),         # continues u2 session 1
+        (mins(400), 6, 1, "purchase"),      # u1 session 3 + flushes 2
+        (mins(400), 7, 2, "view"),          # u2 session 2 + flushes 1
+    ]
+
+    def run(indir, ckpt, outdir, phases):
+        # parquet sink: supports checkpoint recovery (memory sink
+        # does not) and its manifest gives exactly-once file commits
+        out = []
+        for files in phases:
+            for name, rows, mtime in files:
+                write_file(indir, name, rows, mtime)
+            ev = (
+                spark.readStream.schema(
+                    "ts timestamp, event_id long, user_id long, event_type string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(indir))
+            )
+            q = (
+                sessionize_live(ev, watermark="30 minutes")
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", str(outdir))
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            rows = [
+                tuple(r)
+                for r in spark.read.parquet(str(outdir)).select(
+                    "user_id", "session_id", "session_start", "n_events", "event_types"
+                ).collect()
+            ]
+            assert len(rows) == len(set(rows)), "duplicate session emitted"
+            out.append(set(rows))
+        return out
+
+    a_dir = tmp_path / "split"; a_dir.mkdir()
+    phased = run(
+        a_dir, tmp_path / "ck_split", tmp_path / "out_split",
+        [
+            [("a.parquet", part_a, 1000)],
+            [("b.parquet", part_b, 2000)],
+        ],
+    )
+    o_dir = tmp_path / "oneshot"; o_dir.mkdir()
+    oneshot = run(
+        o_dir, tmp_path / "ck_one", tmp_path / "out_one",
+        [[("a.parquet", part_a, 1000), ("b.parquet", part_b, 2000)]],
+    )
+    # phase-1 output is a strict prefix of the resumed run...
+    assert phased[0] <= phased[1]
+    # ...and the resumed total equals the uninterrupted run
+    assert phased[1] == oneshot[0]
+    # the boundary-spanning u2 session stays ONE session with both events
+    u2 = [r for r in phased[1] if r[0] == 2 and r[1] == 1]
+    assert u2 and u2[0][3] == 2
