@@ -102,8 +102,87 @@ def ivf_assign(df: DataFrame, cents: DataFrame, vec_col: str = "vnorm") -> DataF
     )
 
 
+def kmeans_parallel_init(
+    vectors: DataFrame,
+    k: int,
+    rounds: int = 3,
+    oversample: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-means||-style parallel seeding (Bahmani et al., VLDB'12),
+    made deterministic: instead of Bernoulli draws, each vector's
+    "coin" is a hash-uniform u(vec_id) in [0,1), so the same input
+    always seeds the same centroids (a requirement for the SQL-twin
+    oracles and for resumable plans).
+
+    Per round (each one narrow pass + one small aggregate):
+    cost(v) = 1 - max cos(v, C) against the current seed set
+    (broadcast); vectors with u(v) < l*cost(v)/sum(cost) join the
+    seed set. After ``rounds``, candidates (~l*rounds, driver-small)
+    are weighted by how many vectors they are nearest to, and the
+    top-k by weight become the init. Feed the result to
+    ``kmeans_centroids(init=...)`` for Lloyd refinement. The corpus
+    is never collected — only the O(l*rounds) sampled seeds are.
+    """
+    l = oversample or 2 * k  # noqa: E741 - the paper's symbol
+    vn = normalized(vectors).select(id_col, "vnorm").persist()
+    # deterministic uniform in [0,1) from the id (portable md5 rule)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000000
+    ) / 1000000.0
+    first = vn.orderBy(id_col).limit(1).collect()[0]
+    seeds: list[tuple[int, list[float]]] = [(int(first[0]), list(first[1]))]
+    try:
+        for _ in range(rounds):
+            cents = _cents_df(vn.sparkSession, seeds)
+            scored = vn.crossJoin(F.broadcast(cents)).select(
+                id_col,
+                "vnorm",
+                (1.0 - F.array_max(_cent_scores("vnorm"))["score"]).alias("cost"),
+            )
+            total = scored.agg(F.sum("cost")).collect()[0][0] or 0.0
+            if total <= 0:
+                break
+            picked = (
+                scored.where(u < F.lit(float(l)) * F.col("cost") / F.lit(float(total)))
+                .select(id_col, "vnorm")
+                .collect()
+            )
+            known = {s[0] for s in seeds}
+            seeds.extend(
+                (int(r[0]), list(r[1])) for r in picked if int(r[0]) not in known
+            )
+        # weight candidates by assignment counts, keep the heaviest k
+        cents = _cents_df(vn.sparkSession, seeds)
+        weights = {
+            r["bucket"]: r["w"]
+            for r in ivf_assign(vn, cents)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .collect()
+        }
+        seeds.sort(key=lambda s: (-weights.get(s[0], 0), s[0]))
+        return _cents_df(vn.sparkSession, seeds[:k])
+    finally:
+        vn.unpersist()
+
+
+def _cents_df(spark, seeds: list[tuple[int, list[float]]]) -> DataFrame:
+    """1-row ``cents`` DataFrame (same shape as ``centroids_row``)
+    from a driver-side seed list."""
+    rows = [(int(c), [float(x) for x in v]) for c, v in sorted(seeds)]
+    return spark.createDataFrame(rows, "cid int, cvec array<double>").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+
+
 def kmeans_centroids(
-    vectors: DataFrame, k: int, iters: int = 3, id_col: str = "vec_id"
+    vectors: DataFrame,
+    k: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Spherical k-means refinement of the coarse quantizer, entirely
     in DataFrame ops (the "swap for k-means|| without touching the
@@ -118,9 +197,11 @@ def kmeans_centroids(
     Returns the same 1-row ``cents`` shape ``centroids_row`` yields,
     so ``ivf_assign``/``ivf_topk`` consume it unchanged. Clusters
     that lose all members drop out (k shrinks) — acceptable for
-    blocking/probing; deterministic for fixed input.
+    blocking/probing; deterministic for fixed input. Pass ``init``
+    (e.g. from ``kmeans_parallel_init``) to start from better seeds
+    than the first-k default.
     """
-    cents = centroids_row(vectors, k, id_col)
+    cents = init if init is not None else centroids_row(vectors, k, id_col)
     vn = normalized(vectors).select(id_col, "vnorm")
     for _ in range(iters):
         assigned = ivf_assign(vn, cents)

@@ -227,3 +227,55 @@ def test_ivf_blocked_neardup_recall_vs_exact(spark):
     assert len(exact) > 0
     recall = len(blocked) / len(exact)
     assert recall >= 0.9, f"IVF-blocked near-dup recall {recall:.2f} < 0.9"
+
+
+def test_kmeans_parallel_init_deterministic_and_lifts_recall(spark):
+    """kmeans|| seeding: (a) fully deterministic (hash-uniform coins,
+    no RNG) — two runs yield identical centroid sets; (b) with Lloyd
+    refinement it beats the naive first-k quantizer on recall@5 for
+    queries disjoint from every seed set, at the same nprobe scan
+    budget (the honest comparison: ann_ivf's own vec_id<5 queries
+    coincide with first-k seeds and inflate naive recall)."""
+    from pyspark.sql import Window
+
+    from georaster_spark.operators import ann
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    c1 = ann.kmeans_parallel_init(e, 8, rounds=3).collect()[0].cents
+    c2 = ann.kmeans_parallel_init(e, 8, rounds=3).collect()[0].cents
+    assert [c.cid for c in c1] == [c.cid for c in c2]
+    assert [list(c.cvec) for c in c1] == [list(c.cvec) for c in c2]
+
+    en = ann.normalized(e).select("vec_id", "vnorm")
+    q = en.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        F.col("vec_id").alias("query_id"), F.col("vnorm").alias("q_vnorm")
+    )
+    cos = ann.dot(F.col("vnorm"), F.col("q_vnorm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in en.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    queries = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def recall(cents):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ann.ivf_topk(e, queries, 5, n_centroids=8, nprobe=2, cents=cents).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    naive = recall(ann.centroids_row(e, 8))
+    kmpp = recall(
+        ann.kmeans_centroids(e, 8, iters=3, init=ann.kmeans_parallel_init(e, 8, rounds=3))
+    )
+    assert kmpp > naive, f"kmeans||+lloyd {kmpp:.3f} <= naive {naive:.3f}"
