@@ -539,22 +539,15 @@ _DTYPE_TO_TIFF = {
 }
 
 
-def write_tiff(
-    path: str,
-    arr: np.ndarray,
-    dtype: str,
-    pixel_scale: tuple[float, float] | None = None,
-    origin: tuple[float, float] | None = None,
-    rows_per_strip: int | None = None,
-) -> None:
-    """Minimal classic-TIFF writer (little-endian, uncompressed,
-    chunky strips) — the engine's raster SINK and the fixture source
-    for sample types the reference repo ships no file for (Rgb16,
-    U64 — src/geotiff.rs:393-418, src/lib.rs:42). Round-trips through
-    ``open_tiff``/``pixels_df``.
+def _encode_tag_values(typ, vals):
+    letter = {3: "H", 4: "I", 12: "d"}[typ]
+    return struct.pack("<" + str(len(vals)) + letter, *vals)
 
-    ``arr``: (h, w) or (h, w, spp) integer/float array.
-    """
+
+def _image_block(arr, dtype, pixel_scale, origin, rows_per_strip, block_off, next_ifd):
+    """Serialize ONE image as (IFD + out-of-line values + payloads)
+    at absolute offset ``block_off``; returns the bytes. ``next_ifd``
+    is the absolute offset of the following IFD (0 = last)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, spp = arr.shape
@@ -562,7 +555,6 @@ def write_tiff(
     np_dt = np.dtype("<" + {1: "u", 2: "i", 3: "f"}[fmt] + str(bits // 8))
     rps = rows_per_strip or h
     n_strips = -(-h // rps)
-
     payloads = [arr[s * rps : (s + 1) * rps].astype(np_dt).tobytes() for s in range(n_strips)]
 
     tags: list[tuple[int, int, list]] = [
@@ -580,25 +572,17 @@ def write_tiff(
         tags.append((TAG_MODEL_PIXEL_SCALE, 12, [pixel_scale[0], abs(pixel_scale[1]), 0.0]))
     if origin is not None:
         tags.append((TAG_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, origin[0], origin[1], 0.0]))
-    # offsets/byte counts appended after layout is known
     tags.append((TAG_STRIP_OFFSETS, 4, [0] * n_strips))
     tags.append((TAG_STRIP_BYTE_COUNTS, 4, [len(p) for p in payloads]))
     tags.sort(key=lambda t: t[0])
 
-    ifd_off = 8
     n = len(tags)
-    extra_off = ifd_off + 2 + 12 * n + 4  # out-of-line values start here
-
-    def encode(typ, vals):
-        letter = {3: "H", 4: "I", 12: "d"}[typ]
-        return struct.pack("<" + str(len(vals)) + letter, *vals)
-
-    # first pass: place out-of-line values to find where data starts
+    extra_off = block_off + 2 + 12 * n + 4
     extras: list[bytes] = []
     cursor = extra_off
     placed = []
     for tag, typ, vals in tags:
-        raw = encode(typ, vals)
+        raw = _encode_tag_values(typ, vals)
         if len(raw) > 4:
             placed.append(cursor)
             extras.append(raw)
@@ -610,31 +594,74 @@ def write_tiff(
     for p in payloads:
         offs.append(data_off)
         data_off += len(p)
-    # rewrite strip offsets now that payload positions are known
     for i, (tag, typ, vals) in enumerate(tags):
         if tag == TAG_STRIP_OFFSETS:
             tags[i] = (tag, typ, offs)
-            raw = encode(typ, offs)
+            raw = _encode_tag_values(typ, offs)
             if len(raw) > 4:  # replace the placeholder extra block
                 idx = sum(1 for j in range(i) if placed[j] is not None)
                 extras[idx] = raw
 
     out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, ifd_off)
     out += struct.pack("<H", n)
     for (tag, typ, vals), pl in zip(tags, placed):
-        raw = encode(typ, vals)
+        raw = _encode_tag_values(typ, vals)
         if pl is None:
             out += struct.pack("<HHI", tag, typ, len(vals)) + raw.ljust(4, b"\0")
         else:
             out += struct.pack("<HHII", tag, typ, len(vals), pl)
-    out += struct.pack("<I", 0)  # no next IFD
+    out += struct.pack("<I", next_ifd)
     for raw in extras:
         out += raw
     for p in payloads:
         out += p
+    return bytes(out)
+
+
+def write_tiff(
+    path: str,
+    arr: np.ndarray,
+    dtype: str,
+    pixel_scale: tuple[float, float] | None = None,
+    origin: tuple[float, float] | None = None,
+    rows_per_strip: int | None = None,
+    overviews: list[np.ndarray] | None = None,
+) -> None:
+    """Minimal classic-TIFF writer (little-endian, uncompressed,
+    chunky strips) — the engine's raster SINK and the fixture source
+    for variants the reference repo ships no file for: Rgb16 and U64
+    samples (src/geotiff.rs:393-418, src/lib.rs:42) and multi-IFD
+    COG pyramids (``overviews`` become chained IFDs, the layout
+    ``seek_to_image``/overview selection walks — src/geotiff.rs:
+    56-66,93-98). Round-trips through ``open_tiff``/``pixels_df``.
+
+    ``arr``: (h, w) or (h, w, spp) integer/float array; each entry of
+    ``overviews`` is a further IFD of the same dtype.
+    """
+    images = [arr] + list(overviews or [])
+    blocks: list[bytes] = []
+    # two passes: sizes first (offsets inside a block are absolute),
+    # then re-serialize at the final offsets with the IFD chain wired
+    for _ in range(2):
+        off = 8
+        new_blocks = []
+        for i, im in enumerate(images):
+            size = len(blocks[i]) if len(blocks) > i else 0
+            nxt = off + size if i + 1 < len(images) else 0
+            new_blocks.append(
+                _image_block(
+                    im, dtype,
+                    pixel_scale if i == 0 else None,
+                    origin if i == 0 else None,
+                    rows_per_strip, off, nxt,
+                )
+            )
+            off += len(new_blocks[-1])
+        blocks = new_blocks
     with open(path, "wb") as f:
-        f.write(bytes(out))
+        f.write(b"II" + struct.pack("<HI", 42, 8))
+        for b in blocks:
+            f.write(b)
 
 
 def geometry_of(tf: TiffFile, image_idx: int = 0):

@@ -259,3 +259,93 @@ class TestWriterRoundTrip:
         write_tiff(p, np.ones((2, 2)), "f32")
         with pytest.raises(Exception, match="integral"):
             decimal_pixels_df(spark, [p]).collect()
+
+
+class TestCoordGoldens:
+    """read_coord/convert_pixel_coordinates goldens on the REAL
+    small_world bytes (tests/geotiff.rs:482-520)."""
+
+    def test_coord_to_pixel_and_back(self):
+        tf = open_tiff(f"{D}/small_world.tif")
+        g = geometry_of(tf)
+        assert g.world_to_pixel(0.0, 0.0) == (200, 100)
+        assert g.pixel_to_world(200, 100) == (0.0, 0.0)
+        assert g.world_to_pixel(-90.0, 45.0) == (100, 50)
+        assert g.pixel_to_world(100, 50) == (-90.0, 45.0)
+
+    def test_read_pixel_at_location(self):
+        # band 1 value at (-90, 45) is 60 (tests/geotiff.rs:493)
+        tf = open_tiff(f"{D}/small_world.tif")
+        x, y = geometry_of(tf).world_to_pixel(-90.0, 45.0)
+        assert read_pixel(tf, x, y)[0] == 60.0
+
+
+class TestCogPyramid:
+    """Multi-IFD COG layout: chained IFDs round-trip through the
+    header walk (src/geotiff.rs:56-66 reads ALL IFDs; seek_to_image
+    == image_idx filter) and register as per-level catalog rows."""
+
+    def _write_cog(self, tmp_path):
+        from georaster_spark.sources.geotiff import write_tiff
+
+        y, x = np.mgrid[0:64, 0:64]
+        full = (x * 3 + y * 5) % 251
+        ov1 = full[::2, ::2]  # 2x decimation overview
+        ov2 = full[::4, ::4]
+        p = str(tmp_path / "cog.tif")
+        write_tiff(
+            p, full, "u8",
+            pixel_scale=(10.0, -10.0), origin=(500000.0, 200000.0),
+            rows_per_strip=16, overviews=[ov1, ov2],
+        )
+        return p, full, ov1, ov2
+
+    def test_ifd_chain_and_levels(self, tmp_path):
+        p, full, ov1, ov2 = self._write_cog(tmp_path)
+        tf = open_tiff(p)
+        assert [(i.width, i.height) for i in tf.images] == [(64, 64), (32, 32), (16, 16)]
+        # geo tags live on IFD0 (file-level, like the reference reader)
+        assert tf.origin() == [500000.0, 200000.0]
+        assert tf.pixel_size() == [10.0, -10.0]
+        # per-level pixel reads hit the right IFD's strips
+        assert read_pixel(tf, 63, 63, image_idx=0) == float(full[63, 63])
+        assert read_pixel(tf, 31, 31, image_idx=1) == float(ov1[31, 31])
+        assert read_pixel(tf, 15, 15, image_idx=2) == float(ov2[15, 15])
+
+    def test_catalog_registers_every_level(self, tmp_path):
+        from georaster_spark.sources.raster_catalog import entries_from_files
+
+        p, *_ = self._write_cog(tmp_path)
+        es = entries_from_files([p])
+        assert [(e.image_idx, e.geom.width, e.geom.height) for e in es] == [
+            (0, 64, 64), (1, 32, 32), (2, 16, 16)
+        ]
+
+    def test_overview_pixels_distributed(self, spark, tmp_path):
+        p, full, ov1, _ = self._write_cog(tmp_path)
+        lvl1 = pixels_df(spark, [p], image_idx=1)
+        got = {(r.x, r.y): r.value for r in lvl1.collect()}
+        assert len(got) == 32 * 32
+        for yy in range(0, 32, 7):
+            for xx in range(0, 32, 7):
+                assert got[(xx, yy)] == float(ov1[yy, xx])
+
+    def test_overview_routing_against_real_levels(self, spark, tmp_path):
+        """pick_overview (R3) over a cascade built from the real
+        multi-IFD bytes: a budget-limited request routes to the
+        coarsest level that fits, and the routed level's pixels come
+        from that IFD's actual strips."""
+        from georaster_spark.operators.raster import pick_overview
+        from georaster_spark.sources.raster_catalog import entries_from_files
+
+        p, full, ov1, ov2 = self._write_cog(tmp_path)
+        cascade = [
+            (e.image_idx, e.geom, pixels_df(spark, [p], image_idx=e.image_idx))
+            for e in entries_from_files([p])
+        ]
+        assert pick_overview(cascade, max_pixels=64 * 64)[0] == 0
+        idx, g, df = pick_overview(cascade, max_pixels=1200)
+        assert idx == 1 and (g.width, g.height) == (32, 32)
+        got = {(r.x, r.y): r.value for r in df.collect()}
+        assert got[(3, 5)] == float(ov1[5, 3])
+        assert pick_overview(cascade, max_pixels=10)[0] == 2  # coarsest fallback
