@@ -151,6 +151,13 @@ def knn_join(
     ``query_points``: [(query_id, lon, lat)]. Returns
     (query_id, <doc_key>, dist_m, rank) with deterministic
     tie-breaking on (dist, doc_key).
+
+    SCALE BOUNDARY: the ring-candidate list is built driver-side per
+    query point (|Q| x disk(rings) rows through createDataFrame +
+    broadcast), which is right for interactive / few-hundred-query
+    workloads only. For large query SETS use ``knn_table_join`` —
+    the table-scale path where candidates come from a broadcast disk
+    index and the corpus side never leaves the executors.
     """
     spark: SparkSession = docs.sparkSession
     docs_c = docs.where(F.col(lon_col).isNotNull())
