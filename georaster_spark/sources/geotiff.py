@@ -301,6 +301,41 @@ def open_tiff(path: str) -> TiffFile:
         )
 
 
+GEOKEY_MODEL_TYPE = 1024  # 1=projected, 2=geographic
+GEOKEY_RASTER_TYPE = 1025
+GEOKEY_CITATION = 1026
+GEOKEY_GEOGRAPHIC_TYPE = 2048
+GEOKEY_PROJECTED_CS_TYPE = 3072
+
+
+def geo_key_map(tf: TiffFile) -> dict[int, int | str]:
+    """GeoKeyDirectory (OGC 19-008r4 §7.1.1) as {key_id: value}.
+    SHORT-valued keys come inline; ASCII-located keys (tag 34737)
+    slice ``geo_params``. The reference exposes the raw directory
+    (``geo_keys`` field, src/geotiff.rs:22); this decodes it."""
+    out: dict[int, int | str] = {}
+    ks = tf.geo_keys or []
+    for i in range(4, len(ks), 4):
+        key_id, loc, cnt, val = ks[i : i + 4]
+        if loc == 0:
+            out[key_id] = val
+        elif loc == TAG_GEO_ASCII_PARAMS and tf.geo_params is not None:
+            out[key_id] = tf.geo_params[val : val + cnt].rstrip("|")
+    return out
+
+
+def epsg_code(tf: TiffFile) -> int | None:
+    """CRS EPSG code: ProjectedCSTypeGeoKey wins for projected model
+    types, else GeographicTypeGeogKey. None when neither is present
+    (e.g. the geotransform-less f32nan fixture)."""
+    keys = geo_key_map(tf)
+    for k in (GEOKEY_PROJECTED_CS_TYPE, GEOKEY_GEOGRAPHIC_TYPE):
+        v = keys.get(k)
+        if isinstance(v, int) and 1024 <= v <= 32767 + 32768:
+            return v
+    return None
+
+
 # ------------------------------------------------------------- decode
 
 
@@ -311,8 +346,10 @@ def _check_supported(img: TiffImage, path: str) -> None:
         raise ValueError(f"{path}: palette (RGBPalette) rasters not supported")
     if img.compression not in (COMPRESSION_NONE, COMPRESSION_DEFLATE, COMPRESSION_OLD_DEFLATE):
         raise ValueError(f"{path}: compression {img.compression} not supported")
-    if img.predictor != 1:
+    if img.predictor not in (1, 2):
         raise ValueError(f"{path}: predictor {img.predictor} not supported")
+    if img.predictor == 2 and img.dtype().startswith("f"):
+        raise ValueError(f"{path}: predictor 2 is integer-only (3 is the float one)")
     if len({(b, f) for b, f in zip(img.bits, img.formats)}) > 1:
         raise ValueError(f"{path}: heterogeneous band sample types not supported")
 
@@ -354,6 +391,7 @@ def chunk_descriptors(tf: TiffFile, image_idx: int = 0) -> list[dict]:
                 "offset": off,
                 "nbytes": cnt,
                 "compression": img.compression,
+                "predictor": img.predictor,
                 "dtype": img.dtype(),
                 "spp": 1 if img.planar else img.spp,
                 "byte_order": tf.byte_order,
@@ -381,6 +419,12 @@ def decode_chunk_bytes(raw: bytes, desc: dict, as_float: bool = True) -> np.ndar
         arr = flat[:need].reshape(desc["h"], desc["stored_w"], spp)
     else:
         arr = flat[:want].reshape(desc["stored_h"], desc["stored_w"], spp)
+    if desc.get("predictor", 1) == 2:
+        # horizontal differencing (TIFF6 §14): stored values are
+        # per-row deltas per sample channel; integrate with wraparound
+        # arithmetic (cumsum in the storage dtype) over the STORED
+        # row width before clipping padding
+        arr = np.cumsum(arr, axis=1, dtype=dt)
     clipped = arr[: desc["h"], : desc["w"], :]
     return clipped.astype(np.float64) if as_float else clipped
 
@@ -421,8 +465,8 @@ def read_pixel(tf: TiffFile, x: int, y: int, image_idx: int = 0):
 CHUNK_SCHEMA = (
     "path string, raster_id string, image_idx int, chunk int, band_run int, "
     "x0 int, y0 int, stored_w int, stored_h int, w int, h int, "
-    "offset long, nbytes long, compression int, dtype string, spp int, "
-    "byte_order string"
+    "offset long, nbytes long, compression int, predictor int, dtype string, "
+    "spp int, byte_order string"
 )
 
 PIXELS_SCHEMA = "raster_id string, image_idx int, band int, x int, y int, value double"
@@ -544,7 +588,10 @@ def _encode_tag_values(typ, vals):
     return struct.pack("<" + str(len(vals)) + letter, *vals)
 
 
-def _image_block(arr, dtype, pixel_scale, origin, rows_per_strip, block_off, next_ifd):
+def _image_block(
+    arr, dtype, pixel_scale, origin, rows_per_strip, block_off, next_ifd,
+    compression=COMPRESSION_NONE, predictor=1,
+):
     """Serialize ONE image as (IFD + out-of-line values + payloads)
     at absolute offset ``block_off``; returns the bytes. ``next_ifd``
     is the absolute offset of the following IFD (0 = last)."""
@@ -555,19 +602,34 @@ def _image_block(arr, dtype, pixel_scale, origin, rows_per_strip, block_off, nex
     np_dt = np.dtype("<" + {1: "u", 2: "i", 3: "f"}[fmt] + str(bits // 8))
     rps = rows_per_strip or h
     n_strips = -(-h // rps)
-    payloads = [arr[s * rps : (s + 1) * rps].astype(np_dt).tobytes() for s in range(n_strips)]
+
+    def encode_strip(s):
+        block = arr[s * rps : (s + 1) * rps].astype(np_dt)
+        if predictor == 2:
+            # horizontal differencing, wraparound in the storage dtype
+            d = block.copy()
+            d[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
+            block = d
+        raw = block.tobytes()
+        if compression in (COMPRESSION_DEFLATE, COMPRESSION_OLD_DEFLATE):
+            raw = zlib.compress(raw)
+        return raw
+
+    payloads = [encode_strip(s) for s in range(n_strips)]
 
     tags: list[tuple[int, int, list]] = [
         (TAG_WIDTH, 3, [w]),
         (TAG_HEIGHT, 3, [h]),
         (TAG_BITS_PER_SAMPLE, 3, [bits] * spp),
-        (TAG_COMPRESSION, 3, [COMPRESSION_NONE]),
+        (TAG_COMPRESSION, 3, [compression]),
         (TAG_PHOTOMETRIC, 3, [2 if spp >= 3 else 1]),
         (TAG_SAMPLES_PER_PIXEL, 3, [spp]),
         (TAG_ROWS_PER_STRIP, 3, [rps]),
         (TAG_PLANAR_CONFIG, 3, [1]),
         (TAG_SAMPLE_FORMAT, 3, [fmt] * spp),
     ]
+    if predictor != 1:
+        tags.append((TAG_PREDICTOR, 3, [predictor]))
     if pixel_scale is not None:
         tags.append((TAG_MODEL_PIXEL_SCALE, 12, [pixel_scale[0], abs(pixel_scale[1]), 0.0]))
     if origin is not None:
@@ -626,9 +688,12 @@ def write_tiff(
     origin: tuple[float, float] | None = None,
     rows_per_strip: int | None = None,
     overviews: list[np.ndarray] | None = None,
+    compression: int = COMPRESSION_NONE,
+    predictor: int = 1,
 ) -> None:
-    """Minimal classic-TIFF writer (little-endian, uncompressed,
-    chunky strips) — the engine's raster SINK and the fixture source
+    """Minimal classic-TIFF writer (little-endian, chunky strips;
+    optional Deflate compression and horizontal-differencing
+    predictor) — the engine's raster SINK and the fixture source
     for variants the reference repo ships no file for: Rgb16 and U64
     samples (src/geotiff.rs:393-418, src/lib.rs:42) and multi-IFD
     COG pyramids (``overviews`` become chained IFDs, the layout
@@ -654,6 +719,7 @@ def write_tiff(
                     pixel_scale if i == 0 else None,
                     origin if i == 0 else None,
                     rows_per_strip, off, nxt,
+                    compression=compression, predictor=predictor,
                 )
             )
             off += len(new_blocks[-1])

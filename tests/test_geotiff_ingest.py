@@ -349,3 +349,81 @@ class TestCogPyramid:
         got = {(r.x, r.y): r.value for r in df.collect()}
         assert got[(3, 5)] == float(ov1[5, 3])
         assert pick_overview(cascade, max_pixels=10)[0] == 2  # coarsest fallback
+
+
+class TestPredictorAndGeoKeys:
+    def test_predictor2_round_trip_with_wraparound(self, tmp_path):
+        """Deflate + horizontal differencing (TIFF6 predictor 2):
+        deltas are stored modulo 2^bits, so rows that DECREASE (e.g.
+        255 -> 0) exercise the wraparound on both sides."""
+        import zlib
+
+        from georaster_spark.sources.geotiff import (
+            COMPRESSION_DEFLATE,
+            chunk_descriptors,
+            write_tiff,
+        )
+
+        y, x = np.mgrid[0:5, 0:7]
+        arr = ((x * 113 + y * 31) % 256).astype(np.uint8)
+        arr[0, :4] = [250, 3, 255, 0]  # forced wraparound deltas
+        p = str(tmp_path / "pred2.tif")
+        write_tiff(p, arr, "u8", compression=COMPRESSION_DEFLATE, predictor=2)
+        tf = open_tiff(p)
+        assert tf.images[0].predictor == 2
+        got = np.array([[read_pixel(tf, xx, yy) for xx in range(7)] for yy in range(5)])
+        assert np.array_equal(got, arr)
+        # non-circularity: the stored strip bytes really are row deltas
+        d = chunk_descriptors(tf)[0]
+        with open(p, "rb") as f:
+            f.seek(d["offset"])
+            raw = zlib.decompress(f.read(d["nbytes"]))
+        stored = np.frombuffer(raw, dtype=np.uint8).reshape(5, 7)
+        manual = arr.copy()
+        manual[:, 1:] = arr[:, 1:] - arr[:, :-1]  # uint8 wraparound
+        assert np.array_equal(stored, manual)
+
+    def test_predictor2_rgb16(self, tmp_path):
+        from georaster_spark.sources.geotiff import COMPRESSION_DEFLATE, write_tiff
+
+        y, x = np.mgrid[0:4, 0:5]
+        arr = np.stack([x * 9000 % 65536, (65000 - y * 7000) % 65536, x + y], axis=-1).astype(np.uint16)
+        p = str(tmp_path / "pred2_16.tif")
+        write_tiff(p, arr, "u16", compression=COMPRESSION_DEFLATE, predictor=2)
+        tf = open_tiff(p)
+        for yy in range(4):
+            for xx in range(5):
+                assert read_pixel(tf, xx, yy) == tuple(float(v) for v in arr[yy, xx])
+
+    def test_predictor2_float_rejected(self, tmp_path):
+        from georaster_spark.sources.geotiff import (
+            COMPRESSION_DEFLATE,
+            chunk_descriptors,
+            write_tiff,
+        )
+
+        p = str(tmp_path / "pf.tif")
+        write_tiff(p, np.ones((2, 2)), "f32", compression=COMPRESSION_DEFLATE, predictor=2)
+        with pytest.raises(ValueError, match="integer-only"):
+            chunk_descriptors(open_tiff(p))
+
+    def test_epsg_codes_of_reference_fixtures(self):
+        """GeoKeyDirectory -> EPSG decodes agree with the CRS names
+        the reference asserts via geo_params (tests/geotiff.rs:67,
+        232, 431): NAD27/UTM 11N = 26711, WGS 84 = 4326,
+        CH1903+/LV95 = 2056."""
+        from georaster_spark.sources.geotiff import epsg_code, geo_key_map
+
+        codes = {
+            n: epsg_code(open_tiff(f"{D}/{n}"))
+            for n in ("byte.tif", "small_world.tif", "sat.tif", "utm.tif", "f32nan_data.tif")
+        }
+        assert codes == {
+            "byte.tif": 26711,
+            "small_world.tif": 4326,
+            "sat.tif": 2056,
+            "utm.tif": 26711,
+            "f32nan_data.tif": None,
+        }
+        keys = geo_key_map(open_tiff(f"{D}/byte.tif"))
+        assert keys[1026] == "NAD27 / UTM zone 11N"  # citation via ASCII slice
