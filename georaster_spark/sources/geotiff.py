@@ -67,9 +67,112 @@ TAG_GEO_ASCII_PARAMS = 34737
 TAG_GDAL_NODATA = 42113
 
 COMPRESSION_NONE = 1
+COMPRESSION_LZW = 5
 COMPRESSION_DEFLATE = 8
 COMPRESSION_OLD_DEFLATE = 32946
 PHOTOMETRIC_PALETTE = 3
+
+
+# --------------------------------------------------------- LZW codec
+# TIFF6 §13 LZW: MSB-first bit packing, ClearCode=256, EOI=257,
+# 9->12 bit codes with EARLY change (width grows one code before the
+# table actually fills: at 510/1022/2046), dictionary reset at 4094.
+# Pure stdlib; runs per-chunk inside the decode kernel.
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    code_bits = next_code = 0
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, code_bits, next_code, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        code_bits, next_code, prev = 9, 258, None
+
+    reset()
+    buf = nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= code_bits:
+            nbits -= code_bits
+            code = (buf >> nbits) & ((1 << code_bits) - 1)
+            if code == _LZW_CLEAR:
+                reset()
+                continue
+            if code == _LZW_EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                table.append(prev + entry[:1])
+                next_code += 1
+            elif code == next_code:  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+                next_code += 1
+            else:
+                raise ValueError(f"LZW: code {code} beyond table {next_code}")
+            # early change, decoder side: the decoder's table lags
+            # the encoder's by one add (the first code after CLEAR
+            # adds nothing), so it must widen one entry sooner
+            if next_code == (1 << code_bits) - 2 and code_bits < 12:
+                code_bits += 1
+            out += entry
+            prev = entry
+        buf &= (1 << nbits) - 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code, bits):
+        nonlocal buf, nbits
+        buf = (buf << bits) | code
+        nbits += bits
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+        buf &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {}
+    code_bits = next_code = 0
+
+    def reset():
+        nonlocal table, code_bits, next_code
+        table = {bytes([i]): i for i in range(256)}
+        code_bits, next_code = 9, 258
+
+    reset()
+    emit(_LZW_CLEAR, code_bits)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_bits)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << code_bits) - 1 and code_bits < 12:
+            code_bits += 1  # early change, mirror of the decoder
+        if next_code > 4093:  # reset before the table overflows
+            emit(_LZW_CLEAR, code_bits)
+            reset()
+        w = bytes([b])
+    if w:
+        emit(table[w], code_bits)
+    emit(_LZW_EOI, code_bits)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 # TIFF field types: code -> (byte size, struct letter)
 _FIELD = {
@@ -344,7 +447,9 @@ def _check_supported(img: TiffImage, path: str) -> None:
         # parity with the reference: palette is unsupported there too
         # (tests/geotiff.rs:307-308 UnsupportedError)
         raise ValueError(f"{path}: palette (RGBPalette) rasters not supported")
-    if img.compression not in (COMPRESSION_NONE, COMPRESSION_DEFLATE, COMPRESSION_OLD_DEFLATE):
+    if img.compression not in (
+        COMPRESSION_NONE, COMPRESSION_LZW, COMPRESSION_DEFLATE, COMPRESSION_OLD_DEFLATE
+    ):
         raise ValueError(f"{path}: compression {img.compression} not supported")
     if img.predictor not in (1, 2):
         raise ValueError(f"{path}: predictor {img.predictor} not supported")
@@ -406,6 +511,8 @@ def decode_chunk_bytes(raw: bytes, desc: dict, as_float: bool = True) -> np.ndar
     for u64 > 2^53). Pure NumPy — this is the per-chunk kernel body."""
     if desc["compression"] in (COMPRESSION_DEFLATE, COMPRESSION_OLD_DEFLATE):
         raw = zlib.decompress(raw)
+    elif desc["compression"] == COMPRESSION_LZW:
+        raw = lzw_decode(raw)
     dt = np.dtype(desc["byte_order"] + {"u": "u", "i": "i", "f": "f"}[desc["dtype"][0]] + str(int(desc["dtype"][1:]) // 8))
     spp = desc["spp"]
     want = desc["stored_h"] * desc["stored_w"] * spp
@@ -613,6 +720,8 @@ def _image_block(
         raw = block.tobytes()
         if compression in (COMPRESSION_DEFLATE, COMPRESSION_OLD_DEFLATE):
             raw = zlib.compress(raw)
+        elif compression == COMPRESSION_LZW:
+            raw = lzw_encode(raw)
         return raw
 
     payloads = [encode_strip(s) for s in range(n_strips)]

@@ -427,3 +427,49 @@ class TestPredictorAndGeoKeys:
         }
         keys = geo_key_map(open_tiff(f"{D}/byte.tif"))
         assert keys[1026] == "NAD27 / UTM zone 11N"  # citation via ASCII slice
+
+
+class TestLzw:
+    """TIFF6 §13 LZW: MSB-first packing, early change, dict reset."""
+
+    def test_hand_computed_vector(self):
+        """encode(b'AAA') -> codes [CLEAR, 'A', 'AA', EOI] =
+        [256, 65, 258, 257] at 9 bits, MSB-first:
+        100000000 001000001 100000010 100000001 -> 0x80 10 60 50 10."""
+        from georaster_spark.sources.geotiff import lzw_decode, lzw_encode
+
+        assert lzw_encode(b"AAA") == bytes([0x80, 0x10, 0x60, 0x50, 0x10])
+        assert lzw_decode(bytes([0x80, 0x10, 0x60, 0x50, 0x10])) == b"AAA"
+
+    def test_round_trip_across_width_changes_and_reset(self):
+        from georaster_spark.sources.geotiff import lzw_decode, lzw_encode
+
+        # deterministic pseudo-random bytes, long enough to push the
+        # code width through 9->10->11->12 and force a dict reset
+        data = bytes((i * 197 + (i >> 3) * 31) % 256 for i in range(60_000))
+        assert lzw_decode(lzw_encode(data)) == data
+        # highly repetitive data (KwKwK case) and tiny inputs
+        assert lzw_decode(lzw_encode(b"\x00" * 1000)) == b"\x00" * 1000
+        assert lzw_decode(lzw_encode(b"")) == b""
+        assert lzw_decode(lzw_encode(b"\x42")) == b"\x42"
+
+    def test_lzw_tiff_round_trip_with_predictor(self, tmp_path):
+        from georaster_spark.sources.geotiff import COMPRESSION_LZW, write_tiff
+
+        y, x = np.mgrid[0:9, 0:13]
+        arr = ((x * 7 + y * 3) % 256).astype(np.uint8)
+        p = str(tmp_path / "lzw.tif")
+        write_tiff(p, arr, "u8", compression=COMPRESSION_LZW, predictor=2, rows_per_strip=4)
+        tf = open_tiff(p)
+        assert tf.images[0].compression == 5
+        got = np.array([[read_pixel(tf, xx, yy) for xx in range(13)] for yy in range(9)])
+        assert np.array_equal(got, arr)
+
+    def test_lzw_distributed_decode(self, spark, tmp_path):
+        from georaster_spark.sources.geotiff import COMPRESSION_LZW, write_tiff
+
+        arr = (np.arange(64).reshape(8, 8) * 3 % 251).astype(np.uint8)
+        p = str(tmp_path / "lzw_px.tif")
+        write_tiff(p, arr, "u8", compression=COMPRESSION_LZW)
+        got = {(r.x, r.y): r.value for r in pixels_df(spark, [p]).collect()}
+        assert all(got[(xx, yy)] == float(arr[yy, xx]) for yy in range(8) for xx in range(8))
