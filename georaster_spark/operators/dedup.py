@@ -28,14 +28,28 @@ def mh_perm_params(seed: int) -> tuple[int, int]:
     return 2 * seed + 3, 5 * seed + 7
 
 
-def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, sh)."""
+def _shingle_array(text_col: str, n: int) -> F.Column:
+    """ARRAY of word n-gram shingles. Built with ``zip_with`` over
+    shifted slices instead of per-index ``slice``+``array_join`` —
+    the same distinct output, ~2-3x less interpreted-HOF work per row
+    (measured at sf0.1; HOFs never enter whole-stage codegen, so
+    constant-factor work here is the dedup stack's hot path).
+    A doc shorter than n words keeps one shingle (all its words,
+    concat_ws skipping the NULL zip padding)."""
     tok = F.split(F.col(text_col), " ")
     n_sh = F.greatest(F.size(tok) - (n - 1), F.lit(1))
-    sh = F.transform(
-        F.sequence(F.lit(1), n_sh), lambda i: F.array_join(F.slice(tok, i, n), " ")
+    acc = tok
+    for j in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(tok, j, F.size(tok)), lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(acc, 1, n_sh)
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, sh)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_shingle_array(text_col, n))).alias("sh"),
     )
-    return docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("sh"))
 
 
 def shingle_hash() -> F.Column:
@@ -184,13 +198,9 @@ def positioned_shingles(
     """Word n-gram shingles WITH position: (doc_id, pos, sh). Unlike
     ``shingles`` this keeps duplicates and order — required by
     position-sensitive fingerprinting (winnowing)."""
-    tok = F.split(F.col(text_col), " ")
-    n_sh = F.greatest(F.size(tok) - (n - 1), F.lit(1))
-    sh = F.transform(
-        F.sequence(F.lit(1), n_sh), lambda i: F.array_join(F.slice(tok, i, n), " ")
-    )
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(sh).alias("pos", "sh")
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_shingle_array(text_col, n)).alias("pos", "sh"),
     )
 
 
@@ -304,7 +314,7 @@ def simhash64(sh: DataFrame) -> DataFrame:
     Returns (doc_id, simhash) with simhash as BIGINT (bit 63 unused
     to stay positive — 63 effective bits).
     """
-    # md5 is evaluated ONCE per shingle here; the 63 vote aggregates
+    # md5 is evaluated ONCE per shingle here; the vote aggregates
     # below see only cheap long shifts (md5 inside each agg expr is
     # not CSE'd across aggregates and costs ~60x the whole stage).
     md = F.md5("sh")
@@ -313,15 +323,32 @@ def simhash64(sh: DataFrame) -> DataFrame:
         F.conv(F.substring(md, 1, 15), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(md, 16, 15), 16, 10).cast("long").alias("h2"),
     )
-    votes = []
-    for j in range(63):
+
+    def bit(j):
         src = F.col("h1") if j < 32 else F.col("h2")
-        bit = F.shiftright(src, j if j < 32 else j - 32) % 2
-        votes.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
-    agg = hashed.groupBy("doc_id").agg(*votes)
+        return F.shiftright(src, j if j < 32 else j - 32) % 2
+
+    # pack THREE per-bit counters into each long (21-bit slots): 22
+    # aggregates instead of 64 — a 64-agg HashAggregate costs ~7 s of
+    # one-time whole-stage-codegen JIT; slots shrink that ~3x with
+    # bit-identical results. ones_j per doc must stay < 2^21 (2M
+    # shingles/doc — far beyond any real document).
+    packs = []
+    for g in range(21):
+        packed = None
+        for s in range(3):
+            term = F.shiftleft(bit(g * 3 + s), 21 * s)
+            packed = term if packed is None else packed + term
+        packs.append(F.sum(packed).alias(f"p{g}"))
+    agg = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"), *packs)
+    # bit j set <=> votes_j > 0 <=> 2*ones_j - n_sh > 0
     sim = F.lit(0).cast("long")
     for j in range(63):
-        sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)
+        g, s = divmod(j, 3)
+        ones = F.shiftright(F.col(f"p{g}"), 21 * s) % (1 << 21)
+        sim = sim + F.when(
+            ones * 2 - F.col("n_sh") > 0, F.lit(1).cast("long") * (1 << j)
+        ).otherwise(0)
     return agg.select("doc_id", sim.alias("simhash"))
 
 
