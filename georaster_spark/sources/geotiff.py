@@ -188,6 +188,9 @@ _FIELD = {
     10: (8, "ii"),  # SRATIONAL
     11: (4, "f"),  # FLOAT
     12: (8, "d"),  # DOUBLE
+    16: (8, "Q"),  # LONG8 (BigTIFF)
+    17: (8, "q"),  # SLONG8 (BigTIFF)
+    18: (8, "Q"),  # IFD8 (BigTIFF)
 }
 
 
@@ -202,15 +205,15 @@ def _read_at(f, off: int, n: int) -> bytes:
     return b
 
 
-def _tag_values(f, bo: str, typ: int, cnt: int, inline: bytes):
+def _tag_values(f, bo: str, typ: int, cnt: int, inline: bytes, big: bool = False):
     size, letter = _FIELD.get(typ, (None, None))
     if size is None:
         return None
     nbytes = size * cnt
-    if nbytes <= 4:
+    if nbytes <= (8 if big else 4):
         raw = inline[:nbytes]
     else:
-        (off,) = struct.unpack(bo + "I", inline)
+        (off,) = struct.unpack(bo + ("Q" if big else "I"), inline)
         raw = _read_at(f, off, nbytes)
     if typ == 2:  # ASCII: NUL-terminated string
         return raw.split(b"\0")[0].decode("ascii", "replace")
@@ -334,27 +337,44 @@ def open_tiff(path: str) -> TiffFile:
         else:
             raise ValueError(f"{path}: not a TIFF (no II/MM)")
         (magic,) = struct.unpack(bo + "H", head[2:4])
-        if magic == 43:
-            raise ValueError(f"{path}: BigTIFF not supported")
-        if magic != 42:
+        if magic == 42:
+            big = False
+            (ifd_off,) = struct.unpack(bo + "I", head[4:8])
+        elif magic == 43:
+            # BigTIFF: 8-byte offsets everywhere — the layout every
+            # real >4 GB COG uses
+            big = True
+            offsize, reserved = struct.unpack(bo + "HH", head[4:8])
+            if offsize != 8 or reserved != 0:
+                raise ValueError(f"{path}: malformed BigTIFF header")
+            (ifd_off,) = struct.unpack(bo + "Q", _read_at(f, 8, 8))
+        else:
             raise ValueError(f"{path}: bad magic {magic}")
-        (ifd_off,) = struct.unpack(bo + "I", head[4:8])
+        # classic: u16 entry count, 12-byte entries (u32 count, 4B
+        # inline), u32 next pointer; BigTIFF: u64 count, 20-byte
+        # entries (u64 count, 8B inline), u64 next pointer
+        cnt_fmt, cnt_sz = ("Q", 8) if big else ("H", 2)
+        ent_sz, inline_off = (20, 12) if big else (12, 8)
+        ecnt_fmt = "HHQ" if big else "HHI"
+        nxt_fmt, nxt_sz = ("Q", 8) if big else ("I", 4)
 
         images: list[TiffImage] = []
         file_tags: dict = {}
         seen = set()
         while ifd_off and ifd_off not in seen:
             seen.add(ifd_off)
-            (n,) = struct.unpack(bo + "H", _read_at(f, ifd_off, 2))
-            table = _read_at(f, ifd_off + 2, 12 * n)
+            (n,) = struct.unpack(bo + cnt_fmt, _read_at(f, ifd_off, cnt_sz))
+            table = _read_at(f, ifd_off + cnt_sz, ent_sz * n)
             tags: dict = {}
             for i in range(n):
-                tag, typ, cnt = struct.unpack(bo + "HHI", table[12 * i : 12 * i + 8])
-                inline = table[12 * i + 8 : 12 * i + 12]
-                vals = _tag_values(f, bo, typ, cnt, inline)
+                e = table[ent_sz * i : ent_sz * (i + 1)]
+                tag, typ, cnt = struct.unpack(bo + ecnt_fmt, e[:inline_off])
+                vals = _tag_values(f, bo, typ, cnt, e[inline_off:], big)
                 if vals is not None:
                     tags[tag] = vals
-            (ifd_off,) = struct.unpack(bo + "I", _read_at(f, ifd_off + 2 + 12 * n, 4))
+            (ifd_off,) = struct.unpack(
+                bo + nxt_fmt, _read_at(f, ifd_off + cnt_sz + ent_sz * n, nxt_sz)
+            )
 
             def one(t, default=None):
                 v = tags.get(t, default)
@@ -508,7 +528,13 @@ def chunk_descriptors(tf: TiffFile, image_idx: int = 0) -> list[dict]:
 def decode_chunk_bytes(raw: bytes, desc: dict, as_float: bool = True) -> np.ndarray:
     """Chunk payload -> (h_valid, w_valid, spp) array, NaN = NoData.
     ``as_float=False`` keeps the native sample dtype (the exact path
-    for u64 > 2^53). Pure NumPy — this is the per-chunk kernel body."""
+    for u64 > 2^53). A ZERO-LENGTH chunk (GDAL sparse-file layout:
+    offset/bytecount 0 for all-nodata regions) decodes to all-NaN.
+    Pure NumPy — this is the per-chunk kernel body."""
+    if desc["nbytes"] == 0 or len(raw) == 0:
+        if not as_float:
+            raise ValueError("sparse chunk has no exact integer representation")
+        return np.full((desc["h"], desc["w"], desc["spp"]), np.nan)
     if desc["compression"] in (COMPRESSION_DEFLATE, COMPRESSION_OLD_DEFLATE):
         raw = zlib.decompress(raw)
     elif desc["compression"] == COMPRESSION_LZW:
@@ -537,6 +563,8 @@ def decode_chunk_bytes(raw: bytes, desc: dict, as_float: bool = True) -> np.ndar
 
 
 def read_chunk(desc: dict, as_float: bool = True) -> np.ndarray:
+    if desc["nbytes"] == 0:  # sparse chunk: no payload to read
+        return decode_chunk_bytes(b"", desc, as_float)
     with open(desc["path"], "rb") as f:
         raw = _read_at(f, desc["offset"], desc["nbytes"])
     return decode_chunk_bytes(raw, desc, as_float)
@@ -691,13 +719,13 @@ _DTYPE_TO_TIFF = {
 
 
 def _encode_tag_values(typ, vals):
-    letter = {3: "H", 4: "I", 12: "d"}[typ]
+    letter = {3: "H", 4: "I", 12: "d", 16: "Q"}[typ]
     return struct.pack("<" + str(len(vals)) + letter, *vals)
 
 
 def _image_block(
     arr, dtype, pixel_scale, origin, rows_per_strip, block_off, next_ifd,
-    compression=COMPRESSION_NONE, predictor=1,
+    compression=COMPRESSION_NONE, predictor=1, big=False, sparse_value=None,
 ):
     """Serialize ONE image as (IFD + out-of-line values + payloads)
     at absolute offset ``block_off``; returns the bytes. ``next_ifd``
@@ -712,6 +740,8 @@ def _image_block(
 
     def encode_strip(s):
         block = arr[s * rps : (s + 1) * rps].astype(np_dt)
+        if sparse_value is not None and bool(np.all(block == sparse_value)):
+            return b""  # GDAL SPARSE_OK layout: offset/bytecount 0
         if predictor == 2:
             # horizontal differencing, wraparound in the storage dtype
             d = block.copy()
@@ -743,18 +773,22 @@ def _image_block(
         tags.append((TAG_MODEL_PIXEL_SCALE, 12, [pixel_scale[0], abs(pixel_scale[1]), 0.0]))
     if origin is not None:
         tags.append((TAG_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, origin[0], origin[1], 0.0]))
-    tags.append((TAG_STRIP_OFFSETS, 4, [0] * n_strips))
-    tags.append((TAG_STRIP_BYTE_COUNTS, 4, [len(p) for p in payloads]))
+    off_typ = 16 if big else 4  # LONG8 offsets in BigTIFF
+    tags.append((TAG_STRIP_OFFSETS, off_typ, [0] * n_strips))
+    tags.append((TAG_STRIP_BYTE_COUNTS, off_typ, [len(p) for p in payloads]))
     tags.sort(key=lambda t: t[0])
 
+    # classic: u16 count, 12B entries (4B inline), u32 next pointer;
+    # BigTIFF: u64 count, 20B entries (8B inline), u64 next pointer
+    cnt_sz, ent_sz, inline_sz, nxt_fmt = (8, 20, 8, "Q") if big else (2, 12, 4, "I")
     n = len(tags)
-    extra_off = block_off + 2 + 12 * n + 4
+    extra_off = block_off + cnt_sz + ent_sz * n + (8 if big else 4)
     extras: list[bytes] = []
     cursor = extra_off
     placed = []
     for tag, typ, vals in tags:
         raw = _encode_tag_values(typ, vals)
-        if len(raw) > 4:
+        if len(raw) > inline_sz:
             placed.append(cursor)
             extras.append(raw)
             cursor += len(raw)
@@ -763,25 +797,25 @@ def _image_block(
     data_off = cursor
     offs = []
     for p in payloads:
-        offs.append(data_off)
+        offs.append(data_off if p else 0)  # sparse strips point nowhere
         data_off += len(p)
     for i, (tag, typ, vals) in enumerate(tags):
         if tag == TAG_STRIP_OFFSETS:
             tags[i] = (tag, typ, offs)
             raw = _encode_tag_values(typ, offs)
-            if len(raw) > 4:  # replace the placeholder extra block
+            if len(raw) > inline_sz:  # replace the placeholder extra block
                 idx = sum(1 for j in range(i) if placed[j] is not None)
                 extras[idx] = raw
 
     out = bytearray()
-    out += struct.pack("<H", n)
+    out += struct.pack("<Q" if big else "<H", n)
     for (tag, typ, vals), pl in zip(tags, placed):
         raw = _encode_tag_values(typ, vals)
         if pl is None:
-            out += struct.pack("<HHI", tag, typ, len(vals)) + raw.ljust(4, b"\0")
+            out += struct.pack("<HH" + nxt_fmt, tag, typ, len(vals)) + raw.ljust(inline_sz, b"\0")
         else:
-            out += struct.pack("<HHII", tag, typ, len(vals), pl)
-    out += struct.pack("<I", next_ifd)
+            out += struct.pack("<HH" + nxt_fmt * 2, tag, typ, len(vals), pl)
+    out += struct.pack("<" + nxt_fmt, next_ifd)
     for raw in extras:
         out += raw
     for p in payloads:
@@ -799,10 +833,14 @@ def write_tiff(
     overviews: list[np.ndarray] | None = None,
     compression: int = COMPRESSION_NONE,
     predictor: int = 1,
+    bigtiff: bool = False,
+    sparse_value: float | int | None = None,
 ) -> None:
-    """Minimal classic-TIFF writer (little-endian, chunky strips;
-    optional Deflate compression and horizontal-differencing
-    predictor) — the engine's raster SINK and the fixture source
+    """Minimal TIFF writer (little-endian, chunky strips; optional
+    Deflate/LZW compression, horizontal-differencing predictor,
+    BigTIFF layout, and GDAL-style sparse strips where an all-
+    ``sparse_value`` strip stores no payload) — the engine's raster
+    SINK and the fixture source
     for variants the reference repo ships no file for: Rgb16 and U64
     samples (src/geotiff.rs:393-418, src/lib.rs:42) and multi-IFD
     COG pyramids (``overviews`` become chained IFDs, the layout
@@ -814,10 +852,11 @@ def write_tiff(
     """
     images = [arr] + list(overviews or [])
     blocks: list[bytes] = []
+    head_sz = 16 if bigtiff else 8
     # two passes: sizes first (offsets inside a block are absolute),
     # then re-serialize at the final offsets with the IFD chain wired
     for _ in range(2):
-        off = 8
+        off = head_sz
         new_blocks = []
         for i, im in enumerate(images):
             size = len(blocks[i]) if len(blocks) > i else 0
@@ -828,13 +867,17 @@ def write_tiff(
                     pixel_scale if i == 0 else None,
                     origin if i == 0 else None,
                     rows_per_strip, off, nxt,
-                    compression=compression, predictor=predictor,
+                    compression=compression, predictor=predictor, big=bigtiff,
+                    sparse_value=sparse_value,
                 )
             )
             off += len(new_blocks[-1])
         blocks = new_blocks
     with open(path, "wb") as f:
-        f.write(b"II" + struct.pack("<HI", 42, 8))
+        if bigtiff:
+            f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, 16))
+        else:
+            f.write(b"II" + struct.pack("<HI", 42, 8))
         for b in blocks:
             f.write(b)
 

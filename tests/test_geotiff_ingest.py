@@ -473,3 +473,60 @@ class TestLzw:
         write_tiff(p, arr, "u8", compression=COMPRESSION_LZW)
         got = {(r.x, r.y): r.value for r in pixels_df(spark, [p]).collect()}
         assert all(got[(xx, yy)] == float(arr[yy, xx]) for yy in range(8) for xx in range(8))
+
+
+class TestBigTiffAndSparse:
+    """BigTIFF (magic 43, 8-byte offsets — every real >4 GB COG) and
+    GDAL sparse layout (offset/bytecount 0 => all-NoData chunk)."""
+
+    def test_bigtiff_round_trip(self, tmp_path):
+        import struct
+
+        from georaster_spark.sources.geotiff import COMPRESSION_DEFLATE, write_tiff
+
+        y, x = np.mgrid[0:10, 0:12]
+        arr = ((x * 11 + y * 17) % 251).astype(np.uint8)
+        p = str(tmp_path / "big.tif")
+        write_tiff(
+            p, arr, "u8",
+            pixel_scale=(30.0, -30.0), origin=(100000.0, 200000.0),
+            rows_per_strip=4, compression=COMPRESSION_DEFLATE, bigtiff=True,
+        )
+        with open(p, "rb") as f:
+            head = f.read(8)
+        assert struct.unpack("<H", head[2:4])[0] == 43
+        tf = open_tiff(p)
+        assert (tf.images[0].width, tf.images[0].height) == (12, 10)
+        assert tf.origin() == [100000.0, 200000.0]
+        got = np.array([[read_pixel(tf, xx, yy) for xx in range(12)] for yy in range(10)])
+        assert np.array_equal(got, arr)
+
+    def test_bigtiff_cog_pyramid(self, tmp_path):
+        from georaster_spark.sources.geotiff import write_tiff
+
+        full = (np.arange(256).reshape(16, 16) % 251).astype(np.uint8)
+        p = str(tmp_path / "big_cog.tif")
+        write_tiff(p, full, "u8", overviews=[full[::2, ::2]], bigtiff=True)
+        tf = open_tiff(p)
+        assert [(i.width, i.height) for i in tf.images] == [(16, 16), (8, 8)]
+        assert read_pixel(tf, 3, 3, image_idx=1) == float(full[6, 6])
+
+    def test_sparse_strips_decode_as_nodata(self, spark, tmp_path):
+        from georaster_spark.sources.geotiff import chunk_descriptors, write_tiff
+
+        arr = np.zeros((8, 6), dtype=np.uint8)
+        arr[0:4] = 7  # strip 0 has data; strip 1 (rows 4..7) is all-zero
+        p = str(tmp_path / "sparse.tif")
+        write_tiff(p, arr, "u8", rows_per_strip=4, sparse_value=0)
+        tf = open_tiff(p)
+        descs = chunk_descriptors(tf)
+        assert [d["nbytes"] for d in descs] == [24, 0]
+        assert [d["offset"] for d in descs][1] == 0
+        # local read: sparse region is NoData (NaN -> None via pixels)
+        assert read_pixel(tf, 0, 0) == 7.0
+        assert math.isnan(read_pixel(tf, 0, 7))
+        # distributed: NULLs for the sparse strip, values for the rest
+        px = pixels_df(spark, [p])
+        assert px.where(F.col("value").isNull()).count() == 24
+        assert px.where(F.col("value") == 7.0).count() == 24
+        assert px.count() == 48
