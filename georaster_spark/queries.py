@@ -1751,7 +1751,40 @@ TIFF_INGEST_GOLDEN = [
     ("sat_multiband", 200, 200, 3, 2747994296800, 1205137243500, 1889889558, -1889889531, "CH1903+ / LV95|CH1903+|", 120000, 0, 8096673000),
     ("small_world", 400, 200, 3, -180000000, 90000000, 900000000, -900000000, "WGS 84|", 240000, 0, 13229691000),
     ("utm", 512, 512, 1, 440720000000, 3751320000000, 60000000000, -60000000000, "UTM    11 S E000|", 262144, 0, 27298436000),
+    # deterministic engine-written fixtures covering decode paths the
+    # reference files don't ship: LZW + predictor-2, and BigTIFF with
+    # GDAL-style sparse strips (offset/bytecount 0 -> NoData)
+    ("synth_lzw_pred", 50, 40, 1, 1000000000, 2000000000, 5000000000, -5000000000, None, 2000, 0, 254288000),
+    ("synth_big_sparse", 20, 30, 1, None, None, None, None, None, 600, 400, -9800000),
 ]
+
+
+def _synth_ingest_paths() -> list[str]:
+    """Write (idempotently) the two synthetic ingest fixtures into a
+    temp dir and return their paths. Content is closed-form, so the
+    pinned TIFF_INGEST_GOLDEN rows hold for every (re)write."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from georaster_spark.sources.geotiff import COMPRESSION_LZW, write_tiff
+
+    d = os.path.join(tempfile.gettempdir(), "georaster_synth_ingest")
+    os.makedirs(d, exist_ok=True)
+    p1 = os.path.join(d, "synth_lzw_pred.tif")
+    y, x = np.mgrid[0:40, 0:50]
+    write_tiff(
+        p1, ((x * 7 + y * 13) % 256).astype(np.uint8), "u8",
+        pixel_scale=(5.0, -5.0), origin=(1000.0, 2000.0),
+        rows_per_strip=16, compression=COMPRESSION_LZW, predictor=2,
+    )
+    p2 = os.path.join(d, "synth_big_sparse.tif")
+    y2, x2 = np.mgrid[0:30, 0:20]
+    arr2 = (x2 * 3 + y2 * 5 - 100).astype(np.int16)
+    arr2[10:] = 0
+    write_tiff(p2, arr2, "i16", rows_per_strip=10, bigtiff=True, sparse_value=0)
+    return [p1, p2]
 
 
 def q_raster_ingest(spark, sf_dir):
@@ -1762,7 +1795,7 @@ def q_raster_ingest(spark, sf_dir):
     partial-aggregated groupBy on raster_id."""
     from georaster_spark.sources.geotiff import open_tiff, pixels_df
 
-    paths = [f"{TIFF_DIR}/{n}" for n in TIFF_INGEST_FILES]
+    paths = [f"{TIFF_DIR}/{n}" for n in TIFF_INGEST_FILES] + _synth_ingest_paths()
     agg = (
         pixels_df(spark, paths)
         .groupBy("raster_id")
