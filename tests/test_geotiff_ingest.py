@@ -530,3 +530,28 @@ class TestBigTiffAndSparse:
         assert px.where(F.col("value").isNull()).count() == 24
         assert px.where(F.col("value") == 7.0).count() == 24
         assert px.count() == 48
+
+
+class TestIngestionErrors:
+    def test_missing_file_raises_cleanly(self, spark, tmp_path):
+        with pytest.raises(Exception):
+            chunk_plan_df(spark, [str(tmp_path / "nope.tif")]).collect()
+
+    def test_not_a_tiff_raises(self, tmp_path):
+        p = str(tmp_path / "junk.tif")
+        with open(p, "wb") as f:
+            f.write(b"PK\x03\x04 definitely not a tiff")
+        with pytest.raises(ValueError, match="not a TIFF"):
+            open_tiff(p)
+
+    def test_truncated_file_raises_short_read(self, tmp_path):
+        from georaster_spark.sources.geotiff import write_tiff
+
+        p = str(tmp_path / "trunc.tif")
+        write_tiff(p, np.ones((4, 4), dtype=np.uint8), "u8")
+        with open(p, "rb") as f:
+            head = f.read(20)
+        with open(p, "wb") as f:
+            f.write(head)
+        with pytest.raises(ValueError, match="short read"):
+            open_tiff(p)
