@@ -520,6 +520,7 @@ def chunk_descriptors(tf: TiffFile, image_idx: int = 0) -> list[dict]:
                 "dtype": img.dtype(),
                 "spp": 1 if img.planar else img.spp,
                 "byte_order": tf.byte_order,
+                "nodata": tf.nodata,
             }
         )
     return out
@@ -601,7 +602,7 @@ CHUNK_SCHEMA = (
     "path string, raster_id string, image_idx int, chunk int, band_run int, "
     "x0 int, y0 int, stored_w int, stored_h int, w int, h int, "
     "offset long, nbytes long, compression int, predictor int, dtype string, "
-    "spp int, byte_order string"
+    "spp int, byte_order string, nodata string"
 )
 
 PIXELS_SCHEMA = "raster_id string, image_idx int, band int, x int, y int, value double"
@@ -634,11 +635,21 @@ def chunk_plan_df(spark, paths: list[str], image_idx: int = 0):
     return paths_df.mapInPandas(kernel, schema=pdf_schema)
 
 
-def pixels_df(spark, paths: list[str], image_idx: int = 0, chunk_partitions: int | None = None):
+def pixels_df(
+    spark,
+    paths: list[str],
+    image_idx: int = 0,
+    chunk_partitions: int | None = None,
+    apply_nodata: bool = False,
+):
     """Stage 2: chunk table -> pixel rows. Each chunk decodes
     independently (ranged payload read + zlib + NumPy); repartitioning
     the CHUNK rows — tiny descriptors, not blobs — is how one big COG
-    spreads over the cluster."""
+    spreads over the cluster.
+
+    ``apply_nodata=True`` maps a file's GDAL_NODATA sentinel to NULL
+    at decode (engine-added: the reference reads the tag but does not
+    apply it, src/geotiff.rs:55; off by default for parity)."""
     chunks = chunk_plan_df(spark, paths, image_idx)
     if chunk_partitions:
         chunks = chunks.repartition(chunk_partitions)
@@ -650,6 +661,11 @@ def pixels_df(spark, paths: list[str], image_idx: int = 0, chunk_partitions: int
             for r in pdf.itertuples(index=False):
                 d = r._asdict()
                 arr = read_chunk(d)
+                if apply_nodata and d.get("nodata") is not None:
+                    try:
+                        arr = np.where(arr == float(d["nodata"]), np.nan, arr)
+                    except ValueError:
+                        pass  # non-numeric GDAL_NODATA string: ignore
                 h, w, spp = arr.shape
                 yy, xx = np.mgrid[0:h, 0:w]
                 for s in range(spp):
@@ -719,6 +735,8 @@ _DTYPE_TO_TIFF = {
 
 
 def _encode_tag_values(typ, vals):
+    if typ == 2:  # ASCII: NUL-terminated
+        return vals.encode("ascii") + b"\0"
     letter = {3: "H", 4: "I", 12: "d", 16: "Q"}[typ]
     return struct.pack("<" + str(len(vals)) + letter, *vals)
 
@@ -726,6 +744,7 @@ def _encode_tag_values(typ, vals):
 def _image_block(
     arr, dtype, pixel_scale, origin, rows_per_strip, block_off, next_ifd,
     compression=COMPRESSION_NONE, predictor=1, big=False, sparse_value=None,
+    nodata=None,
 ):
     """Serialize ONE image as (IFD + out-of-line values + payloads)
     at absolute offset ``block_off``; returns the bytes. ``next_ifd``
@@ -769,6 +788,8 @@ def _image_block(
     ]
     if predictor != 1:
         tags.append((TAG_PREDICTOR, 3, [predictor]))
+    if nodata is not None:
+        tags.append((TAG_GDAL_NODATA, 2, str(nodata)))
     if pixel_scale is not None:
         tags.append((TAG_MODEL_PIXEL_SCALE, 12, [pixel_scale[0], abs(pixel_scale[1]), 0.0]))
     if origin is not None:
@@ -811,10 +832,11 @@ def _image_block(
     out += struct.pack("<Q" if big else "<H", n)
     for (tag, typ, vals), pl in zip(tags, placed):
         raw = _encode_tag_values(typ, vals)
+        cnt = len(raw) if typ == 2 else len(vals)  # ASCII counts bytes incl NUL
         if pl is None:
-            out += struct.pack("<HH" + nxt_fmt, tag, typ, len(vals)) + raw.ljust(inline_sz, b"\0")
+            out += struct.pack("<HH" + nxt_fmt, tag, typ, cnt) + raw.ljust(inline_sz, b"\0")
         else:
-            out += struct.pack("<HH" + nxt_fmt * 2, tag, typ, len(vals), pl)
+            out += struct.pack("<HH" + nxt_fmt * 2, tag, typ, cnt, pl)
     out += struct.pack("<" + nxt_fmt, next_ifd)
     for raw in extras:
         out += raw
@@ -835,6 +857,7 @@ def write_tiff(
     predictor: int = 1,
     bigtiff: bool = False,
     sparse_value: float | int | None = None,
+    nodata: float | int | None = None,
 ) -> None:
     """Minimal TIFF writer (little-endian, chunky strips; optional
     Deflate/LZW compression, horizontal-differencing predictor,
@@ -869,6 +892,7 @@ def write_tiff(
                     rows_per_strip, off, nxt,
                     compression=compression, predictor=predictor, big=bigtiff,
                     sparse_value=sparse_value,
+                    nodata=nodata if i == 0 else None,
                 )
             )
             off += len(new_blocks[-1])

@@ -555,3 +555,90 @@ class TestIngestionErrors:
             f.write(head)
         with pytest.raises(ValueError, match="short read"):
             open_tiff(p)
+
+
+class TestPropertyRoundTrips:
+    """Hypothesis property tests: the codec and writer round-trip for
+    ARBITRARY content, not just the hand-picked fixtures."""
+
+    def test_lzw_round_trips_any_bytes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from georaster_spark.sources.geotiff import lzw_decode, lzw_encode
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(max_size=4096))
+        def check(data):
+            assert lzw_decode(lzw_encode(data)) == data
+
+        check()
+
+    def test_writer_reader_round_trips_any_geometry(self, tmp_path):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from georaster_spark.sources.geotiff import (
+            COMPRESSION_DEFLATE,
+            COMPRESSION_LZW,
+            COMPRESSION_NONE,
+            chunk_descriptors,
+            read_chunk,
+            write_tiff,
+        )
+
+        dtypes = {
+            "u8": np.uint8, "u16": np.uint16, "i16": np.int16,
+            "i32": np.int32, "f32": np.float32, "f64": np.float64,
+        }
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            w=st.integers(1, 23),
+            h=st.integers(1, 19),
+            rps=st.integers(1, 21),
+            dtype=st.sampled_from(sorted(dtypes)),
+            comp=st.sampled_from([COMPRESSION_NONE, COMPRESSION_DEFLATE, COMPRESSION_LZW]),
+            pred=st.sampled_from([1, 2]),
+            seed=st.integers(0, 2**31),
+        )
+        def check(w, h, rps, dtype, comp, pred, seed):
+            if pred == 2 and dtype.startswith("f"):
+                pred = 1
+            rng = np.random.default_rng(seed)
+            if dtype.startswith("f"):
+                arr = rng.normal(size=(h, w)).astype(dtypes[dtype])
+            else:
+                info = np.iinfo(dtypes[dtype])
+                arr = rng.integers(info.min, info.max, size=(h, w), endpoint=True).astype(dtypes[dtype])
+            p = str(tmp_path / "prop.tif")
+            write_tiff(p, arr, dtype, rows_per_strip=rps, compression=comp, predictor=pred)
+            tf = open_tiff(p)
+            full = np.full((h, w), np.nan)
+            for d in chunk_descriptors(tf):
+                c = read_chunk(d)
+                full[d["y0"] : d["y0"] + d["h"], d["x0"] : d["x0"] + d["w"]] = c[:, :, 0]
+            assert np.array_equal(full, arr.astype(np.float64))
+
+        check()
+
+
+class TestGdalNodata:
+    def test_nodata_tag_round_trip_and_apply(self, spark, tmp_path):
+        """GDAL_NODATA tag round-trips through the writer; decode maps
+        the sentinel to NULL only when asked (the reference stores the
+        tag without applying it — src/geotiff.rs:55)."""
+        from georaster_spark.sources.geotiff import write_tiff
+
+        arr = np.array([[0, 5], [255, 7]], dtype=np.uint8)
+        p = str(tmp_path / "nd.tif")
+        write_tiff(p, arr, "u8", nodata=255)
+        tf = open_tiff(p)
+        assert tf.nodata == "255"
+        # parity default: sentinel passes through untouched
+        raw = {(r.x, r.y): r.value for r in pixels_df(spark, [p]).collect()}
+        assert raw[(0, 1)] == 255.0
+        # engine-added option: sentinel -> NULL
+        nd = {(r.x, r.y): r.value for r in pixels_df(spark, [p], apply_nodata=True).collect()}
+        assert nd[(0, 1)] is None
+        assert nd[(0, 0)] == 0.0 and nd[(1, 1)] == 7.0
