@@ -608,12 +608,14 @@ CHUNK_SCHEMA = (
 PIXELS_SCHEMA = "raster_id string, image_idx int, band int, x int, y int, value double"
 
 
-def chunk_plan_df(spark, paths: list[str], image_idx: int = 0):
+def chunk_plan_df(spark, paths, image_idx: int = 0):
     """Stage 1: paths -> chunk table. Header parse happens in an Arrow
     kernel (executor-side ranged reads); the driver only ships path
-    strings, so a million-file catalog stays distributed."""
-    from pyspark.sql import functions as F  # noqa: N812
+    strings, so a million-file catalog stays distributed.
 
+    ``paths``: a list of path strings, OR an existing DataFrame with
+    a ``path`` string column (the scale form — a file-catalog table
+    never materializes on the driver)."""
     pdf_schema = CHUNK_SCHEMA
 
     def kernel(batches):
@@ -629,9 +631,12 @@ def chunk_plan_df(spark, paths: list[str], image_idx: int = 0):
                 columns=[c.split()[0] for c in pdf_schema.split(", ")],
             )
 
-    paths_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
-        max(1, min(len(paths), 32))
-    )
+    if isinstance(paths, (list, tuple)):
+        paths_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+            max(1, min(len(paths), 32))
+        )
+    else:
+        paths_df = paths.select("path")
     return paths_df.mapInPandas(kernel, schema=pdf_schema)
 
 

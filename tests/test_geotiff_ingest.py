@@ -642,3 +642,13 @@ class TestGdalNodata:
         nd = {(r.x, r.y): r.value for r in pixels_df(spark, [p], apply_nodata=True).collect()}
         assert nd[(0, 1)] is None
         assert nd[(0, 0)] == 0.0 and nd[(1, 1)] == 7.0
+
+
+def test_chunk_plan_accepts_paths_dataframe(spark):
+    """Scale form: the file catalog is a DataFrame, never a
+    driver-side list."""
+    pdf = spark.createDataFrame(
+        [(f"{D}/byte.tif",), (f"{D}/int16.tif",)], "path string"
+    ).repartition(2)
+    rows = chunk_plan_df(spark, pdf).collect()
+    assert {r.raster_id for r in rows} == {"byte", "int16"}
