@@ -90,6 +90,28 @@ def main() -> int:
     p = plans["media_decode"] = explain_str(decode_image_features(d))
     check("media_decode", "no Exchange before the Arrow kernel (blobs never shuffle)", "Exchange" not in p)
 
+    # raster_ingest: the two-stage ingestion plan — no Exchange
+    # between the header kernel and the decode kernel (chunk rows
+    # flow narrow), the small metadata side broadcast, and exactly
+    # one aggregation shuffle (the per-raster groupBy)
+    p = plans["raster_ingest"] = explain_str(Q.q_raster_ingest(spark, SF))
+    kernels = [
+        int(m.group(1)) for m in re.finditer(r"^\((\d+)\) MapInPandas", p, re.M)
+    ]
+    check(
+        "raster_ingest",
+        "header and decode kernels are ADJACENT (no Exchange between: "
+        "chunk rows flow narrow from parse to decode)",
+        len(kernels) == 2 and abs(kernels[0] - kernels[1]) == 1,
+    )
+    check("raster_ingest", "metadata side joined via BroadcastHashJoin", "BroadcastHashJoin" in p)
+    check(
+        "raster_ingest",
+        "exactly two shuffle Exchanges: the tiny path-string spread "
+        "and the per-raster groupBy (blobs shuffle in neither)",
+        n_nodes(p, "Exchange") == 2,
+    )
+
     # window_topk: exactly one shuffle (hash by o_custkey)
     p = plans["window_topk"] = explain_str(Q.q_window_topk(spark, SF))
     check("window_topk", "single Exchange for the window partition key", n_nodes(p, "Exchange") == 1)
