@@ -161,10 +161,14 @@ def ngram_jaccard_pairs_lsh(
 
     Result equals the all-pairs form whenever LSH recall at the
     configured (bands, rows) covers every pair ≥ threshold — the
-    standard banding argument: P(candidate) = 1-(1-s^r)^b, e.g.
-    s=0.8, r=4, b=4 → 0.986 per pair; tests assert exact equality on
-    the testdata. Pairs BELOW threshold are filtered exactly either
-    way, so precision is always 1.
+    standard banding argument P(candidate) = 1-(1-s^r)^b. Tune
+    rows_per_band DOWN for low thresholds: with 16 seeds, r=4/b=4
+    gives 0.879 at s=0.8 but only ~0.23 at s=0.5, while r=2/b=8
+    gives 0.90 at s=0.5 and 0.9997 at s=0.8 (the catalog runs r=2
+    for its τ=0.5 entry). Tests assert exact equality with the
+    all-pairs form on the testdata; on unseen data near-threshold
+    pairs can still miss with probability 1-P. Pairs BELOW threshold
+    are filtered exactly either way, so precision is always 1.
     """
     cand = lsh_candidate_pairs(docs, n_seeds, rows_per_band, shingle_n)
     sh = shingles(docs, n=shingle_n).withColumn("doc_id", F.col("doc_id").cast("long")).persist()

@@ -52,21 +52,33 @@ def with_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def _digest_features(digest: "pd.Series") -> dict[str, "pd.Series"]:
+    """THE deterministic fake-decode formula, in one place (pandas
+    vectorized): (width, height, mean_luma) derived from the md5
+    digest so tests and the DuckDB oracle can reproduce it exactly.
+    Both the batch kernel and the single-item API route through
+    this."""
+    return {
+        "width": digest.str.slice(0, 4).apply(int, base=16) % 1024 + 1,
+        "height": digest.str.slice(4, 8).apply(int, base=16) % 1024 + 1,
+        "mean_luma": digest.str.slice(8, 10).apply(int, base=16),
+    }
+
+
 def _decode_bytes(media: bytes) -> tuple[int, int, int]:
     """Decode media bytes → (width, height, mean_luma).
 
     STUB: real implementation would be ``Image.open(BytesIO(media))``
-    (PIL absent in this container). The deterministic fake derives
-    the triple from the md5 digest so tests and the DuckDB oracle can
-    reproduce it exactly.
+    (PIL absent in this container); swapping a real codec in means
+    replacing this function AND the digest branch in
+    ``decode_image_features``'s kernel (both guarded by _HAVE_PIL so
+    a wired codec can't silently coexist with the fake).
     """
     if _HAVE_PIL:  # pragma: no cover - not reachable in this container
         raise NotImplementedError("real PIL decode path not wired in this build")
     h = hashlib.md5(media).hexdigest()
-    width = 1 + int(h[0:4], 16) % 1024
-    height = 1 + int(h[4:8], 16) % 1024
-    mean_luma = int(h[8:10], 16)
-    return width, height, mean_luma
+    f = _digest_features(pd.Series([h]))
+    return int(f["width"][0]), int(f["height"][0]), int(f["mean_luma"][0])
 
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -79,19 +91,20 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _HAVE_PIL:  # pragma: no cover - same guard as _decode_bytes
+            raise NotImplementedError("real PIL decode path not wired in this build")
         for pdf in batches:
             # the digest itself is per-item (as a real codec would
             # be), but everything derived from it is pandas-vectorized
-            # — one md5 per blob, no per-row tuple assembly
+            # — one md5 per blob, no per-row tuple assembly; the
+            # feature formula lives in _digest_features (one place)
             blobs = pdf["media"].map(bytes)
             digest = blobs.map(lambda b: hashlib.md5(b).hexdigest())
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
                     "n_bytes": blobs.str.len().astype("int64"),
-                    "width": digest.str.slice(0, 4).apply(int, base=16) % 1024 + 1,
-                    "height": digest.str.slice(4, 8).apply(int, base=16) % 1024 + 1,
-                    "mean_luma": digest.str.slice(8, 10).apply(int, base=16),
+                    **_digest_features(digest),
                     "digest": digest,
                 }
             )

@@ -304,6 +304,7 @@ class TiffFile:
     geo_keys: list[int] | None
     geo_params: str | None
     nodata: str | None
+    geo_double_params: list[float] | None = None
 
     def origin(self) -> list[float] | None:
         """src/geotiff.rs:103-108: tiepoint (3,4) wins, else the
@@ -406,6 +407,7 @@ def open_tiff(path: str) -> TiffFile:
                 TAG_MODEL_TRANSFORMATION,
                 TAG_GEO_KEY_DIRECTORY,
                 TAG_GEO_ASCII_PARAMS,
+                TAG_GEO_DOUBLE_PARAMS,
                 TAG_GDAL_NODATA,
             ):
                 if t in tags and t not in file_tags:
@@ -420,6 +422,7 @@ def open_tiff(path: str) -> TiffFile:
             model_transformation=file_tags.get(TAG_MODEL_TRANSFORMATION),
             geo_keys=[int(v) for v in file_tags.get(TAG_GEO_KEY_DIRECTORY, [])] or None,
             geo_params=file_tags.get(TAG_GEO_ASCII_PARAMS),
+            geo_double_params=file_tags.get(TAG_GEO_DOUBLE_PARAMS),
             nodata=file_tags.get(TAG_GDAL_NODATA),
         )
 
@@ -431,12 +434,14 @@ GEOKEY_GEOGRAPHIC_TYPE = 2048
 GEOKEY_PROJECTED_CS_TYPE = 3072
 
 
-def geo_key_map(tf: TiffFile) -> dict[int, int | str]:
+def geo_key_map(tf: TiffFile) -> dict[int, int | float | str | list[float]]:
     """GeoKeyDirectory (OGC 19-008r4 §7.1.1) as {key_id: value}.
     SHORT-valued keys come inline; ASCII-located keys (tag 34737)
-    slice ``geo_params``. The reference exposes the raw directory
-    (``geo_keys`` field, src/geotiff.rs:22); this decodes it."""
-    out: dict[int, int | str] = {}
+    slice ``geo_params``; DOUBLE-located keys (tag 34736) slice
+    ``geo_double_params`` (scalar when count is 1). The reference
+    exposes the raw directory (``geo_keys`` field, src/geotiff.rs:22);
+    this decodes it."""
+    out: dict[int, int | float | str | list[float]] = {}
     ks = tf.geo_keys or []
     for i in range(4, len(ks), 4):
         key_id, loc, cnt, val = ks[i : i + 4]
@@ -444,17 +449,22 @@ def geo_key_map(tf: TiffFile) -> dict[int, int | str]:
             out[key_id] = val
         elif loc == TAG_GEO_ASCII_PARAMS and tf.geo_params is not None:
             out[key_id] = tf.geo_params[val : val + cnt].rstrip("|")
+        elif loc == TAG_GEO_DOUBLE_PARAMS and tf.geo_double_params is not None:
+            vals = tf.geo_double_params[val : val + cnt]
+            out[key_id] = vals[0] if cnt == 1 else list(vals)
     return out
 
 
 def epsg_code(tf: TiffFile) -> int | None:
     """CRS EPSG code: ProjectedCSTypeGeoKey wins for projected model
     types, else GeographicTypeGeogKey. None when neither is present
-    (e.g. the geotransform-less f32nan fixture)."""
+    (e.g. the geotransform-less f32nan fixture) AND for the GeoTIFF
+    reserved sentinels: 32767 = user-defined, 65535 = undefined
+    (OGC 19-008r4 §6.2 — codes 1024..32766 are the EPSG range)."""
     keys = geo_key_map(tf)
     for k in (GEOKEY_PROJECTED_CS_TYPE, GEOKEY_GEOGRAPHIC_TYPE):
         v = keys.get(k)
-        if isinstance(v, int) and 1024 <= v <= 32767 + 32768:
+        if isinstance(v, int) and 1024 <= v <= 32766:
             return v
     return None
 
@@ -489,7 +499,11 @@ def chunk_descriptors(tf: TiffFile, image_idx: int = 0) -> list[dict]:
     n_runs = img.spp if img.planar else 1
     out = []
     for k, (off, cnt) in enumerate(zip(img.offsets, img.byte_counts)):
-        run = k // spb if img.planar else 0
+        # run is derived unconditionally so that a CHUNKY image with
+        # more offset entries than its chunk grid raises too (k//spb
+        # exceeds the single run) instead of silently wrapping onto
+        # existing grid positions and double-counting pixels
+        run = k // spb
         if run >= n_runs:  # trailing entries beyond expected grid
             raise ValueError(f"{tf.path}: chunk {k} beyond {n_runs} band runs x {spb}")
         g = k % spb

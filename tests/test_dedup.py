@@ -134,10 +134,13 @@ def test_lsh_prefiltered_jaccard_equals_all_pairs(spark):
     docs = _docs_spread(spark, "/root/testdata/sf0.001")
     t = int(JACCARD_T * 1000000)
     exact = {tuple(r) for r in ngram_jaccard_pairs(docs, t, SHINGLE_N).collect()}
-    lsh = {
-        tuple(r)
-        for r in ngram_jaccard_pairs_lsh(
-            docs, t, SHINGLE_N, MINHASH_SEEDS, LSH_BANDS
-        ).collect()
-    }
-    assert lsh == exact and len(exact) > 0
+    # r=2 is the cataloged banding (right for the low tau=0.5); also
+    # assert the default r=4 banding still matches on this data
+    for rpb in (2, LSH_BANDS):
+        lsh = {
+            tuple(r)
+            for r in ngram_jaccard_pairs_lsh(
+                docs, t, SHINGLE_N, MINHASH_SEEDS, rpb
+            ).collect()
+        }
+        assert lsh == exact and len(exact) > 0, f"rows_per_band={rpb}"
