@@ -233,10 +233,30 @@ def _disk1_cells_col(cell: Column, res: int) -> Column:
     return F.array_compact(F.array(*entries))
 
 
+def auto_res_for_distance(d_meters: float, max_abs_lat: float = 85.0) -> int:
+    """Finest cell resolution whose disk(1) adjacency guarantee holds
+    for ``d_meters`` within the |lat| ≤ max_abs_lat band — the res a
+    caller should feed ``within_distance_pairs``. Finer is better
+    (smaller candidate sets), so walk down from fine to coarse and
+    return the first res that passes the same safety margin the join
+    itself enforces."""
+    import math as _m
+
+    from georaster_spark.functions.geo import EARTH_RADIUS_M
+
+    m_per_deg = _m.pi * EARTH_RADIUS_M / 180.0
+    for res in range(24, -1, -1):
+        deg = 360.0 / (1 << res)
+        lat_edge = min(89.9, max_abs_lat + deg)
+        if d_meters <= 0.95 * deg * m_per_deg * _m.cos(_m.radians(lat_edge)):
+            return res
+    raise ValueError(f"no resolution satisfies d={d_meters}m at |lat|<={max_abs_lat}")
+
+
 def within_distance_pairs(
     docs: DataFrame,
     d_meters: float,
-    res: int,
+    res: int | None = None,
     key: str = "doc_id",
     lon: str = "lon",
     lat: str = "lat",
@@ -261,6 +281,9 @@ def within_distance_pairs(
 
     from georaster_spark.cells import cell_encode_cols
     from georaster_spark.functions.geo import EARTH_RADIUS_M
+
+    if res is None:
+        res = auto_res_for_distance(d_meters, max_abs_lat)
 
     # min ground extent at the band edge: lon extent shrinks by
     # cos(lat); mercator cell height (deg) also shrinks ~cos(lat).

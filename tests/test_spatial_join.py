@@ -129,3 +129,28 @@ def test_within_distance_rejects_too_fine_res(spark, docs):
 
     with _pytest.raises(ValueError, match="coarser res"):
         within_distance_pairs(docs, 50_000.0, res=12)
+
+
+def test_auto_res_for_distance(spark):
+    """auto_res picks the finest res whose disk(1) guarantee holds,
+    and the auto-res'd join equals the explicitly-res'd one."""
+    from georaster_spark.operators.spatial_join import (
+        auto_res_for_distance,
+        within_distance_pairs,
+    )
+    from georaster_spark.queries import DWITHIN_M, docs_geocoded
+
+    res = auto_res_for_distance(DWITHIN_M, max_abs_lat=47.2)
+    assert res >= 12  # at least as fine as the hand-picked catalog res
+    # one res finer must violate the guarantee the join enforces
+    with pytest.raises(ValueError):
+        d = docs_geocoded(spark, "/root/testdata/sf0.001")
+        within_distance_pairs(d, DWITHIN_M, res=res + 1, max_abs_lat=47.2)
+    d = docs_geocoded(spark, "/root/testdata/sf0.001")
+    auto = within_distance_pairs(d, DWITHIN_M, max_abs_lat=47.2)  # res omitted
+    # auto res uses max_abs_lat=47.2 via the same guard — results must
+    # match the hand-picked res=12 exactly
+    explicit = within_distance_pairs(d, DWITHIN_M, res=12, max_abs_lat=47.2)
+    assert {tuple(r) for r in auto.select("key_a", "key_b").collect()} == {
+        tuple(r) for r in explicit.select("key_a", "key_b").collect()
+    }
