@@ -418,6 +418,70 @@ def q_doc_quality(spark, sf_dir):
     )
 
 
+def q_text_entropy(spark, sf_dir):
+    """Webtext quality signals round 2: character-level Shannon
+    entropy (low-entropy docs are boilerplate/repeated spam) and the
+    word-repetition ratio (1 - distinct/total tokens — the within-doc
+    line/paragraph-dedup proxy). Entropy = two per-doc-keyed
+    aggregations (char histogram, then -sum(p*log2 p)) — both
+    partial-aggregated, shuffle keyed on doc_id, scale-safe."""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "(?!^)")).alias("c")
+    ).where(F.col("c") != "")  # the lookahead split emits a trailing ""
+    counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    # column named "n_tot", NOT "N": Spark (and DuckDB) identifiers
+    # are case-insensitive, so "N" would silently REPLACE "n" and
+    # every p becomes 1 (caught by the semantics unit test — the
+    # value-hash oracle alone can't see a bug mirrored on both sides)
+    p = F.col("n").cast("double") / F.col("n_tot").cast("double")
+    ent = (
+        counts.withColumn("n_tot", F.sum("n").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id")
+        .agg((-F.sum(p * F.log2(p))).alias("H"))
+    )
+    tok = F.split(F.col("text"), " ")
+    rep = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(tok)).cast("double") / F.size(tok).cast("double")
+    )
+    reps = d.select("doc_id", rep.alias("rep"))
+    return (
+        ent.join(reps, "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(F.col("H") * 1000000.0, 0).cast("long").alias("entropy_e6"),
+            F.round(F.col("rep") * 1000000.0, 0).cast("long").alias("rep_ratio_e6"),
+        )
+    )
+
+
+def sql_text_entropy():
+    return """
+    WITH ch AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+      FROM documents, unnest(generate_series(1, len(text))) AS t(i)
+    ),
+    counts AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+    ent AS (
+      SELECT doc_id,
+             -sum((CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE)) * log2(CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE))) AS H
+      FROM (SELECT doc_id, n, sum(n) OVER (PARTITION BY doc_id) AS n_tot FROM counts)
+      GROUP BY 1
+    ),
+    reps AS (
+      SELECT doc_id,
+             1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS rep
+      FROM documents
+    )
+    SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+           CAST(round(H * 1000000.0, 0) AS BIGINT) AS entropy_e6,
+           CAST(round(rep * 1000000.0, 0) AS BIGINT) AS rep_ratio_e6
+    FROM ent e JOIN reps r ON e.doc_id = r.doc_id
+    """
+
+
 def sql_doc_quality():
     stops = ", ".join(f"'{w}'" for w in STOPWORDS)
     stop_ratio = (
@@ -2123,6 +2187,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
     "asof_join": q_asof_join,
+    "text_entropy": q_text_entropy,
     # --- tail: r01 driver-green + pytest-covered (rotation slots) ---
     "raster_info": q_raster_info,
     "pivot_lang": q_pivot_lang,
@@ -2186,6 +2251,7 @@ ORACLES = {
     "embedding_neardup": sql_embedding_neardup(),
     "ann_ivf": sql_ann_ivf(),
     "asof_join": sql_asof_join(),
+    "text_entropy": sql_text_entropy(),
     "raster_info": sql_raster_info(),
     "pivot_lang": sql_pivot_lang(),
     "cube_lang_source": sql_cube_lang_source(),

@@ -154,3 +154,31 @@ class TestZonalStats:
         # the closed-form window totals, each including the overlap
         assert got["a"]["sum_v"] == sum(y * 8 + x for y in range(4) for x in range(4))
         assert got["b"]["sum_v"] == sum(y * 8 + x for y in range(2, 6) for x in range(2, 6))
+
+
+def test_text_entropy_semantics(spark, tmp_path):
+    """Character entropy and repetition ratio behave as quality
+    signals: repeated-token spam scores lower entropy and higher
+    repetition than varied text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georaster_spark.queries import q_text_entropy
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["spam spam spam spam", "the quick brown fox jumps"]),
+                "lang": pa.array(["en", "en"]),
+                "source": pa.array(["s", "s"]),
+                "n_chars": pa.array([19, 25], type=pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    rows = {r.doc_id: r for r in q_text_entropy(spark, d).collect()}
+    assert rows[1].entropy_e6 < rows[2].entropy_e6
+    assert rows[1].rep_ratio_e6 == 750000  # 1 distinct of 4 tokens
+    assert rows[2].rep_ratio_e6 == 0
