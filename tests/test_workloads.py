@@ -182,3 +182,54 @@ def test_text_entropy_semantics(spark, tmp_path):
     assert rows[1].entropy_e6 < rows[2].entropy_e6
     assert rows[1].rep_ratio_e6 == 750000  # 1 distinct of 4 tokens
     assert rows[2].rep_ratio_e6 == 0
+
+
+def test_stratified_sample_semantics(spark):
+    """Hand-check the deterministic keep rule against an independent
+    Python computation (guards against a formula bug mirrored into
+    the SQL oracle): doc kept iff md5-derived hash(doc_id) % 1e6 <
+    rate[lang], and realized rates track the configured quotas."""
+    import hashlib
+
+    from georaster_spark.queries import SAMPLE_RATES_E6, q_stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+    kept = {r.doc_id for r in q_stratified_sample(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "lang").collect()
+    expect = set()
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % 1000000
+        # languages without a quota are dropped (NULL rate both sides)
+        if h < SAMPLE_RATES_E6.get(r.lang, 0):
+            expect.add(r.doc_id)
+    assert kept == expect and len(kept) > 0
+
+
+def test_doc_quality_semantics(spark, tmp_path):
+    """Hand-computed quality components for a crafted doc (mirrored-
+    formula guard for the doc_quality pair)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georaster_spark.queries import STOPWORDS, q_doc_quality
+
+    text = "the cat sat, the dog ran!"  # 6 tokens; punct , and !
+    n_stop = sum(1 for t in text.split(" ") if t in STOPWORDS)
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], type=pa.int64()),
+                "text": pa.array([text]),
+                "lang": pa.array(["en"]),
+                "source": pa.array(["s"]),
+                "n_chars": pa.array([len(text)], type=pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    row = q_doc_quality(spark, d).collect()[0]
+    assert row.stop_ratio_e6 == round(n_stop / 6 * 1e6)
+    assert row.punct_ratio_e6 == round(2 / len(text) * 1e6)
+    expect_score = (n_stop / 6) * 0.4 + min(6 / 100, 1.0) * 0.4 + (2 / len(text)) * 0.2
+    assert row.quality_e6 == round(expect_score * 1e6)
