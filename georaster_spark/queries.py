@@ -1066,10 +1066,18 @@ def sql_wordcount():
 # =====================================================================
 
 
+# BPE-style pretokenizer (GPT-2-family shape, lookahead-free so the
+# Java, RE2/DuckDB, and Python regex engines agree — verified in
+# tests): contractions | space-prefixed letter runs | digit runs |
+# punct runs | whitespace runs.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
+
+
 def q_text_stats(spark, sf_dir):
-    """Token count, punctuation ratio, quality score, fingerprint —
-    the language/quality heuristics of a webtext pipeline, all as
-    built-in Column algebra (JVM-side)."""
+    """Token counts (whitespace AND the BPE-ish pretokenizer — both
+    counting modes a training pipeline budgets with), punctuation
+    ratio, quality score, fingerprint — all built-in Column algebra
+    (JVM-side)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.col("text"), " "))
     alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
@@ -1081,6 +1089,7 @@ def q_text_stats(spark, sf_dir):
     return d.select(
         "doc_id",
         toks.cast("long").alias("n_tokens"),
+        F.regexp_count("text", F.lit(BPE_PRETOKEN_RE)).cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_m"),
         ratio_e6.alias("alpha_ratio_e6"),
         F.md5(F.lower(F.col("text"))).alias("fingerprint"),
@@ -1088,9 +1097,11 @@ def q_text_stats(spark, sf_dir):
 
 
 def sql_text_stats():
-    return """
+    bpe = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_m,
            CAST(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS alpha_ratio_e6,
            md5(lower(text)) AS fingerprint

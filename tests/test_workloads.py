@@ -233,3 +233,33 @@ def test_doc_quality_semantics(spark, tmp_path):
     assert row.punct_ratio_e6 == round(2 / len(text) * 1e6)
     expect_score = (n_stop / 6) * 0.4 + min(6 / 100, 1.0) * 0.4 + (2 / len(text)) * 0.2
     assert row.quality_e6 == round(expect_score * 1e6)
+
+
+def test_bpe_pretokenizer_cross_engine(spark):
+    """BPE-ish pretokenizer counts agree across Java regex (Spark),
+    RE2 (DuckDB), and Python re on crafted inputs — the portability
+    contract the text_stats oracle pair relies on."""
+    import re
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from georaster_spark.queries import BPE_PRETOKEN_RE
+
+    tests = [
+        "the cat's 2 hats, obviously!",
+        "  spaces   and\ttabs",
+        "it'll re've 'd x9y",
+        "no-punct words here",
+        "unicode stays ascii-safe: cafe",
+    ]
+    df = spark.createDataFrame([(t,) for t in tests], "text string")
+    sp = [r[0] for r in df.select(F.regexp_count("text", F.lit(BPE_PRETOKEN_RE))).collect()]
+    con = duckdb.connect()
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    dk = [
+        con.execute(f"SELECT len(regexp_extract_all(?, '{pat}'))", [t]).fetchone()[0]
+        for t in tests
+    ]
+    py = [len(re.findall(BPE_PRETOKEN_RE, t)) for t in tests]
+    assert sp == dk == py
