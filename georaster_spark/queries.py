@@ -2197,9 +2197,9 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
-    "asof_join": q_asof_join,
     "text_entropy": q_text_entropy,
     # --- tail: r01 driver-green + pytest-covered (rotation slots) ---
+    "asof_join": q_asof_join,
     "raster_info": q_raster_info,
     "pivot_lang": q_pivot_lang,
     "cube_lang_source": q_cube_lang_source,
@@ -2261,8 +2261,8 @@ ORACLES = {
     "dedup_components": sql_dedup_components(),
     "embedding_neardup": sql_embedding_neardup(),
     "ann_ivf": sql_ann_ivf(),
-    "asof_join": sql_asof_join(),
     "text_entropy": sql_text_entropy(),
+    "asof_join": sql_asof_join(),
     "raster_info": sql_raster_info(),
     "pivot_lang": sql_pivot_lang(),
     "cube_lang_source": sql_cube_lang_source(),
