@@ -233,22 +233,32 @@ def _disk1_cells_col(cell: Column, res: int) -> Column:
     return F.array_compact(F.array(*entries))
 
 
+def _min_cell_extent_m(res: int, max_abs_lat: float) -> float:
+    """Safe minimum ground extent of a res-cell within the latitude
+    band (shared by the join guard and auto-res so the two can never
+    drift): lon extent shrinks by cos(lat); mercator cell height
+    (deg) also shrinks ~cos(lat). A doc AT max_abs_lat sits in a
+    cell whose far edge reaches beyond it — mercator dφ = dy*cos(φ)
+    ≤ deg, so max_abs_lat+deg bounds the far edge — and the cos(lat)
+    height model is only first-order, so keep a 0.95 margin."""
+    import math as _m
+
+    from georaster_spark.functions.geo import EARTH_RADIUS_M
+
+    deg = 360.0 / (1 << res)
+    m_per_deg = _m.pi * EARTH_RADIUS_M / 180.0
+    lat_edge = min(89.9, max_abs_lat + deg)
+    return 0.95 * deg * m_per_deg * _m.cos(_m.radians(lat_edge))
+
+
 def auto_res_for_distance(d_meters: float, max_abs_lat: float = 85.0) -> int:
     """Finest cell resolution whose disk(1) adjacency guarantee holds
     for ``d_meters`` within the |lat| ≤ max_abs_lat band — the res a
     caller should feed ``within_distance_pairs``. Finer is better
     (smaller candidate sets), so walk down from fine to coarse and
-    return the first res that passes the same safety margin the join
-    itself enforces."""
-    import math as _m
-
-    from georaster_spark.functions.geo import EARTH_RADIUS_M
-
-    m_per_deg = _m.pi * EARTH_RADIUS_M / 180.0
+    return the first res that passes the join's own guard."""
     for res in range(24, -1, -1):
-        deg = 360.0 / (1 << res)
-        lat_edge = min(89.9, max_abs_lat + deg)
-        if d_meters <= 0.95 * deg * m_per_deg * _m.cos(_m.radians(lat_edge)):
+        if d_meters <= _min_cell_extent_m(res, max_abs_lat):
             return res
     raise ValueError(f"no resolution satisfies d={d_meters}m at |lat|<={max_abs_lat}")
 
@@ -277,24 +287,12 @@ def within_distance_pairs(
     d then lies in the same or an adjacent cell. Skewed hot cells
     fall to AQE's skew-join splitting (the join key is the cell).
     """
-    import math as _m
-
     from georaster_spark.cells import cell_encode_cols
-    from georaster_spark.functions.geo import EARTH_RADIUS_M
 
     if res is None:
         res = auto_res_for_distance(d_meters, max_abs_lat)
 
-    # min ground extent at the band edge: lon extent shrinks by
-    # cos(lat); mercator cell height (deg) also shrinks ~cos(lat).
-    # A doc AT max_abs_lat sits in a cell whose far edge reaches
-    # beyond it — mercator dφ = dy*cos(φ) ≤ deg, so max_abs_lat+deg
-    # bounds the far edge — and the cos(lat) height model is only
-    # first-order, so keep a 0.95 margin on top.
-    deg = 360.0 / (1 << res)
-    m_per_deg = _m.pi * EARTH_RADIUS_M / 180.0
-    lat_edge = min(89.9, max_abs_lat + deg)
-    min_extent = 0.95 * deg * m_per_deg * _m.cos(_m.radians(lat_edge))
+    min_extent = _min_cell_extent_m(res, max_abs_lat)
     if d_meters > min_extent:
         raise ValueError(
             f"d={d_meters}m exceeds safe min cell extent {min_extent:.0f}m at res"

@@ -1069,8 +1069,15 @@ def sql_wordcount():
 # BPE-style pretokenizer (GPT-2-family shape, lookahead-free so the
 # Java, RE2/DuckDB, and Python regex engines agree — verified in
 # tests): contractions | space-prefixed letter runs | digit runs |
-# punct runs | whitespace runs.
-BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
+# punct runs | whitespace runs. Whitespace is an EXPLICIT class, not
+# \s: Java's \s includes \x0B but RE2's does not, so \s would make
+# n_bpe_tokens diverge between the query and its oracle on
+# vertical-tab input.
+_WS = r" \t\n\x0B\f\r"
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+    rf"| ?[^{_WS}a-zA-Z0-9']+|[{_WS}]+"
+)
 
 
 def q_text_stats(spark, sf_dir):
@@ -1849,18 +1856,34 @@ def _synth_ingest_paths() -> list[str]:
 
     d = os.path.join(tempfile.gettempdir(), "georaster_synth_ingest")
     os.makedirs(d, exist_ok=True)
-    p1 = os.path.join(d, "synth_lzw_pred.tif")
+
+    def place(name, write):
+        # write-once + atomic rename: concurrent harnesses (bench +
+        # check_oracle) share this dir, and a truncating rewrite
+        # would race an executor mid-read
+        p = os.path.join(d, name)
+        if not os.path.exists(p):
+            tmp = f"{p}.tmp.{os.getpid()}"
+            write(tmp)
+            os.replace(tmp, p)
+        return p
+
     y, x = np.mgrid[0:40, 0:50]
-    write_tiff(
-        p1, ((x * 7 + y * 13) % 256).astype(np.uint8), "u8",
-        pixel_scale=(5.0, -5.0), origin=(1000.0, 2000.0),
-        rows_per_strip=16, compression=COMPRESSION_LZW, predictor=2,
+    p1 = place(
+        "synth_lzw_pred.tif",
+        lambda p: write_tiff(
+            p, ((x * 7 + y * 13) % 256).astype(np.uint8), "u8",
+            pixel_scale=(5.0, -5.0), origin=(1000.0, 2000.0),
+            rows_per_strip=16, compression=COMPRESSION_LZW, predictor=2,
+        ),
     )
-    p2 = os.path.join(d, "synth_big_sparse.tif")
     y2, x2 = np.mgrid[0:30, 0:20]
     arr2 = (x2 * 3 + y2 * 5 - 100).astype(np.int16)
     arr2[10:] = 0
-    write_tiff(p2, arr2, "i16", rows_per_strip=10, bigtiff=True, sparse_value=0)
+    p2 = place(
+        "synth_big_sparse.tif",
+        lambda p: write_tiff(p, arr2, "i16", rows_per_strip=10, bigtiff=True, sparse_value=0),
+    )
     return [p1, p2]
 
 
@@ -2143,10 +2166,10 @@ def sql_stream_sessionize():
 # 50 entries (CORRECTNESS_r01 covered exactly the first 50 in dict
 # order), so the 8 entries it could not check in round 1 (moving_avg,
 # media_*, stream_*) lead this round together with the new
-# raster_ingest, and 9 entries that already hold green r01 driver
-# rows AND independent pytest coverage rotate to the tail. Every
-# entry keeps its oracle; tools/check_oracle.py verifies all 59
-# regardless of order.
+# raster_ingest and text_entropy, and 10 entries that already hold
+# green r01 driver rows AND independent pytest coverage rotate to the
+# tail. Every entry keeps its oracle; tools/check_oracle.py verifies
+# all 60 regardless of order.
 QUERIES = {
     "moving_avg": q_moving_avg,
     "media_features": q_media_features,

@@ -724,8 +724,10 @@ def decimal_pixels_df(spark, paths: list[str], image_idx: int = 0):
                 d = r._asdict()
                 if d["dtype"].startswith("f"):
                     raise ValueError(f"{d['path']}: decimal decode is for integral dtypes")
-                arr = read_chunk(d, as_float=False)
-                h, w, spp = arr.shape
+                sparse = d["nbytes"] == 0
+                if not sparse:
+                    arr = read_chunk(d, as_float=False)
+                h, w, spp = (d["h"], d["w"], d["spp"]) if sparse else arr.shape
                 yy, xx = np.mgrid[0:h, 0:w]
                 for s in range(spp):
                     band = d["band_run"] if d["spp"] == 1 else s
@@ -736,7 +738,13 @@ def decimal_pixels_df(spark, paths: list[str], image_idx: int = 0):
                             "band": band,
                             "x": (xx.ravel() + d["x0"]).astype("int32"),
                             "y": (yy.ravel() + d["y0"]).astype("int32"),
-                            "value": [Decimal(int(v)) for v in arr[:, :, s].ravel()],
+                            # sparse chunk = NoData: NULL is exact in
+                            # DECIMAL, matching pixels_df's NaN->NULL
+                            "value": (
+                                [None] * (h * w)
+                                if sparse
+                                else [Decimal(int(v)) for v in arr[:, :, s].ravel()]
+                            ),
                         }
                     )
 

@@ -652,3 +652,19 @@ def test_chunk_plan_accepts_paths_dataframe(spark):
     ).repartition(2)
     rows = chunk_plan_df(spark, pdf).collect()
     assert {r.raster_id for r in rows} == {"byte", "int16"}
+
+
+def test_decimal_decode_handles_sparse_chunks(spark, tmp_path):
+    """The exact-integer path emits NULLs for sparse chunks (parity
+    with pixels_df's NaN->NULL) instead of failing the job."""
+    from georaster_spark.sources.geotiff import decimal_pixels_df, write_tiff
+
+    arr = np.zeros((8, 4), dtype=np.uint64)
+    arr[:4] = 2**53 + 7
+    p = str(tmp_path / "sparse_u64.tif")
+    write_tiff(p, arr, "u64", rows_per_strip=4, bigtiff=True, sparse_value=0)
+    df = decimal_pixels_df(spark, [p])
+    got = {(r.x, r.y): r.value for r in df.collect()}
+    assert len(got) == 32
+    assert int(got[(0, 0)]) == 2**53 + 7
+    assert got[(0, 7)] is None  # sparse strip -> NULL, exact dtype kept

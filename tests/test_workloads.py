@@ -252,6 +252,7 @@ def test_bpe_pretokenizer_cross_engine(spark):
         "it'll re've 'd x9y",
         "no-punct words here",
         "unicode stays ascii-safe: cafe",
+        "a \x0b \x0b b\x0c\r\nc",  # \x0B: Java \s has it, RE2 \s doesn't
     ]
     df = spark.createDataFrame([(t,) for t in tests], "text string")
     sp = [r[0] for r in df.select(F.regexp_count("text", F.lit(BPE_PRETOKEN_RE))).collect()]
