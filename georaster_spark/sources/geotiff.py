@@ -142,14 +142,33 @@ def lzw_encode(data: bytes) -> bytes:
             out.append((buf >> nbits) & 0xFF)
         buf &= (1 << nbits) - 1
 
+    # The code WIDTH is driven by a simulated DECODER table counter,
+    # not the encoder's: the decoder adds one entry per received code
+    # except the first after CLEAR, so it lags the encoder by one —
+    # UNTIL the final flush emit (which has no encoder-side add),
+    # where it catches up. Tracking dec_next exactly keeps the widths
+    # in lockstep at that boundary too (an encoder-counter rule
+    # mis-widths the EOI when the flush add lands on 510/1022/2046 —
+    # found by the hypothesis round-trip test).
     table: dict[bytes, int] = {}
-    code_bits = next_code = 0
+    code_bits = enc_next = dec_next = 0
+    first_after_clear = True
 
     def reset():
-        nonlocal table, code_bits, next_code
+        nonlocal table, code_bits, enc_next, dec_next, first_after_clear
         table = {bytes([i]): i for i in range(256)}
-        code_bits, next_code = 9, 258
+        code_bits, enc_next, dec_next = 9, 258, 258
+        first_after_clear = True
 
+    def dec_account():
+        # mirror of the decoder's post-code bookkeeping
+        nonlocal dec_next, code_bits, first_after_clear
+        if first_after_clear:
+            first_after_clear = False
+            return
+        dec_next += 1
+        if dec_next == (1 << code_bits) - 2 and code_bits < 12:
+            code_bits += 1  # early change
     reset()
     emit(_LZW_CLEAR, code_bits)
     w = b""
@@ -159,16 +178,16 @@ def lzw_encode(data: bytes) -> bytes:
             w = wc
             continue
         emit(table[w], code_bits)
-        table[wc] = next_code
-        next_code += 1
-        if next_code == (1 << code_bits) - 1 and code_bits < 12:
-            code_bits += 1  # early change, mirror of the decoder
-        if next_code > 4093:  # reset before the table overflows
+        dec_account()
+        table[wc] = enc_next
+        enc_next += 1
+        if enc_next > 4093:  # reset before the table overflows
             emit(_LZW_CLEAR, code_bits)
             reset()
         w = bytes([b])
     if w:
         emit(table[w], code_bits)
+        dec_account()
     emit(_LZW_EOI, code_bits)
     if nbits:
         out.append((buf << (8 - nbits)) & 0xFF)

@@ -668,3 +668,22 @@ def test_decimal_decode_handles_sparse_chunks(spark, tmp_path):
     assert len(got) == 32
     assert int(got[(0, 0)]) == 2**53 + 7
     assert got[(0, 7)] is None  # sparse strip -> NULL, exact dtype kept
+
+
+def test_lzw_flush_on_width_boundary_regression():
+    """Regression (found by hypothesis): when the final flush code's
+    decoder-side add lands exactly on an early-change boundary
+    (510/1022/2046), the decoder widens for the EOI — the encoder
+    must width the EOI off the simulated decoder counter, not its
+    own table counter. High-entropy ~255-byte streams hit the 9->10
+    boundary at stream end."""
+    import numpy as np
+
+    from georaster_spark.sources.geotiff import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(4, 16)).astype(np.float32).tobytes()
+    assert lzw_decode(lzw_encode(data)) == data
+    blob = np.random.default_rng(7).integers(0, 256, size=3000).astype(np.uint8).tobytes()
+    for n in list(range(245, 270)) + list(range(760, 785)) + list(range(1790, 1815)):
+        assert lzw_decode(lzw_encode(blob[:n])) == blob[:n], n
