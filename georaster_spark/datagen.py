@@ -469,3 +469,117 @@ def dtm_pixels_sql() -> str:
                      ELSE 600 + ((range % {n}) * 73 + (range // {n}) * 179) % 1400 END AS DOUBLE) AS value
     FROM range({n * n})
     """
+
+
+# ------------------------------------------------- pmtiles archive fixture
+# Engine-written PMTiles v3 archive re-expressing the reference's
+# ch-nw.pmtiles tests (src/pmtiles.rs:84-133) against real archive
+# bytes: 512x512 terrarium-style RGB tiles around z12 (2128, 1438),
+# with the Chasseral anchor pixel carrying RGB (134, 62, 135) so
+# get_pixel_at(12, (7.059309, 47.133037)).height() reproduces the
+# golden 1598.5294117647063 exactly. Content elsewhere is the shared
+# closed-form _xyz_rgb fill so the DuckDB oracle derives every
+# aggregate independently (no pinned regression goldens).
+
+PMTILES_TILE_SIZE = 512  # reference tile width golden (src/pmtiles.rs:96-103)
+PMTILES_FORMULA_RANGE = (2127, 2129, 1437, 1439)  # inclusive x0,x1,y0,y1 at z12
+PMTILES_ANCHOR = (2128, 1438, 163, 230, 134, 62, 135)  # xt,yt,px,py,r,g,b
+PMTILES_Z0_SIZE = 64
+PMTILES_CONST_TILES = [(2120, 1430), (2121, 1430)]  # identical bytes (dedup)
+PMTILES_CONST_SIZE = 128
+PMTILES_CONST_RGB = (0, 80, 120)
+
+
+def _pmtiles_tile_array(xt: int, yt: int, size: int) -> "np.ndarray":
+    py, px = np.mgrid[0:size, 0:size]
+    r, g, b = _xyz_rgb(xt, yt, px, py)
+    arr = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    ax, ay, apx, apy, ar, ag, ab = PMTILES_ANCHOR
+    if (xt, yt) == (ax, ay) and size > max(apx, apy):
+        arr[apy, apx] = (ar, ag, ab)
+    return arr
+
+
+def fixture_pmtiles_tiles() -> dict[tuple[int, int, int], bytes]:
+    """All fixture tiles as PNG bytes, keyed by (z, x, y)."""
+    from georaster_spark.sources.png import encode_png
+
+    x0, x1, y0, y1 = PMTILES_FORMULA_RANGE
+    tiles: dict[tuple[int, int, int], bytes] = {}
+    for xt in range(x0, x1 + 1):
+        for yt in range(y0, y1 + 1):
+            tiles[(12, xt, yt)] = encode_png(
+                _pmtiles_tile_array(xt, yt, PMTILES_TILE_SIZE)
+            )
+    tiles[(0, 0, 0)] = encode_png(_pmtiles_tile_array(0, 0, PMTILES_Z0_SIZE))
+    const = np.full(
+        (PMTILES_CONST_SIZE, PMTILES_CONST_SIZE, 3),
+        PMTILES_CONST_RGB,
+        np.uint8,
+    )
+    const_png = encode_png(const)
+    for xt, yt in PMTILES_CONST_TILES:
+        tiles[(12, xt, yt)] = const_png
+    return tiles
+
+
+def fixture_pmtiles_path() -> str:
+    """Write (idempotently, atomically) the fixture archive into the
+    shared synth-fixture dir and return its path."""
+    import os
+    import tempfile
+
+    from georaster_spark.sources.pmtiles import write_pmtiles
+
+    d = os.path.join(tempfile.gettempdir(), "georaster_synth_ingest")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "chnw_synth.pmtiles")
+    if not os.path.exists(p):
+        tmp = f"{p}.tmp.{os.getpid()}"
+        write_pmtiles(tmp, fixture_pmtiles_tiles())
+        os.replace(tmp, p)
+    return p
+
+
+def pmtiles_tile_stats_sql() -> str:
+    """Independent DuckDB derivation of the per-tile decode stats:
+    the same closed-form fill evaluated with generate_series — no
+    column is pinned from the engine's own decode."""
+    x0, x1, y0, y1 = PMTILES_FORMULA_RANGE
+    ax, ay, apx, apy, ar, ag, ab = PMTILES_ANCHOR
+    ts = PMTILES_TILE_SIZE
+    cr, cg, cb = PMTILES_CONST_RGB
+    cs = PMTILES_CONST_SIZE
+    z0s = PMTILES_Z0_SIZE
+    fr, fg, fb = _xyz_rgb_sql("t.x", "t.y", "p.px", "p.py")
+    anchor_case = f"t.x = {ax} AND t.y = {ay} AND p.px = {apx} AND p.py = {apy}"
+    tvals = ", ".join(
+        f"({xt}, {yt})" for xt in range(x0, x1 + 1) for yt in range(y0, y1 + 1)
+    )
+    cvals = ", ".join(f"({xt}, {yt})" for xt, yt in PMTILES_CONST_TILES)
+    a_r, a_g, a_b = _xyz_rgb_sql("t.x", "t.y", str(apx), str(apy))
+    return f"""
+    SELECT 12 AS z, t.x AS x, t.y AS y, {ts} AS width, {ts} AS height,
+           {ts * ts} AS n_px,
+           sum(CASE WHEN {anchor_case} THEN {ar} ELSE {fr} END) AS sum_r,
+           sum(CASE WHEN {anchor_case} THEN {ag} ELSE {fg} END) AS sum_g,
+           sum(CASE WHEN {anchor_case} THEN {ab} ELSE {fb} END) AS sum_b,
+           max(CASE WHEN t.x = {ax} AND t.y = {ay} THEN {ar} ELSE {a_r} END) AS anchor_r,
+           max(CASE WHEN t.x = {ax} AND t.y = {ay} THEN {ag} ELSE {a_g} END) AS anchor_g,
+           max(CASE WHEN t.x = {ax} AND t.y = {ay} THEN {ab} ELSE {a_b} END) AS anchor_b
+    FROM (VALUES {tvals}) AS t(x, y)
+    CROSS JOIN (SELECT range % {ts} AS px, range // {ts} AS py
+                FROM range({ts * ts})) AS p
+    GROUP BY t.x, t.y
+    UNION ALL
+    SELECT 0, 0, 0, {z0s}, {z0s}, {z0s * z0s},
+           sum({fr}), sum({fg}), sum({fb}), NULL, NULL, NULL
+    FROM (VALUES (0, 0)) AS t(x, y)
+    CROSS JOIN (SELECT range % {z0s} AS px, range // {z0s} AS py
+                FROM range({z0s * z0s})) AS p
+    UNION ALL
+    SELECT 12, t.x, t.y, {cs}, {cs}, {cs * cs},
+           {cs * cs} * {cr}, {cs * cs} * {cg}, {cs * cs} * {cb},
+           NULL, NULL, NULL
+    FROM (VALUES {cvals}) AS t(x, y)
+    """

@@ -1962,6 +1962,53 @@ def sql_raster_ingest():
     """
 
 
+def q_pmtiles_ingest(spark, sf_dir):
+    """Real PMTiles v3 archive ingestion (R21, src/pmtiles.rs:14-51):
+    directory walk + ranged tile reads + stdlib PNG decode, all
+    executor-side (two mapInPandas stages, no driver file opens).
+    The anchor pixel (163, 230) of tile z12 (2128, 1438) carries the
+    reference's Chasseral golden — anchor_um is its terrarium height
+    in µm: round(1598.5294117647063e6) (src/pmtiles.rs:121-133).
+    Every aggregate is derived independently by the oracle from the
+    closed-form tile fill (no pinned decode output)."""
+    from georaster_spark.datagen import fixture_pmtiles_path
+    from georaster_spark.sources.pmtiles import tile_stats_df
+
+    df = tile_stats_df(spark, [fixture_pmtiles_path()])
+    h_um = F.round(
+        (
+            F.col("anchor_r") * 256.0
+            + F.col("anchor_g")
+            + F.col("anchor_b") / 255.0
+            - 32768.0
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    return df.select(
+        "z", "x", "y", "width", "height", "n_px", "sum_r", "sum_g", "sum_b",
+        h_um.alias("anchor_um"),
+    )
+
+
+def sql_pmtiles_ingest():
+    from georaster_spark.datagen import pmtiles_tile_stats_sql
+
+    h_um = (
+        "CAST(round((anchor_r * 256.0 + anchor_g + anchor_b / 255.0 - 32768.0)"
+        " * 1000000.0, 0) AS BIGINT)"
+    )
+    return f"""
+    WITH stats AS ({pmtiles_tile_stats_sql()})
+    SELECT CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+           CAST(n_px AS BIGINT) AS n_px, CAST(sum_r AS BIGINT) AS sum_r,
+           CAST(sum_g AS BIGINT) AS sum_g, CAST(sum_b AS BIGINT) AS sum_b,
+           {h_um} AS anchor_um
+    FROM stats
+    """
+
+
 def q_moving_avg(spark, sf_dir):
     """Window-frame coverage: 5-event trailing moving average of value
     per user (rowsBetween frame, SURVEY §2.3 'frames for moving
@@ -2180,6 +2227,7 @@ QUERIES = {
     "stream_sessionize": q_stream_sessionize,
     "stream_to_table": q_stream_to_table,
     "raster_ingest": q_raster_ingest,
+    "pmtiles_ingest": q_pmtiles_ingest,
     "geocode_cells": q_geocode_cells,
     "cell_hist": q_cell_hist,
     "cell_parent_rollup": q_cell_parent_rollup,
@@ -2244,6 +2292,7 @@ ORACLES = {
     "stream_sessionize": sql_stream_sessionize(),
     "stream_to_table": sql_stream_to_table(),
     "raster_ingest": sql_raster_ingest(),
+    "pmtiles_ingest": sql_pmtiles_ingest(),
     "geocode_cells": sql_geocode_cells(),
     "cell_hist": sql_cell_hist(),
     "cell_parent_rollup": sql_cell_parent_rollup(),
