@@ -9,10 +9,12 @@ resize / frame-sample implemented as Arrow-batched ``mapInPandas``
 kernels so the Spark-side plumbing (schema, partitioning, batch
 shape) is real and tested at scale.
 
-The actual codec step is STUBBED: this container has no image/audio
-libraries, so ``_decode_bytes`` falls back to a deterministic fake
-derived from the media digest (clearly marked below). Swapping in
-PIL/torchaudio changes ONE function; every plan stays identical.
+The codec step is REAL for PNG blobs: ``sources/png.py`` (the
+stdlib codec that also decodes PMTiles tiles) parses the bytes inside
+the kernel. Non-PNG blobs (the ``IMG0`` synthetic format, and any
+JPEG/WebP a real lake would add) still fall back to a deterministic
+digest-derived fake — disclosed, one branch, same plan shape — until
+a real codec for those formats is wired in.
 
 Scale notes:
 - media bytes never pass through a shuffle — all kernels are narrow
@@ -34,12 +36,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # real decoder if ever available in the image
-    from PIL import Image  # noqa: F401
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    _HAVE_PIL = True
-except Exception:  # pragma: no cover - container has no PIL
-    _HAVE_PIL = False
+# deterministic PNG-media geometry/content formulas (shared with the
+# DuckDB oracle via png_media_*_sql below): greyscale w×h where
+#   w = doc_id % 24 + 8,  h = (doc_id * 7) % 16 + 8,
+#   v(px, py) = (px * 5 + py * 11 + doc_id) % 256
+PNG_W_MOD, PNG_W_OFF = 24, 8
+PNG_H_MOD, PNG_H_OFF = 16, 8
 
 
 def with_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -68,17 +72,48 @@ def _digest_features(digest: "pd.Series") -> dict[str, "pd.Series"]:
 def _decode_bytes(media: bytes) -> tuple[int, int, int]:
     """Decode media bytes → (width, height, mean_luma).
 
-    STUB: real implementation would be ``Image.open(BytesIO(media))``
-    (PIL absent in this container); swapping a real codec in means
-    replacing this function AND the digest branch in
-    ``decode_image_features``'s kernel (both guarded by _HAVE_PIL so
-    a wired codec can't silently coexist with the fake).
+    PNG blobs decode for real (stdlib codec, ``sources/png.py``):
+    mean_luma is the integer mean of all samples. Any other format
+    falls back to the deterministic digest fake (disclosed stub —
+    this container ships no JPEG/WebP codec).
     """
-    if _HAVE_PIL:  # pragma: no cover - not reachable in this container
-        raise NotImplementedError("real PIL decode path not wired in this build")
+    if media[:8] == _PNG_SIG:
+        from georaster_spark.sources.png import decode_png
+
+        arr = decode_png(media)
+        return int(arr.shape[1]), int(arr.shape[0]), int(arr.sum() // arr.size)
     h = hashlib.md5(media).hexdigest()
     f = _digest_features(pd.Series([h]))
     return int(f["width"][0]), int(f["height"][0]), int(f["mean_luma"][0])
+
+
+def png_media_col(id_col: str = "doc_id"):
+    """Arrow-batched generator of REAL greyscale PNG blobs from the
+    deterministic formula above — the engine's stand-in for reading
+    image bytes off object storage (content must be reproducible so
+    the DuckDB oracle can derive decode results in closed form)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from georaster_spark.sources.png import encode_png
+
+    @F.pandas_udf(T.BinaryType())
+    def _gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w = i % PNG_W_MOD + PNG_W_OFF
+            h = (i * 7) % PNG_H_MOD + PNG_H_OFF
+            py, px = np.mgrid[0:h, 0:w]
+            out.append(encode_png(((px * 5 + py * 11 + i) % 256).astype(np.uint8)))
+        return pd.Series(out)
+
+    return _gen(F.col(id_col))
+
+
+def with_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real PNG ``media BINARY`` column."""
+    return docs.withColumn("media", png_media_col(id_col))
 
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -91,16 +126,15 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if _HAVE_PIL:  # pragma: no cover - same guard as _decode_bytes
-            raise NotImplementedError("real PIL decode path not wired in this build")
+        from georaster_spark.sources.png import decode_png
+
         for pdf in batches:
-            # the digest itself is per-item (as a real codec would
-            # be), but everything derived from it is pandas-vectorized
-            # — one md5 per blob, no per-row tuple assembly; the
-            # feature formula lives in _digest_features (one place)
+            # the digest is per-item (as a real codec would be), but
+            # everything derived from it is pandas-vectorized; PNG
+            # rows then overwrite the fake with a REAL decode
             blobs = pdf["media"].map(bytes)
             digest = blobs.map(lambda b: hashlib.md5(b).hexdigest())
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
                     "n_bytes": blobs.str.len().astype("int64"),
@@ -108,6 +142,15 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "digest": digest,
                 }
             )
+            is_png = blobs.map(lambda b: b[:8] == _PNG_SIG).to_numpy()
+            if is_png.any():
+                decoded = [decode_png(b) for b in blobs[is_png]]
+                out.loc[is_png, "width"] = [a.shape[1] for a in decoded]
+                out.loc[is_png, "height"] = [a.shape[0] for a in decoded]
+                out.loc[is_png, "mean_luma"] = [
+                    int(a.sum() // a.size) for a in decoded
+                ]
+            yield out
 
     return df.select(id_col, "media").mapInPandas(kernel, schema=schema)
 

@@ -2070,6 +2070,52 @@ def sql_media_features():
     """
 
 
+def q_media_png_decode(spark, sf_dir):
+    """Real image-codec path for the multimodal suite: REAL greyscale
+    PNG blobs (stdlib encoder) attached per doc, then decoded back
+    inside the Arrow kernel by the stdlib PNG decoder — width/height/
+    mean_luma come from the actual bytes, and the oracle re-derives
+    them in closed form from the generation formula (never from the
+    engine's own decode)."""
+    from georaster_spark.operators.multimodal import (
+        decode_image_features,
+        with_png_media,
+    )
+
+    d = with_png_media(_docs_spread(spark, sf_dir).select("doc_id"))
+    return decode_image_features(d).select(
+        "doc_id", "width", "height", "mean_luma"
+    )
+
+
+def sql_media_png_decode():
+    from georaster_spark.operators.multimodal import (
+        PNG_H_MOD,
+        PNG_H_OFF,
+        PNG_W_MOD,
+        PNG_W_OFF,
+    )
+
+    max_px = (PNG_W_MOD + PNG_W_OFF - 1) * (PNG_H_MOD + PNG_H_OFF - 1)
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % {PNG_W_MOD} + {PNG_W_OFF} AS w,
+             (doc_id * 7) % {PNG_H_MOD} + {PNG_H_OFF} AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             ((r.range % d.w) * 5 + (r.range // d.w) * 11 + d.doc_id) % 256 AS v
+      FROM dims d CROSS JOIN range({max_px}) r
+      WHERE r.range < d.w * d.h
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum(v) // (w * h) AS BIGINT) AS mean_luma
+    FROM px GROUP BY doc_id, w, h
+    """
+
+
 FRAME_BYTES = 16
 FRAME_STRIDE = 4
 
@@ -2220,6 +2266,7 @@ def sql_stream_sessionize():
 QUERIES = {
     "moving_avg": q_moving_avg,
     "media_features": q_media_features,
+    "media_png_decode": q_media_png_decode,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
     "media_audio": q_media_audio,
@@ -2285,6 +2332,7 @@ QUERIES = {
 ORACLES = {
     "moving_avg": sql_moving_avg(),
     "media_features": sql_media_features(),
+    "media_png_decode": sql_media_png_decode(),
     "media_frames": sql_media_frames(),
     "media_resize": sql_media_resize(),
     "media_audio": sql_media_audio(),

@@ -84,3 +84,52 @@ def test_resize_is_deterministic_and_geometry_correct(media_docs):
     again = {r["doc_id"]: r["digest"] for r in resize_image(media_docs, 224, 224).collect()}
     assert digests == again
     assert len(set(digests.values())) == len(digests)  # distinct inputs → distinct outputs
+
+
+def test_decode_bytes_png_is_a_real_decode():
+    """Hand-checked: 3x2 greyscale [[10,20,30],[40,50,60]] → width 3,
+    height 2, mean 210 // 6 = 35 — decoded from actual PNG bytes."""
+    import numpy as np
+
+    from georaster_spark.operators.multimodal import _decode_bytes
+    from georaster_spark.sources.png import encode_png
+
+    png = encode_png(np.array([[10, 20, 30], [40, 50, 60]], np.uint8))
+    assert _decode_bytes(png) == (3, 2, 35)
+
+
+def test_decode_image_features_mixes_real_and_fake(spark):
+    """PNG rows decode for real; non-PNG rows keep the disclosed
+    digest fake — in the same kernel pass."""
+    import hashlib
+
+    import numpy as np
+
+    from georaster_spark.operators.multimodal import decode_image_features
+    from georaster_spark.sources.png import encode_png
+
+    png = encode_png(np.full((4, 7), 9, np.uint8))
+    fake = b"IMG0hello"
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(fake))], "doc_id long, media binary"
+    )
+    rows = {r["doc_id"]: r for r in decode_image_features(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["mean_luma"]) == (7, 4, 9)
+    assert rows[1]["digest"] == hashlib.md5(png).hexdigest()
+    h = hashlib.md5(fake).hexdigest()
+    assert rows[2]["width"] == int(h[0:4], 16) % 1024 + 1
+    assert rows[2]["mean_luma"] == int(h[8:10], 16)
+
+
+def test_with_png_media_formula_roundtrip(spark):
+    """Generated PNG geometry matches the shared formula for a
+    hand-picked id: doc_id=25 → w = 25 % 24 + 8 = 9, h = 175 % 16 + 8
+    = 23; pixel (2,3) = (2*5 + 3*11 + 25) % 256 = 68."""
+    from georaster_spark.operators.multimodal import with_png_media
+    from georaster_spark.sources.png import decode_png
+
+    df = with_png_media(spark.createDataFrame([(25,)], "doc_id long"))
+    blob = bytes(df.collect()[0]["media"])
+    arr = decode_png(blob)
+    assert arr.shape == (23, 9)
+    assert arr[3, 2] == 68
