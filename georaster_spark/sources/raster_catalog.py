@@ -60,22 +60,57 @@ def raster_meta_df(spark: SparkSession, entries: list[RasterEntry]) -> DataFrame
     return spark.createDataFrame([meta_row(e) for e in entries], META_SCHEMA)
 
 
+def _entry_from_meta_row(row: tuple) -> RasterEntry:
+    """RasterEntry from a ``FILE_META_SCHEMA`` tuple (shared row
+    builder — the same geometry defaults as ``geometry_of``)."""
+    (rid, _path, idx, width, height, tile_w, tile_h, ox, oy, psx, psy,
+     dtype, bands, planar, *_rest) = row
+    return RasterEntry(
+        rid,
+        idx,
+        RasterGeometry(
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+            origin_x=(0.0 if ox is None else ox),
+            origin_y=(0.0 if oy is None else oy),
+            px_sz_x=(1.0 if psx is None else psx),
+            px_sz_y=(1.0 if psy is None else psy),
+            bands=bands, planar=planar,
+        ),
+        dtype,
+    )
+
+
 def entries_from_files(paths: list[str]) -> list[RasterEntry]:
     """Real-file registration (R1): parse actual TIFF headers (all
     IFDs — COG overviews become image_idx rows) into catalog entries.
     Mirrors ``GeoTiffReader::open`` walking IFDs into ImageInfos
-    (``src/geotiff.rs:44-91``) with bytes, not specs."""
-    import os
+    (``src/geotiff.rs:44-91``) with bytes, not specs.
 
-    from georaster_spark.sources.geotiff import geometry_of, open_tiff
+    Driver-side convenience for a handful of files; the scale path is
+    ``register_files_df`` (executor-side header kernel). Both route
+    through ``geotiff.file_meta_rows`` so they can never diverge."""
+    from georaster_spark.sources.geotiff import file_meta_rows
 
-    out = []
-    for p in paths:
-        tf = open_tiff(p)
-        rid = os.path.splitext(os.path.basename(p))[0]
-        for idx, img in enumerate(tf.images):
-            out.append(RasterEntry(rid, idx, geometry_of(tf, idx), img.dtype()))
-    return out
+    return [_entry_from_meta_row(r) for p in paths for r in file_meta_rows(p)]
+
+
+def register_files_df(spark: SparkSession, paths) -> DataFrame:
+    """Distributed registration: the ``raster_meta`` table emitted by
+    the executor-side header kernel — zero driver-side file opens, so
+    a million-file lake registers as one narrow mapInPandas stage.
+    ``paths`` may be a list or a DataFrame with a ``path`` column."""
+    from georaster_spark.sources.geotiff import file_meta_df
+
+    defaults = {  # geometry defaults of geometry_of / _entry_from_meta_row
+        "origin_x": "coalesce(origin_x, 0.0d) AS origin_x",
+        "origin_y": "coalesce(origin_y, 0.0d) AS origin_y",
+        "px_sz_x": "coalesce(px_sz_x, 1.0d) AS px_sz_x",
+        "px_sz_y": "coalesce(px_sz_y, 1.0d) AS px_sz_y",
+    }
+    cols = [c.split()[0] for c in META_SCHEMA.split(", ")]
+    return file_meta_df(spark, paths).selectExpr(
+        *[defaults.get(c, c) for c in cols]
+    )
 
 
 def fixture_entries() -> list[RasterEntry]:

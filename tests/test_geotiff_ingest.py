@@ -687,3 +687,64 @@ def test_lzw_flush_on_width_boundary_regression():
     blob = np.random.default_rng(7).integers(0, 256, size=3000).astype(np.uint8).tobytes()
     for n in list(range(245, 270)) + list(range(760, 785)) + list(range(1790, 1815)):
         assert lzw_decode(lzw_encode(blob[:n])) == blob[:n], n
+
+
+class TestDistributedRegistration:
+    def test_register_files_df_matches_driver_side(self, spark):
+        """The executor-side kernel and the driver-side convenience
+        must register identical catalog rows."""
+        from georaster_spark.sources.raster_catalog import (
+            entries_from_files,
+            raster_meta_df,
+            register_files_df,
+        )
+
+        paths = [f"{D}/byte.tif", f"{D}/sat.tif", f"{D}/small_world.tif"]
+        via_driver = sorted(
+            map(tuple, raster_meta_df(spark, entries_from_files(paths)).collect())
+        )
+        via_kernel = sorted(map(tuple, register_files_df(spark, paths).collect()))
+        assert via_kernel == via_driver and len(via_kernel) >= 3
+
+    def test_register_accepts_paths_dataframe(self, spark):
+        from georaster_spark.sources.raster_catalog import register_files_df
+
+        pdf = spark.createDataFrame([(f"{D}/byte.tif",)], "path string")
+        rows = register_files_df(spark, pdf).collect()
+        assert rows[0]["raster_id"] == "byte"
+        assert rows[0]["width"] == 20
+
+    def test_duplicate_basenames_refused(self, spark, tmp_path):
+        """ADVICE r2: a/scene.tif + b/scene.tif would silently merge
+        under one raster_id — the ingest surface refuses early."""
+        import shutil
+
+        import pytest
+
+        from georaster_spark.sources.geotiff import chunk_plan_df, file_meta_df
+
+        a = tmp_path / "a"
+        b = tmp_path / "b"
+        a.mkdir()
+        b.mkdir()
+        shutil.copy(f"{D}/byte.tif", a / "scene.tif")
+        shutil.copy(f"{D}/sat.tif", b / "scene.tif")
+        with pytest.raises(ValueError, match="duplicate raster basename"):
+            file_meta_df(spark, [str(a / "scene.tif"), str(b / "scene.tif")])
+        with pytest.raises(ValueError, match="duplicate raster basename"):
+            chunk_plan_df(spark, [str(a / "scene.tif"), str(b / "scene.tif")])
+
+    def test_file_meta_nullable_geo(self, spark, tmp_path):
+        """Files without geo tags register with NULL origin in the raw
+        meta and the geometry default (0,0 / 1,1) in the catalog."""
+        import numpy as np
+
+        from georaster_spark.sources.geotiff import file_meta_df, write_tiff
+        from georaster_spark.sources.raster_catalog import register_files_df
+
+        p = str(tmp_path / "nogeo.tif")
+        write_tiff(p, np.arange(12, dtype=np.uint8).reshape(3, 4), "u8")
+        raw = file_meta_df(spark, [p]).collect()[0]
+        assert raw["origin_x"] is None and raw["origin_x_e6"] is None
+        cat = register_files_df(spark, [p]).collect()[0]
+        assert cat["origin_x"] == 0.0 and cat["px_sz_x"] == 1.0

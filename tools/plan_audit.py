@@ -95,21 +95,47 @@ def main() -> int:
     # flow narrow), the small metadata side broadcast, and exactly
     # one aggregation shuffle (the per-raster groupBy)
     p = plans["raster_ingest"] = explain_str(Q.q_raster_ingest(spark, SF))
-    kernels = [
+    kernels = sorted(
         int(m.group(1)) for m in re.finditer(r"^\((\d+)\) MapInPandas", p, re.M)
-    ]
+    )
+    check(
+        "raster_ingest",
+        "three Arrow kernels and NO driver-side file opens: chunk "
+        "header walk, chunk decode, and metadata registration all run "
+        "as executor-side MapInPandas (the only LocalTableScans are "
+        "the tiny path-string lists)",
+        len(kernels) == 3,
+    )
     check(
         "raster_ingest",
         "header and decode kernels are ADJACENT (no Exchange between: "
         "chunk rows flow narrow from parse to decode)",
-        len(kernels) == 2 and abs(kernels[0] - kernels[1]) == 1,
+        any(b - a == 1 for a, b in zip(kernels, kernels[1:])),
     )
     check("raster_ingest", "metadata side joined via BroadcastHashJoin", "BroadcastHashJoin" in p)
     check(
         "raster_ingest",
-        "exactly two shuffle Exchanges: the tiny path-string spread "
-        "and the per-raster groupBy (blobs shuffle in neither)",
-        n_nodes(p, "Exchange") == 2,
+        "exactly three shuffle Exchanges: two tiny path-string spreads "
+        "and the per-raster groupBy (blobs shuffle in none)",
+        n_nodes(p, "Exchange") == 3,
+    )
+
+    # pmtiles_ingest: directory walk and tile decode are adjacent
+    # Arrow kernels — tile blobs stay inside their partition, the only
+    # Exchange is the tiny path-string spread
+    p = plans["pmtiles_ingest"] = explain_str(Q.q_pmtiles_ingest(spark, SF))
+    pmt_kernels = sorted(
+        int(m.group(1)) for m in re.finditer(r"^\((\d+)\) MapInPandas", p, re.M)
+    )
+    check(
+        "pmtiles_ingest",
+        "entry and decode kernels ADJACENT (tile bytes never shuffle)",
+        len(pmt_kernels) == 2 and pmt_kernels[1] - pmt_kernels[0] == 1,
+    )
+    check(
+        "pmtiles_ingest",
+        "single Exchange (the tiny path-string spread)",
+        n_nodes(p, "Exchange") == 1,
     )
 
     # window_topk: exactly one shuffle (hash by o_custkey)
