@@ -1600,17 +1600,35 @@ IVF_NPROBE = 2
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k (operators/ann.py): deterministic coarse
-    quantizer + nprobe bucket probing — the 100 TB ANN plan (bucket
-    is a partition column at scale). Deterministic, so the oracle
-    replicates the same quantizer in SQL."""
-    from georaster_spark.operators.ann import ivf_topk
+    """IVF approximate top-k (operators/ann.py) with the PINNED
+    k-means|| quantizer (georaster_spark/ann_centroids.py — trained
+    offline by tools/pin_centroids.py, recall@5 0.54 vs 0.39 for the
+    naive first-k quantizer, BENCH/ANN_RECALL.md): bucket the corpus,
+    probe nprobe buckets — the 100 TB ANN plan (bucket is a partition
+    column at scale). The oracle consumes the same pinned centroid
+    table as a VALUES CTE, so the comparison stays exact."""
+    from georaster_spark.ann_centroids import ANN_IVF_CENTROIDS
+    from georaster_spark.operators.ann import _cents_df, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(e, q, k=5, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE)
+    cents = _cents_df(spark, ANN_IVF_CENTROIDS)
+    return ivf_topk(e, q, k=5, nprobe=IVF_NPROBE, cents=cents)
+
+
+def _pinned_cents_values() -> str:
+    """The pinned quantizer as (cid, i, v) VALUES rows — i is 1-based
+    to match generate_subscripts; v in e-notation so DuckDB parses a
+    DOUBLE (not DECIMAL), round-tripping the exact IEEE bits."""
+    from georaster_spark.ann_centroids import ANN_IVF_CENTROIDS
+
+    return ", ".join(
+        f"({cid}, {i + 1}, {v:.17e})"
+        for cid, vec in ANN_IVF_CENTROIDS
+        for i, v in enumerate(vec)
+    )
 
 
 def sql_ann_ivf():
@@ -1622,7 +1640,7 @@ def sql_ann_ivf():
     ),
     norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1),
     nflat AS (SELECT f.vec_id, i, v / nrm AS v FROM flat f JOIN norms USING (vec_id)),
-    cents AS (SELECT vec_id AS cid, i, v FROM nflat WHERE vec_id < {IVF_CENTROIDS}),
+    cents AS (SELECT * FROM (VALUES {_pinned_cents_values()}) AS c(cid, i, v)),
     scores AS (
       SELECT n.vec_id, c.cid, sum(n.v * c.v) AS score
       FROM nflat n JOIN cents c ON n.i = c.i
