@@ -1116,6 +1116,103 @@ def sql_text_stats():
     """
 
 
+# ------------------------------------------------------------- real BPE
+# Pinned merge table (rank order matters — applied first to last).
+# A production tokenizer ships its merges file exactly like this.
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("in", "g"), ("o", "u"),
+    ("s", "t"), ("a", "t"), ("e", "n"), ("o", "r"), ("t", "o"),
+    ("i", "t"), ("o", "f"), ("e", "d"), ("i", "s"), ("a", "l"),
+    ("a", "r"), ("l", "l"), ("er", "s"), ("ing", "s"),
+]
+BPE_SEP = "\x1f"  # never occurs in [a-z]+ words
+
+
+def bpe_tokenize_col(word):
+    """Merge-loop BPE token count as PURE Column algebra (zero
+    Python): the word becomes a fully \\x1f-delimited char sequence
+    (<sep>c<sep>c...<sep>), then each pinned merge applies as a
+    literal `replace(<sep>a<sep>b<sep> -> <sep>ab<sep>)` — delimiters
+    on BOTH sides so a merge can never capture the tail of one token
+    and the head of the next. Each merge runs TWO left-to-right
+    passes (the second catches the pair a non-overlapping first pass
+    skips in token runs like a·a·a·a; runs ≥ 5 of one mergeable pair
+    are the documented divergence from rescanning BPE). Token count =
+    (#separators - 1). The identical replace chain runs in DuckDB, so
+    the oracle replicates the merge loop itself, not a pinned output."""
+    seq = F.concat(
+        F.lit(BPE_SEP), F.regexp_replace(word, "(.)", "$1" + BPE_SEP)
+    )
+    for a, b in BPE_MERGES:
+        pat = F.lit(BPE_SEP + a + BPE_SEP + b + BPE_SEP)
+        rep = F.lit(BPE_SEP + a + b + BPE_SEP)
+        seq = F.replace(F.replace(seq, pat, rep), pat, rep)
+    return (
+        F.length(seq) - F.length(F.replace(seq, F.lit(BPE_SEP), F.lit(""))) - 1
+    ).cast("long")
+
+
+def bpe_tokenize_sql(word_expr: str) -> str:
+    """The same delimited double-pass merge chain as DuckDB SQL."""
+    seq = f"(chr(31) || regexp_replace({word_expr}, '(.)', '\\1' || chr(31), 'g'))"
+    for a, b in BPE_MERGES:
+        pat = f"(chr(31) || '{a}' || chr(31) || '{b}' || chr(31))"
+        rep = f"(chr(31) || '{a}{b}' || chr(31))"
+        seq = f"replace(replace({seq}, {pat}, {rep}), {pat}, {rep})"
+    return f"(length({seq}) - length(replace({seq}, chr(31), '')) - 1)"
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """Real BPE token counting at scale — the dictionary trick: the
+    merge loop runs once per DISTINCT word (the vocabulary, heavy-
+    tailed and tiny next to the corpus), then per-word token counts
+    broadcast-join back onto the (doc, word) occurrence counts. At
+    100 TB the vocabulary side stays a groupBy(word) aggregate and
+    the join-back becomes a shuffle equi-join on word; the merge
+    chain itself is whole-stage-codegen'd Column algebra — no Python
+    anywhere (input_hint's no-per-row-Python rule)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word"),
+    ).where(F.col("word") != "")
+    wc = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    vocab = wc.select("word").distinct().withColumn(
+        "n_tok", bpe_tokenize_col(F.col("word"))
+    )
+    return (
+        wc.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_tok")).cast("long").alias("n_bpe"),
+        )
+    )
+
+
+def sql_bpe_token_count():
+    tok = bpe_tokenize_sql("word")
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, count(*) AS n_occ
+      FROM words WHERE word != '' GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT word, {tok} AS n_tok FROM (SELECT DISTINCT word FROM wc)
+    )
+    SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_words,
+           CAST(sum(n_occ * n_tok) AS BIGINT) AS n_bpe
+    FROM wc JOIN vocab USING (word) GROUP BY doc_id
+    """
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID: score = hits of per-language marker
     words; argmax with deterministic tie-break on language code."""
@@ -2313,6 +2410,7 @@ QUERIES = {
     "events_window_agg": q_events_window_agg,
     "event_percentiles": q_event_percentiles,
     "text_stats": q_text_stats,
+    "bpe_token_count": q_bpe_token_count,
     "lang_id": q_lang_id,
     "html_tags": q_html_tags,
     "stratified_sample": q_stratified_sample,
@@ -2379,6 +2477,7 @@ ORACLES = {
     "events_window_agg": sql_events_window_agg(),
     "event_percentiles": sql_event_percentiles(),
     "text_stats": sql_text_stats(),
+    "bpe_token_count": sql_bpe_token_count(),
     "lang_id": sql_lang_id(),
     "html_tags": sql_html_tags(),
     "stratified_sample": sql_stratified_sample(),

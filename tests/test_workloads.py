@@ -264,3 +264,72 @@ def test_bpe_pretokenizer_cross_engine(spark):
     ]
     py = [len(re.findall(BPE_PRETOKEN_RE, t)) for t in tests]
     assert sp == dk == py
+
+
+class TestBpeTokenize:
+    """Hand-derived merge-loop goldens — an oracle match alone can't
+    catch identically-wrong twins (round-2 lesson)."""
+
+    # there: t·h·e·r·e -> th -> the -> (r,e)->re  => [the, re]
+    # standing: (i,n)->in, (a,n)->an, (an,d)->and, (in,g)->ing,
+    #           (s,t)->st => [st, and, ing]
+    # cross-boundary guard: "there" must NOT merge the 'e' of "the"
+    #   with the following 'r' via the (e,r) rule — delimiters block it
+    HAND = {
+        "there": 2,
+        "standing": 3,
+        "a": 1,
+        "qqq": 3,          # no merge applies
+        "thethe": 2,       # th+e twice
+        "is": 1,
+        "xz": 2,
+    }
+
+    def test_hand_goldens_spark(self, spark):
+        from georaster_spark.queries import bpe_tokenize_col
+
+        df = spark.createDataFrame([(w,) for w in self.HAND], "word string")
+        got = {
+            r["word"]: r["n"]
+            for r in df.select("word", bpe_tokenize_col(F.col("word")).alias("n")).collect()
+        }
+        assert got == self.HAND
+
+    def test_cross_engine_identical_on_vocab(self, spark):
+        """Spark chain == DuckDB chain on every distinct corpus word."""
+        import duckdb
+
+        from georaster_spark.queries import bpe_tokenize_col, bpe_tokenize_sql
+
+        d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        vocab = (
+            d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+            .where(F.col("word") != "")
+            .distinct()
+        )
+        got = {
+            r["word"]: r["n"]
+            for r in vocab.select("word", bpe_tokenize_col(F.col("word")).alias("n")).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE v(word VARCHAR)")
+        con.executemany("INSERT INTO v VALUES (?)", [(w,) for w in got])
+        want = dict(
+            con.execute(f"SELECT word, {bpe_tokenize_sql('word')} FROM v").fetchall()
+        )
+        # the synthetic corpus has a deliberately small vocabulary
+        assert got == want and len(got) > 20
+
+    def test_run_semantics_documented(self, spark):
+        """Token runs: 4 mergeable pairs fully merge (double pass);
+        this pins the engine's defined two-pass semantics."""
+        from georaster_spark.queries import bpe_tokenize_col
+
+        # "tttt" with (t,h)? no merge; use 'a'+'n' alternation instead:
+        # "anananan": (a,n) x4 -> an,an,an,an (4); then no (an,an) rule
+        df = spark.createDataFrame([("anananan",), ("ananan",)], "word string")
+        got = {
+            r["word"]: r["n"]
+            for r in df.select("word", bpe_tokenize_col(F.col("word")).alias("n")).collect()
+        }
+        assert got == {"anananan": 4, "ananan": 3}
