@@ -23,12 +23,14 @@ Spark-first architecture (scales to a 100 TB COG lake):
    in NumPy, clips grid padding, and emits pixel rows. Blobs never
    shuffle; only decoded values leave the kernel.
 
-Supported (= the reference fixture matrix, ``tests/geotiff.rs``):
-classic TIFF (II/MM, magic 42), strips + tiles, PlanarConfiguration
-chunky|planar, Compression none|Deflate|OldDeflate, sample types
-u8/u16/u32/i8/i16/i32/f32/f64. Palette rasters raise (the reference
-doesn't support them either, ``tests/geotiff.rs:307-308``); BigTIFF
-and predictors are rejected explicitly.
+Supported (⊇ the reference fixture matrix, ``tests/geotiff.rs``):
+classic TIFF and BigTIFF (II/MM, magic 42/43), strips + tiles,
+PlanarConfiguration chunky|planar, Compression
+none|Deflate|OldDeflate|LZW, Predictor 1|2 (integer horizontal
+differencing) |3 (TechNote-3 floating-point byte-plane
+differencing), GDAL sparse chunks and GDAL_NODATA, sample types
+u8/u16/u32/u64/i8/i16/i32/i64/f32/f64. Palette rasters raise (the
+reference doesn't support them either, ``tests/geotiff.rs:307-308``).
 """
 
 from __future__ import annotations
@@ -500,10 +502,12 @@ def _check_supported(img: TiffImage, path: str) -> None:
         COMPRESSION_NONE, COMPRESSION_LZW, COMPRESSION_DEFLATE, COMPRESSION_OLD_DEFLATE
     ):
         raise ValueError(f"{path}: compression {img.compression} not supported")
-    if img.predictor not in (1, 2):
+    if img.predictor not in (1, 2, 3):
         raise ValueError(f"{path}: predictor {img.predictor} not supported")
     if img.predictor == 2 and img.dtype().startswith("f"):
         raise ValueError(f"{path}: predictor 2 is integer-only (3 is the float one)")
+    if img.predictor == 3 and not img.dtype().startswith("f"):
+        raise ValueError(f"{path}: predictor 3 is float-only (2 is the integer one)")
     if len({(b, f) for b, f in zip(img.bits, img.formats)}) > 1:
         raise ValueError(f"{path}: heterogeneous band sample types not supported")
 
@@ -559,6 +563,49 @@ def chunk_descriptors(tf: TiffFile, image_idx: int = 0) -> list[dict]:
     return out
 
 
+def fp_predict_decode(raw: bytes, row_samples: int, spp: int, dt: np.dtype) -> np.ndarray:
+    """Undo TIFF Predictor 3 (TechNote 3 floating-point predictor,
+    libtiff ``fpAcc``): per scanline, a running byte-wise sum with
+    stride = samples-per-pixel over a byte-plane-shuffled row —
+    plane 0 holds the MOST significant byte of every sample
+    regardless of file byte order — then samples reassemble
+    big-endian from the planes. Returns a 1-D native-order array."""
+    bps = dt.itemsize
+    row_nbytes = row_samples * bps
+    if len(raw) % row_nbytes:
+        raise ValueError(
+            f"predictor-3 payload {len(raw)}B is not a whole number of"
+            f" {row_nbytes}B scanlines"
+        )
+    rows = len(raw) // row_nbytes
+    b = np.frombuffer(raw, np.uint8).reshape(rows, row_nbytes)
+    # undo the stride-spp differencing: cumsum per residue class
+    # mod spp, uint8 wraparound (the diff crosses plane boundaries
+    # in libtiff, so it does here too)
+    acc = np.cumsum(b.reshape(rows, row_nbytes // spp, spp), axis=1, dtype=np.uint8)
+    planes = acc.reshape(rows, bps, row_samples)
+    be = np.ascontiguousarray(planes.transpose(0, 2, 1))  # (rows, samples, MSB..LSB)
+    vals = be.reshape(rows * row_samples, bps).view(np.dtype(">" + dt.kind + str(bps)))
+    return vals[:, 0].astype(dt.newbyteorder("="))
+
+
+def fp_predict_encode(block: np.ndarray) -> bytes:
+    """TIFF Predictor 3 encode (libtiff ``fpDiff``): per scanline,
+    shuffle sample bytes into MSB-first byte planes, then byte-wise
+    difference with stride = samples-per-pixel."""
+    if block.dtype.kind != "f":
+        raise ValueError("predictor 3 is float-only")
+    h, w, spp = block.shape
+    bps = block.dtype.itemsize
+    be = np.ascontiguousarray(block.astype(block.dtype.newbyteorder(">")))
+    b = np.frombuffer(be.tobytes(), np.uint8).reshape(h, w * spp, bps)
+    planes = np.ascontiguousarray(b.transpose(0, 2, 1)).reshape(h, w * spp * bps)
+    p3 = planes.reshape(h, -1, spp)
+    d = p3.copy()
+    d[:, 1:, :] = p3[:, 1:, :] - p3[:, :-1, :]  # uint8 wraparound
+    return d.tobytes()
+
+
 def decode_chunk_bytes(raw: bytes, desc: dict, as_float: bool = True) -> np.ndarray:
     """Chunk payload -> (h_valid, w_valid, spp) array, NaN = NoData.
     ``as_float=False`` keeps the native sample dtype (the exact path
@@ -576,7 +623,14 @@ def decode_chunk_bytes(raw: bytes, desc: dict, as_float: bool = True) -> np.ndar
     dt = np.dtype(desc["byte_order"] + {"u": "u", "i": "i", "f": "f"}[desc["dtype"][0]] + str(int(desc["dtype"][1:]) // 8))
     spp = desc["spp"]
     want = desc["stored_h"] * desc["stored_w"] * spp
-    flat = np.frombuffer(raw, dtype=dt, count=min(want, len(raw) // dt.itemsize))
+    if desc.get("predictor", 1) == 3:
+        # byte-plane shuffled: must un-predict BEFORE the samples
+        # can be viewed as floats (plane order fixes endianness, so
+        # the file byte_order does not apply here)
+        flat = fp_predict_decode(raw, desc["stored_w"] * spp, spp, dt)
+        dt = flat.dtype
+    else:
+        flat = np.frombuffer(raw, dtype=dt, count=min(want, len(raw) // dt.itemsize))
     if flat.size < want:
         # short final strip written without padding (GDAL does this):
         # the valid region must still be complete
@@ -898,8 +952,11 @@ def _image_block(
             # horizontal differencing, wraparound in the storage dtype
             d = block.copy()
             d[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
-            block = d
-        raw = block.tobytes()
+            raw = d.tobytes()
+        elif predictor == 3:
+            raw = fp_predict_encode(block)
+        else:
+            raw = block.tobytes()
         if compression in (COMPRESSION_DEFLATE, COMPRESSION_OLD_DEFLATE):
             raw = zlib.compress(raw)
         elif compression == COMPRESSION_LZW:

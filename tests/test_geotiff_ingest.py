@@ -407,6 +407,97 @@ class TestPredictorAndGeoKeys:
         with pytest.raises(ValueError, match="integer-only"):
             chunk_descriptors(open_tiff(p))
 
+    def test_predictor3_hand_vector(self, tmp_path):
+        """Byte-exact against the TechNote-3 layout derived by hand
+        (independent of the codec): row [1.0f, 2.0f] -> BE byte
+        planes 3F 40 | 80 00 | 00 00 | 00 00 -> stride-1 diff
+        3F 01 40 80 00 00 00 00. A mirrored encoder/decoder bug
+        cannot pass this."""
+        from georaster_spark.sources.geotiff import (
+            chunk_descriptors,
+            write_tiff,
+        )
+
+        p = str(tmp_path / "p3hand.tif")
+        write_tiff(p, np.array([[1.0, 2.0]], dtype=np.float32), "f32", predictor=3)
+        tf = open_tiff(p)
+        d = chunk_descriptors(tf)[0]
+        with open(p, "rb") as f:
+            f.seek(d["offset"])
+            raw = f.read(d["nbytes"])
+        assert raw.hex() == "3f01408000000000"
+        assert read_pixel(tf, 0, 0) == 1.0 and read_pixel(tf, 1, 0) == 2.0
+
+    def test_predictor3_round_trip_f32_deflate_short_strip(self, tmp_path):
+        """Multi-strip f32 + Deflate + predictor 3, with a SHORT
+        final strip (h=5, rps=2) — NaN and denormals included so the
+        byte planes carry every bit pattern class."""
+        from georaster_spark.sources.geotiff import COMPRESSION_DEFLATE, write_tiff
+
+        rng = np.random.default_rng(42)
+        arr = rng.standard_normal((5, 7)).astype(np.float32)
+        arr[0, 0] = np.float32(1e-42)  # denormal
+        arr[2, 3] = np.nan
+        p = str(tmp_path / "p3.tif")
+        write_tiff(p, arr, "f32", compression=COMPRESSION_DEFLATE, predictor=3,
+                   rows_per_strip=2)
+        tf = open_tiff(p)
+        assert tf.images[0].predictor == 3
+        got = np.array([[read_pixel(tf, xx, yy) for xx in range(7)] for yy in range(5)],
+                       dtype=np.float32)
+        assert np.array_equal(got, arr, equal_nan=True)
+
+    def test_predictor3_f64_rgb_lzw(self, tmp_path):
+        """spp=3 exercises the stride-spp byte diff; f64 the 8-byte
+        plane shuffle; LZW the compression composition."""
+        from georaster_spark.sources.geotiff import COMPRESSION_LZW, write_tiff
+
+        rng = np.random.default_rng(7)
+        arr = rng.standard_normal((4, 5, 3))
+        p = str(tmp_path / "p3rgb.tif")
+        write_tiff(p, arr, "f64", compression=COMPRESSION_LZW, predictor=3)
+        tf = open_tiff(p)
+        for yy in range(4):
+            for xx in range(5):
+                assert read_pixel(tf, xx, yy) == tuple(arr[yy, xx])
+
+    def test_predictor3_int_rejected(self, tmp_path):
+        """The writer refuses to ENCODE int predictor-3; the reader
+        must also reject a (hand-patched) file claiming it."""
+        import struct
+
+        from georaster_spark.sources.geotiff import chunk_descriptors, write_tiff
+
+        p = str(tmp_path / "p3i.tif")
+        with pytest.raises(ValueError, match="float-only"):
+            write_tiff(p, np.ones((2, 2)), "u16", predictor=3)
+        write_tiff(p, np.ones((2, 2)), "u16", predictor=2)
+        data = open(p, "rb").read()
+        entry2 = struct.pack("<HHII", 317, 3, 1, 2)
+        assert data.count(entry2) == 1
+        with open(p, "wb") as f:
+            f.write(data.replace(entry2, struct.pack("<HHII", 317, 3, 1, 3)))
+        with pytest.raises(ValueError, match="float-only"):
+            chunk_descriptors(open_tiff(p))
+
+    def test_predictor3_distributed_decode(self, spark, tmp_path):
+        """pixels_df over a predictor-3 file — the executor-side
+        kernel path, not just read_pixel."""
+        from georaster_spark.sources.geotiff import (
+            COMPRESSION_DEFLATE,
+            pixels_df,
+            write_tiff,
+        )
+
+        arr = (np.arange(30, dtype=np.float32).reshape(6, 5) / 4.0) ** 2
+        p = str(tmp_path / "p3d.tif")
+        write_tiff(p, arr, "f32", compression=COMPRESSION_DEFLATE, predictor=3,
+                   rows_per_strip=3)
+        rows = pixels_df(spark, [p]).collect()
+        assert len(rows) == 30
+        for r in rows:
+            assert r["value"] == float(arr[r["y"], r["x"]])
+
     def test_epsg_codes_of_reference_fixtures(self):
         """GeoKeyDirectory -> EPSG decodes agree with the CRS names
         the reference asserts via geo_params (tests/geotiff.rs:67,
