@@ -2358,6 +2358,72 @@ def sql_stream_sessionize():
     """
 
 
+def q_ice_prune(spark, sf_dir):
+    """Iceberg-style file skipping, measured end-to-end (E10 +
+    sources/icetable.py collect_file_stats/plan_files): orders are
+    committed as a snapshot CLUSTERED on order date (disjoint
+    per-file date ranges, Iceberg write.sort-order), then a one-year
+    range read plans its scan from the manifest's footer stats. The
+    function RAISES unless pruning actually dropped files, so a green
+    driver row is also evidence the skip happened — results stay
+    exact because the filter is re-applied as a residual predicate.
+    At 100 TB this is the difference between listing ~one manifest
+    and scanning every file of the table."""
+    import datetime
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from georaster_spark.sources import icetable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tbl = os.path.join(
+        tempfile.gettempdir(),
+        "georaster_ice_prune_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(tbl, ignore_errors=True)
+    icetable.write_table(
+        orders.select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            "o_totalprice",
+        ),
+        tbl,
+        cluster_by=["o_date"],
+        n_files=8,
+    )
+    filters = [
+        ("o_date", ">=", datetime.date(1996, 1, 1)),
+        ("o_date", "<", datetime.date(1997, 1, 1)),
+    ]
+    plan = icetable.plan_files(tbl, filters)
+    if not 0 < len(plan["kept"]) < plan["total"]:
+        raise RuntimeError(
+            f"file skipping did not engage: kept {len(plan['kept'])}"
+            f" of {plan['total']} files"
+        )
+    df = icetable.read_table(spark, tbl, filters=filters)
+    return df.groupBy(F.date_format("o_date", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("sum_price_c"),
+    )
+
+
+def sql_ice_prune():
+    return """
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1
+    """
+
+
 # =====================================================================
 # catalog
 # =====================================================================
@@ -2382,6 +2448,7 @@ QUERIES = {
     "stream_to_table": q_stream_to_table,
     "raster_ingest": q_raster_ingest,
     "pmtiles_ingest": q_pmtiles_ingest,
+    "ice_prune": q_ice_prune,
     "geocode_cells": q_geocode_cells,
     "cell_hist": q_cell_hist,
     "cell_parent_rollup": q_cell_parent_rollup,
@@ -2449,6 +2516,7 @@ ORACLES = {
     "stream_to_table": sql_stream_to_table(),
     "raster_ingest": sql_raster_ingest(),
     "pmtiles_ingest": sql_pmtiles_ingest(),
+    "ice_prune": sql_ice_prune(),
     "geocode_cells": sql_geocode_cells(),
     "cell_hist": sql_cell_hist(),
     "cell_parent_rollup": sql_cell_parent_rollup(),

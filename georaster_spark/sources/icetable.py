@@ -10,7 +10,15 @@ implements the same *contract* on plain partitioned Parquet:
 - a single **pointer file** (``metadata/current``) names the live
   snapshot; commits are atomic pointer swaps (``os.replace``);
 - **time travel**: ``read_table(..., snapshot_id=...)``;
-- **rollback**: repoint without deleting data.
+- **rollback**: repoint without deleting data;
+- **file skipping**: each commit records per-file column min/max/
+  null-count stats (read from the parquet footers in an
+  executor-side kernel — the driver never opens a data file), and
+  ``read_table(..., filters=[...])`` prunes whole files whose stat
+  range cannot satisfy the predicate before Spark ever lists them —
+  Iceberg's manifest-level ``lower_bounds``/``upper_bounds`` scan
+  planning. With ``cluster_by`` layouts (disjoint key ranges per
+  file) a point/range read touches ~one file out of thousands.
 
 The API is deliberately shaped so a real Iceberg catalog can replace
 it (``write_table`` ↔ ``df.writeTo(...).append``, ``read_table`` ↔
@@ -85,6 +93,143 @@ def committed_chain(path: str) -> list[dict[str, Any]]:
     return list(reversed(out))
 
 
+def _stat_key(v):
+    """Normalize a value for stat comparison / JSON storage: numbers
+    stay numbers; dates/datetimes become ISO strings (lexically
+    ordered); Decimals become floats; bytes/None -> None (no
+    pruning). Comparisons only ever happen within one column, so the
+    normalized kinds line up or the file is kept."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return None
+
+
+def collect_file_stats(spark, table_path: str, files: list[dict]) -> dict[str, dict]:
+    """Per-file column stats from the parquet footers, gathered in an
+    executor-side Arrow kernel (the driver ships relative paths and
+    receives a few rows per file — it opens no data file; same
+    architecture as the raster header kernel). A column whose stats
+    are missing in ANY row group is marked unknown for that file
+    (min/max null => never pruned on)."""
+    if not files:
+        return {}
+
+    def kernel(batches):
+        import json as _json
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for rel, full in zip(pdf["rel"], pdf["full"]):
+                md = pq.ParquetFile(full).metadata
+                per_col: dict[str, dict] = {}
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        name = col.path_in_schema
+                        if "." in name:
+                            continue  # nested leaves: not prunable here
+                        s = col.statistics
+                        cs = per_col.setdefault(
+                            name, {"min": None, "max": None, "nulls": 0, "ok": True}
+                        )
+                        if s is None or not s.has_min_max:
+                            cs["ok"] = False
+                            continue
+                        mn, mx = _stat_key(s.min), _stat_key(s.max)
+                        if mn is None or mx is None:
+                            cs["ok"] = False
+                        else:
+                            cs["min"] = mn if cs["min"] is None else min(cs["min"], mn)
+                            cs["max"] = mx if cs["max"] is None else max(cs["max"], mx)
+                        if s.null_count is not None:
+                            cs["nulls"] += s.null_count
+                for name, cs in per_col.items():
+                    rows.append(
+                        {
+                            "rel": rel,
+                            "col": name,
+                            "stat_json": _json.dumps(
+                                {
+                                    "min": cs["min"] if cs["ok"] else None,
+                                    "max": cs["max"] if cs["ok"] else None,
+                                    "nulls": cs["nulls"],
+                                }
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["rel", "col", "stat_json"])
+
+    paths_df = spark.createDataFrame(
+        [(f["path"], os.path.join(table_path, f["path"])) for f in files],
+        "rel string, full string",
+    ).repartition(max(1, min(len(files), 32)))
+    out: dict[str, dict] = {}
+    for r in paths_df.mapInPandas(kernel, schema="rel string, col string, stat_json string").collect():
+        out.setdefault(r["rel"], {})[r["col"]] = json.loads(r["stat_json"])
+    return out
+
+
+def file_matches(f: dict, filters: list[tuple]) -> bool:
+    """Can this file contain a row satisfying ALL of ``filters``?
+    Each filter is ``(col, op, literal)`` with op in
+    = == > >= < <=. Missing stats, unknown column, or incomparable
+    kinds => keep the file (pruning is only ever an optimization;
+    parquet min/max excludes NULLs, which comparison predicates
+    reject anyway, so skipping on them is exact)."""
+    stats = f.get("stats") or {}
+    for col, op, lit in filters:
+        cs = stats.get(col)
+        if not cs:
+            continue
+        mn, mx, v = cs.get("min"), cs.get("max"), _stat_key(lit)
+        if mn is None or mx is None or v is None:
+            continue
+        try:
+            if op in ("=", "=="):
+                if v < mn or v > mx:
+                    return False
+            elif op == ">=":
+                if mx < v:
+                    return False
+            elif op == ">":
+                if mx <= v:
+                    return False
+            elif op == "<=":
+                if mn > v:
+                    return False
+            elif op == "<":
+                if mn >= v:
+                    return False
+            else:
+                raise ValueError(f"unsupported filter op {op!r}")
+        except TypeError:
+            continue  # mixed kinds: never prune
+    return True
+
+
+def plan_files(
+    path: str, filters: list[tuple] | None = None, snapshot_id: str | None = None
+) -> dict[str, Any]:
+    """Scan planning without reading data: which manifest files
+    survive stat pruning. Returns {kept: [...], total: n} — the
+    audit surface for 'did file skipping actually skip'."""
+    m = read_manifest(path, snapshot_id)
+    kept = [f for f in m["files"] if not filters or file_matches(f, filters)]
+    return {"kept": kept, "total": len(m["files"])}
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -128,6 +273,9 @@ def write_table(
             if n.endswith(".parquet"):
                 p = os.path.join(root, n)
                 files.append({"path": os.path.relpath(p, path), "bytes": os.path.getsize(p)})
+    stats = collect_file_stats(df.sparkSession, path, files)
+    for f in files:
+        f["stats"] = stats.get(f["path"], {})
     parent = current_snapshot(path)
     if mode == "append" and parent is not None:
         files = read_manifest(path, parent)["files"] + files
@@ -154,18 +302,29 @@ def write_table(
 
 
 def read_table(
-    spark: SparkSession, path: str, snapshot_id: str | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: str | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
-    """Read the live (or a time-traveled) snapshot."""
+    """Read the live (or a time-traveled) snapshot. ``filters`` —
+    ``[(col, op, literal), ...]`` conjunction — prunes whole files
+    via the manifest stats BEFORE Spark lists them, then is ALSO
+    applied as a normal residual predicate (so results are exact
+    whatever the stats say; the stats only shrink the scan)."""
     m = read_manifest(path, snapshot_id)
-    if not m["files"]:
+    use_files = [
+        f for f in m["files"] if not filters or file_matches(f, filters)
+    ]
+    if not use_files:
         from pyspark.sql.types import StructType
 
-        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+        empty = spark.createDataFrame([], StructType.fromJson(m["schema"]))
+        return _apply_residual(empty, filters)
     # group files by their snapshot dir: basePath must sit directly
     # above the hive-style partition dirs for column recovery
     by_snap: dict[str, list[str]] = {}
-    for f in m["files"]:
+    for f in use_files:
         rel = f["path"]  # data/snap-<id>/[k=v/...]file.parquet
         parts = rel.split(os.sep)
         base = os.path.join(path, *parts[:2])
@@ -177,7 +336,25 @@ def read_table(
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
-    return out
+    return _apply_residual(out, filters)
+
+
+_OPS = {
+    "=": "==", "==": "==", ">": ">", ">=": ">=", "<": "<", "<=": "<=",
+}
+
+
+def _apply_residual(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for col, op, lit in filters or []:
+        c = F.col(col)
+        cond = {
+            "==": c == F.lit(lit), ">": c > F.lit(lit), ">=": c >= F.lit(lit),
+            "<": c < F.lit(lit), "<=": c <= F.lit(lit),
+        }[_OPS[op]]
+        df = df.where(cond)
+    return df
 
 
 def merge_table(

@@ -59,6 +59,79 @@ class TestIceTable:
         assert "PartitionFilters: [isnotnull(part" in plan
 
 
+class TestFileSkipping:
+    def test_manifest_carries_footer_stats(self, spark, docs, tmp_path):
+        path = str(tmp_path / "fs1")
+        icetable.write_table(
+            docs.select("doc_seq", "url", "lang"), path,
+            cluster_by=["doc_seq"], n_files=4,
+        )
+        m = icetable.read_manifest(path)
+        assert len(m["files"]) == 4
+        for f in m["files"]:
+            st = f["stats"]["doc_seq"]
+            assert st["min"] is not None and st["min"] <= st["max"]
+        # clustered layout => disjoint doc_seq ranges, union covers all
+        lo = min(f["stats"]["doc_seq"]["min"] for f in m["files"])
+        hi = max(f["stats"]["doc_seq"]["max"] for f in m["files"])
+        assert (lo, hi) == (0, 399)
+
+    def test_point_read_prunes_to_one_file(self, spark, docs, tmp_path):
+        path = str(tmp_path / "fs2")
+        icetable.write_table(
+            docs.select("doc_seq", "url"), path, cluster_by=["doc_seq"], n_files=4
+        )
+        plan = icetable.plan_files(path, [("doc_seq", "=", 123)])
+        assert plan["total"] == 4 and len(plan["kept"]) == 1
+        got = icetable.read_table(spark, path, filters=[("doc_seq", "=", 123)])
+        assert [r["doc_seq"] for r in got.collect()] == [123]
+
+    def test_range_read_results_equal_unpruned(self, spark, docs, tmp_path):
+        path = str(tmp_path / "fs3")
+        icetable.write_table(
+            docs.select("doc_seq", "url", "lang"), path,
+            cluster_by=["doc_seq"], n_files=4,
+        )
+        filters = [("doc_seq", ">=", 90), ("doc_seq", "<", 210)]
+        plan = icetable.plan_files(path, filters)
+        assert 1 <= len(plan["kept"]) < plan["total"]
+        pruned = icetable.read_table(spark, path, filters=filters)
+        full = icetable.read_table(spark, path).where(
+            (F.col("doc_seq") >= 90) & (F.col("doc_seq") < 210)
+        )
+        assert sorted(r["doc_seq"] for r in pruned.collect()) == sorted(
+            r["doc_seq"] for r in full.collect()
+        )
+
+    def test_string_and_unknown_columns_never_lose_rows(self, spark, docs, tmp_path):
+        path = str(tmp_path / "fs4")
+        icetable.write_table(docs.select("doc_seq", "url", "lang"), path)
+        # string stat pruning on an unclustered column: may keep all
+        # files, must keep all matching rows
+        want = docs.where(F.col("lang") == "en").count()
+        got = icetable.read_table(spark, path, filters=[("lang", "=", "en")]).count()
+        assert got == want
+        # filter on a column with no stats entry: no-op prune
+        plan = icetable.plan_files(path, [("nonexistent", ">", 5)])
+        assert len(plan["kept"]) == plan["total"]
+
+    def test_append_preserves_parent_stats(self, spark, docs, tmp_path):
+        path = str(tmp_path / "fs5")
+        icetable.write_table(
+            docs.where(F.col("doc_seq") < 200).select("doc_seq", "url"),
+            path, cluster_by=["doc_seq"], n_files=2,
+        )
+        icetable.write_table(
+            docs.where(F.col("doc_seq") >= 200).select("doc_seq", "url"),
+            path, cluster_by=["doc_seq"], n_files=2, mode="append",
+        )
+        m = icetable.read_manifest(path)
+        assert len(m["files"]) == 4
+        assert all(f["stats"].get("doc_seq", {}).get("min") is not None for f in m["files"])
+        plan = icetable.plan_files(path, [("doc_seq", "<", 100)])
+        assert len(plan["kept"]) == 1
+
+
 class TestLineageResume:
     @staticmethod
     def _xform(df):

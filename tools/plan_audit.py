@@ -164,6 +164,37 @@ def main() -> int:
     p = plans["knn_table"] = explain_str(Q.q_knn_table(spark, SF))
     check("knn_table", "candidate probe is a BroadcastHashJoin", n_nodes(p, "BroadcastHashJoin") >= 1)
 
+    # ice_prune: manifest-stat file skipping — the scan must list
+    # STRICTLY FEWER files than the snapshot holds, and the residual
+    # date filter still reaches the parquet reader
+    ice_df = Q.q_ice_prune(spark, SF)
+    p = plans["ice_prune"] = explain_str(ice_df)
+    from georaster_spark.sources import icetable as _ice
+
+    import datetime as _dt
+    import hashlib as _hl
+    import tempfile as _tf
+
+    _tbl = os.path.join(
+        _tf.gettempdir(),
+        "georaster_ice_prune_" + _hl.md5(SF.encode()).hexdigest()[:10],
+    )
+    _plan = _ice.plan_files(
+        _tbl,
+        [("o_date", ">=", _dt.date(1996, 1, 1)), ("o_date", "<", _dt.date(1997, 1, 1))],
+    )
+    check(
+        "ice_prune",
+        f"manifest stats pruned the scan to {len(_plan['kept'])} of "
+        f"{_plan['total']} files before Spark listed any",
+        0 < len(_plan["kept"]) < _plan["total"],
+    )
+    check(
+        "ice_prune",
+        "residual o_date filter pushed to the parquet scan",
+        any("o_date" in l and "[]" not in l for l in p.splitlines() if "PushedFilters" in l),
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (explain('formatted') invariants)\n\n")
