@@ -2358,6 +2358,53 @@ def sql_stream_sessionize():
     """
 
 
+def pip_join_hot_counts(spark, sf_dir, salted: bool = True):
+    """Point-in-polygon join under DEGENERATE key skew, then per-
+    polygon counts (E5 measured, not just tested): half of all
+    documents sit at ONE exact point (7.505, 46.005) — a single cell
+    at RES, inside two polygons — so the per-polygon aggregation has
+    two keys holding ~50% of the joined rows each. ``salted=True``
+    routes the count through the two-level salted aggregation
+    (operators/spatial_join.py salted_cell_counts); ``salted=False``
+    is the naive groupBy used for the identity check in bench.py.
+    The broadcast-cover pip_join itself is skew-immune (no shuffle on
+    the cell); the aggregation after it is where a hot key bites."""
+    d = _t(spark, sf_dir, "documents")
+    lon, lat = geocode_cols(F.col("doc_id"))
+    one_pt = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    d = d.withColumn("lon", F.when(one_pt, F.lit(7.505)).otherwise(lon)).withColumn(
+        "lat", F.when(one_pt, F.lit(46.005)).otherwise(lat)
+    )
+    joined = pip_join(d, polygons(), RES)
+    keyed = joined.select(F.col("poly_id").alias("cell"), "doc_id")
+    if salted:
+        counts = salted_cell_counts(keyed, salt_k=16, salt_key="doc_id")
+    else:
+        counts = keyed.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return counts.select(F.col("cell").alias("poly_id"), "n_docs")
+
+
+def q_pip_join_hot(spark, sf_dir):
+    return pip_join_hot_counts(spark, sf_dir, salted=True)
+
+
+def sql_pip_join_hot():
+    lon, lat = geocode_sql("doc_id")
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 7.505 ELSE {lon} END AS lon,
+             CASE WHEN doc_id % 2 = 0 THEN 46.005 ELSE {lat} END AS lat
+      FROM documents
+    )
+    SELECT polyrects.poly_id AS poly_id, CAST(count(*) AS BIGINT) AS n_docs
+    FROM g JOIN {polygon_rects_sql()}
+      ON g.lon > polyrects.xmin AND g.lon < polyrects.xmax
+     AND g.lat > polyrects.ymin AND g.lat < polyrects.ymax
+    GROUP BY 1
+    """
+
+
 def q_ice_prune(spark, sf_dir):
     """Iceberg-style file skipping, measured end-to-end (E10 +
     sources/icetable.py collect_file_stats/plan_files): orders are
@@ -2453,6 +2500,7 @@ QUERIES = {
     "cell_hist": q_cell_hist,
     "cell_parent_rollup": q_cell_parent_rollup,
     "pip_join": q_pip_join,
+    "pip_join_hot": q_pip_join_hot,
     "knn": q_knn,
     "knn_table": q_knn_table,
     "dwithin_pairs": q_dwithin_pairs,
@@ -2521,6 +2569,7 @@ ORACLES = {
     "cell_hist": sql_cell_hist(),
     "cell_parent_rollup": sql_cell_parent_rollup(),
     "pip_join": sql_pip_join(),
+    "pip_join_hot": sql_pip_join_hot(),
     "knn": sql_knn(),
     "knn_table": sql_knn_table(),
     "dwithin_pairs": sql_dwithin_pairs(),
