@@ -70,12 +70,14 @@ def try_cast_i64(value: Column, dtype: str) -> Column:
 def try_cast_u64(value: Column, dtype: str) -> Column:
     """``u64::try_from`` analog: ONLY unsigned families convert — a
     signed source is ValueRange regardless of sign (src/lib.rs:75-88
-    has U8/U16/U32/U64 arms only). Unsigned storage is never negative,
-    so no sign check is needed. U64 full range noted as DECIMAL
-    territory (SURVEY.md §7 risk 3) — this LONG form is exact to 2^63;
-    ``try_cast_u64_decimal`` carries the full 2^64 range."""
+    has U8/U16/U32/U64 arms only). The reference's type system makes
+    a negative value under an unsigned dtype unrepresentable; DOUBLE
+    storage here does not, so a negative input is treated as data
+    corruption and NULLed rather than passed through. U64 full range
+    noted as DECIMAL territory (SURVEY.md §7 risk 3) — this LONG form
+    is exact to 2^63; ``try_cast_u64_decimal`` carries 2^64."""
     if dtype in _U64_SRC_DTYPES:
-        return value.cast("long")
+        return F.when(value >= 0, value.cast("long"))
     return F.lit(None).cast("long")
 
 
@@ -84,7 +86,7 @@ def try_cast_u64_decimal(value: Column, dtype: str) -> Column:
     0..2^64-1 exactly (src/lib.rs:75-88; SURVEY.md §7 risk 3). Input
     must already be exact (integral/decimal storage, not double)."""
     if dtype in _U64_SRC_DTYPES:
-        return value.cast("decimal(20,0)")
+        return F.when(value >= 0, value.cast("decimal(20,0)"))
     return F.lit(None).cast("decimal(20,0)")
 
 
@@ -110,12 +112,21 @@ def cast_i64_strict(value: Column, dtype: str) -> Column:
 
 def cast_u64_strict(value: Column, dtype: str) -> Column:
     """Strict ``u64::try_from``: any signed or float source raises
-    (src/lib.rs:75-88 — only unsigned arms exist), as does NoData."""
+    (src/lib.rs:75-88 — only unsigned arms exist), as does NoData.
+    A NEGATIVE value stored under an unsigned dtype is unrepresentable
+    in the reference's type system, so here it raises as corruption
+    (the DOUBLE storage can physically hold it; passing it through as
+    a 'u64' would silently launder bad data)."""
     if dtype not in _U64_SRC_DTYPES:
         return F.raise_error(F.lit(f"ValueRange: cannot convert {dtype} to u64"))
     return F.when(
         value.isNull(),
         F.raise_error(F.lit("ValueRange: NoData does not convert to u64")),
+    ).when(
+        value < 0,
+        F.raise_error(
+            F.lit(f"ValueRange: negative value under unsigned dtype {dtype} (corrupt data)")
+        ),
     ).otherwise(value.cast("long"))
 
 

@@ -237,7 +237,9 @@ class TestValueFunctions:
         assert [r.i_ok for r in rows] == [107, -3, None]
         assert [r.i_bad for r in rows] == [None, None, None]
         assert [r.i_u64 for r in rows] == [None, None, None]
-        assert [r.u_ok for r in rows] == [107, -3, None]  # garbage-in: u32 storage is never negative
+        # negative under an unsigned dtype is unrepresentable in the
+        # reference's type system — here it means corrupt storage, NULLed
+        assert [r.u_ok for r in rows] == [107, None, None]
         assert [r.u_signed for r in rows] == [None, None, None]
         assert [r.f for r in rows] == [107.0, -3.0, None]
 
@@ -287,9 +289,13 @@ class TestStrictCasts:
         # signed family -> u64 error (only unsigned arms, src/lib.rs:75-88)
         with pytest.raises(Exception, match="ValueRange"):
             df.select(cast_u64_strict(F.col("v"), "i32").alias("x")).collect()
-        # unsigned -> u64 ok
-        uok = df.select(cast_u64_strict(F.col("v"), "u32").alias("x")).collect()
-        assert sorted(r["x"] for r in uok) == [-3, 5]
+        # unsigned -> u64 ok for non-negative values
+        pos = spark.createDataFrame([(5.0,), (107.0,)], "v double")
+        uok = pos.select(cast_u64_strict(F.col("v"), "u32").alias("x")).collect()
+        assert sorted(r["x"] for r in uok) == [5, 107]
+        # negative under an unsigned dtype = corrupt storage -> error
+        with pytest.raises(Exception, match="ValueRange.*corrupt"):
+            df.select(cast_u64_strict(F.col("v"), "u32").alias("x")).collect()
         # NoData -> error
         nd = spark.createDataFrame([(None,)], "v double")
         with pytest.raises(Exception, match="ValueRange"):
