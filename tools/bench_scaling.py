@@ -197,11 +197,17 @@ def main() -> None:
         "n_docs": N_DOCS,
         "local_N": results[lo],
         "local_4N": results[hi],
-        "scaling_efficiency_N_to_4N": round(eff, 3),
+        # best-of-each-level ratio: the two minima can come from
+        # DIFFERENT pairs, so this mixes host states; disclosed but
+        # not the gate statistic
+        "best_of_level_capability_ratio": round(eff, 3),
         "pair_efficiencies": [p["efficiency"] for p in pair_rows],
         "median_pair_efficiency": round(median_eff, 3),
-        "gate": "efficiency >= 0.8",
-        "pass": eff >= 0.8,
+        # gate on the median of per-pair efficiencies: each pair is
+        # two fresh JVMs measured back-to-back under the SAME host
+        # state, and the median is robust to one noisy pair
+        "gate": "median pair efficiency >= 0.8",
+        "pass": median_eff >= 0.8,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
@@ -221,7 +227,12 @@ fresh JVM per level; warmup pass excluded from timing.
 | N  (local[{lo}])  | {lo}  | {results[lo]['wall_sec']} | {results[lo]['docs_per_sec']:,} | {results[lo]['joined_rows']:,} |
 | 4N (local[{hi}]) | {hi} | {results[hi]['wall_sec']} | {results[hi]['docs_per_sec']:,} | {results[hi]['joined_rows']:,} |
 
-**Scaling efficiency (N→4N) = {eff:.3f}** (gate ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+Best-of-each-level capability ratio = {eff:.3f} (the two minima can
+come from different pairs / host states — disclosed, not the gate).
+
+**Gate statistic: median per-pair efficiency = {median_eff:.3f}**
+(gate ≥ 0.8: {"PASS" if median_eff >= 0.8 else "FAIL"}) — each pair
+is two fresh JVMs measured back-to-back under the same host state.
 
 Join output row counts are identical across cluster sizes
 (north-rule row-count gate) — asserted by tools/bench_scaling.py.
