@@ -520,6 +520,13 @@ class TestPredictorAndGeoKeys:
         assert keys[1026] == "NAD27 / UTM zone 11N"  # citation via ASCII slice
 
 
+# frozen sha256 of the engine encoder's stream for the 60k LCG vector
+# (regression pin; independently CROSS-VALIDATED in
+# TestLzw.test_cross_implementation_interop, where a second
+# spec-literal implementation produced byte-identical streams)
+ENGINE_LZW_60K_SHA256 = "bfb30301a5f02462ad089bcd540fd605dd75f7f067473a42ac5333bda1a2ef0f"
+
+
 class TestLzw:
     """TIFF6 §13 LZW: MSB-first packing, early change, dict reset."""
 
@@ -543,6 +550,144 @@ class TestLzw:
         assert lzw_decode(lzw_encode(b"\x00" * 1000)) == b"\x00" * 1000
         assert lzw_decode(lzw_encode(b"")) == b""
         assert lzw_decode(lzw_encode(b"\x42")) == b"\x42"
+
+    # ---- independent spec pair for interop validation -------------
+    # A mirrored spec deviation in the engine's encoder/decoder pair
+    # (e.g. a wrong 9->10-bit early-change boundary on BOTH sides)
+    # survives round-trip tests. This second pair is written straight
+    # from TIFF6 §13 + the libtiff early-change convention, in a
+    # deliberately different style (string-keyed dict, bit-string
+    # accumulation, decoder-counter width simulation). Cross-decoding
+    # each pair's streams with the other detects any one-sided OR
+    # mirrored deviation at the 510/1022/2046 width switches and the
+    # dictionary reset.
+
+    @staticmethod
+    def _spec_width(dec_next: int) -> int:
+        # decoder-side early change: the decoder's table lags the
+        # encoder's by one add, so it widens when ITS next code hits
+        # (1<<w)-2 = 510 / 1022 / 2046
+        if dec_next < 510:
+            return 9
+        if dec_next < 1022:
+            return 10
+        if dec_next < 2046:
+            return 11
+        return 12
+
+    @classmethod
+    def _spec_lzw_encode(cls, data: bytes) -> bytes:
+        CLEAR, EOI = 256, 257
+        bitbuf: list[str] = []
+        # widths are chosen by simulating the DECODER's code counter:
+        # it adds one table entry per data code received after the
+        # first since CLEAR (this also handles the flush/EOI lag flip)
+        dec_next, since_clear = 258, 0
+
+        def emit(code: int, is_data: bool) -> None:
+            nonlocal dec_next, since_clear
+            bitbuf.append(format(code, f"0{cls._spec_width(dec_next)}b"))
+            if code == CLEAR:
+                dec_next, since_clear = 258, 0
+            elif is_data:
+                since_clear += 1
+                if since_clear >= 2:
+                    dec_next += 1
+
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        emit(CLEAR, False)
+        omega = b""
+        for ch in data:
+            k = bytes([ch])
+            if omega + k in table:
+                omega += k
+                continue
+            emit(table[omega], True)
+            table[omega + k] = next_code
+            next_code += 1
+            omega = k
+            if next_code >= 4094:  # 12-bit early-change table flush
+                emit(CLEAR, False)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+        if omega:
+            emit(table[omega], True)
+        emit(EOI, False)
+        bits = "".join(bitbuf)
+        bits += "0" * (-len(bits) % 8)
+        return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+    @classmethod
+    def _spec_lzw_decode(cls, buf: bytes) -> bytes:
+        bits = "".join(format(b, "08b") for b in buf)
+        pos, out = 0, bytearray()
+        table: dict[int, bytes] = {}
+        prev: bytes | None = None
+        next_code = 258
+        while True:
+            w = cls._spec_width(next_code)
+            if pos + w > len(bits):
+                break  # trailing pad bits
+            code = int(bits[pos : pos + w], 2)
+            pos += w
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, prev = 258, None
+                continue
+            if code == 257:
+                break
+            if prev is None:
+                entry = table[code]
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]  # KwKwK
+                else:
+                    raise ValueError(f"bad LZW code {code}")
+                if next_code <= 4095:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+            out += entry
+            prev = entry
+        return bytes(out)
+
+    def test_cross_implementation_interop(self):
+        """Engine streams decode under the spec pair and vice versa,
+        across every width switch and a dictionary reset."""
+        import hashlib
+
+        from georaster_spark.sources.geotiff import lzw_decode, lzw_encode
+
+        vectors = [
+            # crosses 9->10->11->12 and the 4094 reset (same LCG as
+            # the engine's own round-trip test)
+            bytes((i * 197 + (i >> 3) * 31) % 256 for i in range(60_000)),
+            # KwKwK-heavy, stays 9-bit
+            b"\x00" * 5_000,
+            # moderate entropy: lands inside the 10- and 11-bit bands
+            bytes((i * 13) % 251 for i in range(4_000)),
+            bytes(range(256)) * 8,
+            b"",
+            b"\x42",
+        ]
+        for data in vectors:
+            spec_stream = self._spec_lzw_encode(data)
+            assert self._spec_lzw_decode(spec_stream) == data  # pair sanity
+            # engine encoder -> spec decoder
+            assert self._spec_lzw_decode(lzw_encode(data)) == data
+            # spec encoder -> engine decoder
+            assert lzw_decode(spec_stream) == data
+            # the two independent encoders agree byte-for-byte: width
+            # switches and the reset land at identical stream offsets
+            assert lzw_encode(data) == spec_stream
+        # frozen regression anchor for the boundary-heavy stream
+        # (regression pin of the engine encoder's bytes, not an
+        # independent derivation — the interop asserts above are the
+        # independent evidence)
+        anchor = hashlib.sha256(lzw_encode(vectors[0])).hexdigest()
+        assert anchor == ENGINE_LZW_60K_SHA256, anchor
 
     def test_lzw_tiff_round_trip_with_predictor(self, tmp_path):
         from georaster_spark.sources.geotiff import COMPRESSION_LZW, write_tiff
