@@ -482,6 +482,148 @@ def sql_text_entropy():
     """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (webtext curation: strip emails / phones /
+    IPs before training). The synthetic corpus carries no PII, so the
+    query plants deterministic doc_id-derived PII spans first (the
+    fixture half), then the operator under test counts and redacts
+    them with built-in regexp_count / regexp_replace — all JVM-side
+    codegen, one narrow projection, zero shuffles: at 100 TB this is
+    a pure map stage. The md5 of the scrubbed text pins the full
+    replacement output, not just the counts."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@mail.example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" tel 555-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>",
+        ),
+        PII_IP_RE, "<IP>",
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(aug, F.lit(PII_PHONE_RE)).cast("long").alias("n_phone"),
+        F.regexp_count(aug, F.lit(PII_IP_RE)).cast("long").alias("n_ip"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+# \d and literal dots parse identically in Java regex and RE2; no
+# lookarounds or word boundaries (RE2 \b exists but Java's differs on
+# unicode word chars — avoided entirely)
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "555-[0-9]{4}"
+PII_IP_RE = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def sql_pii_scrub():
+    # SQL single-quoted literals don't process backslashes, so the
+    # Python pattern strings embed verbatim
+    email = PII_EMAIL_RE
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com now' ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' tel 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END"
+    )
+    return f"""
+    WITH a AS (SELECT doc_id, {aug} AS aug FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(aug, '{email}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(aug, '{PII_PHONE_RE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(aug, '{PII_IP_RE}')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug,
+               '{email}', '<EMAIL>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g'),
+               '{PII_IP_RE}', '<IP>', 'g')) AS scrubbed_md5
+    FROM a
+    """
+
+
+def q_repeated_ngrams(spark, sf_dir):
+    """Within-document repeated word-3-gram filter (the Gopher/
+    MassiveText repetition-quality rule: drop docs whose duplicate
+    n-gram fraction is high). Explode 3-grams -> two partial-
+    aggregated groupBys keyed on doc_id — the explode multiplies rows
+    by ~n_tokens but never shuffles raw text, and both aggregations
+    map-side combine, so the shuffle carries (doc_id, gram-hash)
+    pairs only. Docs with fewer than 3 tokens have no 3-grams and
+    drop out (both engines agree)."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size("w") >= 3,
+        F.expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"),
+    ).otherwise(F.expr("array()"))
+    counts = (
+        d.select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(grams).alias("ng"))
+        .groupBy("doc_id", "ng")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dup = (F.col("n_grams") - F.col("n_distinct")).cast("double") / F.col(
+        "n_grams"
+    ).cast("double")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("n").cast("long").alias("max_rep"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_grams", "n_distinct", "max_rep",
+            F.round(dup * 1000000.0, 0).cast("long").alias("dup_ratio_e6"),
+            (dup < 0.5).cast("long").alias("keep"),
+        )
+    )
+
+
+def sql_repeated_ngrams():
+    return """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS ng
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM w)
+    ),
+    c AS (SELECT doc_id, ng, count(*) AS n FROM g GROUP BY 1, 2),
+    p AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(n) AS BIGINT) AS max_rep
+      FROM c GROUP BY 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_grams, n_distinct, max_rep,
+           CAST(round(CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS dup_ratio_e6,
+           CAST(CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) < 0.5 AS BIGINT) AS keep
+    FROM p
+    """
+
+
 def sql_doc_quality():
     stops = ", ".join(f"'{w}'" for w in STOPWORDS)
     stop_ratio = (
@@ -1935,8 +2077,11 @@ TIFF_INGEST_FILES = [
 #  py_e9, geo_params, n_px, n_nodata, sum_v_e3). Metadata columns are
 # the reference's OWN test assertions (tests/geotiff.rs byte:58-75,
 # rgbsmall:129-143, small_world:225-233, sat:424-436, utm:315-326,
-# f32nan:6-16); the three aggregate columns are pinned from the first
-# verified decode (HALF_UP per-pixel rounding, the engine-wide rule).
+# f32nan:6-16); the three aggregate columns of the REFERENCE files
+# are pinned from the first verified decode (HALF_UP per-pixel
+# rounding, the engine-wide rule). The two synth_* rows' aggregates
+# are closed-form; sql_raster_ingest derives them in SQL instead of
+# reading them from here (see its docstring).
 TIFF_INGEST_GOLDEN = [
     ("byte", 20, 20, 1, 440720000000, 3751320000000, 60000000000, -60000000000, "NAD27 / UTM zone 11N|", 400, 0, 50706000),
     ("f32nan_data", 128, 128, 1, 0, 0, 1000000000, 1000000000, None, 16384, 8957, 102819350),
@@ -2047,6 +2192,14 @@ def q_raster_ingest(spark, sf_dir):
 
 
 def sql_raster_ingest():
+    """Reference-file rows come from TIFF_INGEST_GOLDEN: metadata
+    columns are the reference's own test assertions; their three
+    aggregate columns are REGRESSION PINS (first verified decode —
+    no second TIFF reader exists here to derive them). The two
+    synthetic fixtures' aggregates, by contrast, are derived by
+    DuckDB itself from the closed-form generator expressions in
+    ``_synth_ingest_paths`` — a decode bug cannot satisfy them."""
+
     def lit(v):
         if v is None:
             return "NULL"
@@ -2055,7 +2208,9 @@ def sql_raster_ingest():
         return repr(v)
 
     rows = ", ".join(
-        "(" + ", ".join(lit(v) for v in row) + ")" for row in TIFF_INGEST_GOLDEN
+        "(" + ", ".join(lit(v) for v in row) + ")"
+        for row in TIFF_INGEST_GOLDEN
+        if not row[0].startswith("synth_")
     )
     return f"""
     SELECT file, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
@@ -2066,6 +2221,24 @@ def sql_raster_ingest():
     FROM (VALUES {rows})
       AS t(file, width, height, bands, origin_x_e6, origin_y_e6, px_x_e9, px_y_e9,
            geo_params, n_px, n_nodata, sum_v_e3)
+    UNION ALL
+    -- synth_lzw_pred: value(x, y) = (7x + 13y) mod 256 over 50x40,
+    -- u8, no NoData; geotransform literals are the write() inputs
+    SELECT 'synth_lzw_pred', 50, 40, 1, 1000000000, 2000000000,
+           5000000000, -5000000000, NULL,
+           CAST(count(*) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(1000 * sum((x.range * 7 + y.range * 13) % 256) AS BIGINT)
+    FROM range(50) x, range(40) y
+    UNION ALL
+    -- synth_big_sparse: value(x, y) = 3x + 5y - 100 for y < 10 over
+    -- 20x30, i16; rows y >= 10 are zero -> written sparse -> NoData
+    SELECT 'synth_big_sparse', 20, 30, 1, NULL, NULL, NULL, NULL, NULL,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN y.range >= 10 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(1000 * sum(CASE WHEN y.range < 10
+                           THEN x.range * 3 + y.range * 5 - 100 END) AS BIGINT)
+    FROM range(20) x, range(30) y
     """
 
 
@@ -2476,13 +2649,17 @@ def sql_ice_prune():
 # =====================================================================
 
 # Catalog order is deliberate: the external driver verifies the FIRST
-# 50 entries (CORRECTNESS_r01 covered exactly the first 50 in dict
-# order), so the 8 entries it could not check in round 1 (moving_avg,
-# media_*, stream_*) lead this round together with the new
-# raster_ingest and text_entropy, and 10 entries that already hold
-# green r01 driver rows AND independent pytest coverage rotate to the
-# tail. Every entry keeps its oracle; tools/check_oracle.py verifies
-# all 60 regardless of order.
+# 50 entries in dict order, so each round the window rotates to keep
+# every entry at most one round stale (r03 ∪ r02 covers all 65).
+# This round the window holds: the 5 entries added in round 3
+# (media_png_decode, pmtiles_ingest, ice_prune, pip_join_hot,
+# bpe_token_count), the 10 entries that sat in round 2's tail
+# (raster_info … approx_percentile), and every entry whose underlying
+# code changed this round (value_casts, dedup_components, ann_ivf,
+# media_*, raster_ingest). The 15 tail entries are green in BOTH
+# r01 and r02 driver runs, unchanged this round, and pytest-covered.
+# Every entry keeps its oracle; tools/check_oracle.py verifies all 65
+# regardless of order.
 QUERIES = {
     "moving_avg": q_moving_avg,
     "media_features": q_media_features,
@@ -2496,6 +2673,8 @@ QUERIES = {
     "raster_ingest": q_raster_ingest,
     "pmtiles_ingest": q_pmtiles_ingest,
     "ice_prune": q_ice_prune,
+    "raster_info": q_raster_info,
+    "asof_join": q_asof_join,
     "geocode_cells": q_geocode_cells,
     "cell_hist": q_cell_hist,
     "cell_parent_rollup": q_cell_parent_rollup,
@@ -2504,27 +2683,20 @@ QUERIES = {
     "knn": q_knn,
     "knn_table": q_knn_table,
     "dwithin_pairs": q_dwithin_pairs,
-    "dtm_window_max": q_dtm_window_max,
-    "dtm_overview_max": q_dtm_overview_max,
-    "tile_assignment": q_tile_assignment,
     "rasterize_grid": q_rasterize_grid,
-    "zonal_stats": q_zonal_stats,
-    "band_math": q_band_math,
-    "doc_quality": q_doc_quality,
-    "terrarium_decode": q_terrarium_decode,
-    "crop": q_crop,
-    "img2ascii": q_img2ascii,
     "xyz_lookup": q_xyz_lookup,
     "value_casts": q_value_casts,
-    "tpch_q1": q_tpch_q1,
-    "revenue_join": q_revenue_join,
-    "window_topk": q_window_topk,
-    "semi_anti": q_semi_anti,
-    "sessionize": q_sessionize,
-    "events_json": q_events_json,
-    "events_window_agg": q_events_window_agg,
-    "event_percentiles": q_event_percentiles,
+    "pivot_lang": q_pivot_lang,
+    "cube_lang_source": q_cube_lang_source,
+    "rollup_lang_source": q_rollup_lang_source,
+    "set_ops": q_set_ops,
+    "sql_api": q_sql_api,
+    "wordcount": q_wordcount,
+    "distinct_exact": q_distinct_exact,
+    "approx_percentile": q_approx_percentile,
     "text_stats": q_text_stats,
+    "pii_scrub": q_pii_scrub,
+    "repeated_ngrams": q_repeated_ngrams,
     "bpe_token_count": q_bpe_token_count,
     "lang_id": q_lang_id,
     "html_tags": q_html_tags,
@@ -2539,17 +2711,24 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
     "text_entropy": q_text_entropy,
-    # --- tail: r01 driver-green + pytest-covered (rotation slots) ---
-    "asof_join": q_asof_join,
-    "raster_info": q_raster_info,
-    "pivot_lang": q_pivot_lang,
-    "cube_lang_source": q_cube_lang_source,
-    "rollup_lang_source": q_rollup_lang_source,
-    "set_ops": q_set_ops,
-    "sql_api": q_sql_api,
-    "wordcount": q_wordcount,
-    "distinct_exact": q_distinct_exact,
-    "approx_percentile": q_approx_percentile,
+    # --- tail: green in both r01 and r02, unchanged this round ---
+    "window_topk": q_window_topk,
+    "sessionize": q_sessionize,
+    "dtm_window_max": q_dtm_window_max,
+    "dtm_overview_max": q_dtm_overview_max,
+    "tile_assignment": q_tile_assignment,
+    "zonal_stats": q_zonal_stats,
+    "band_math": q_band_math,
+    "terrarium_decode": q_terrarium_decode,
+    "crop": q_crop,
+    "img2ascii": q_img2ascii,
+    "doc_quality": q_doc_quality,
+    "tpch_q1": q_tpch_q1,
+    "revenue_join": q_revenue_join,
+    "semi_anti": q_semi_anti,
+    "events_json": q_events_json,
+    "events_window_agg": q_events_window_agg,
+    "event_percentiles": q_event_percentiles,
 }
 
 ORACLES = {
@@ -2565,6 +2744,8 @@ ORACLES = {
     "raster_ingest": sql_raster_ingest(),
     "pmtiles_ingest": sql_pmtiles_ingest(),
     "ice_prune": sql_ice_prune(),
+    "raster_info": sql_raster_info(),
+    "asof_join": sql_asof_join(),
     "geocode_cells": sql_geocode_cells(),
     "cell_hist": sql_cell_hist(),
     "cell_parent_rollup": sql_cell_parent_rollup(),
@@ -2573,27 +2754,20 @@ ORACLES = {
     "knn": sql_knn(),
     "knn_table": sql_knn_table(),
     "dwithin_pairs": sql_dwithin_pairs(),
-    "dtm_window_max": sql_dtm_window_max(),
-    "dtm_overview_max": sql_dtm_overview_max(),
-    "tile_assignment": sql_tile_assignment(),
     "rasterize_grid": sql_rasterize_grid(),
-    "zonal_stats": sql_zonal_stats(),
-    "band_math": sql_band_math(),
-    "doc_quality": sql_doc_quality(),
-    "terrarium_decode": sql_terrarium_decode(),
-    "crop": sql_crop(),
-    "img2ascii": sql_img2ascii(),
     "xyz_lookup": sql_xyz_lookup(),
     "value_casts": sql_value_casts(),
-    "tpch_q1": sql_tpch_q1(),
-    "revenue_join": sql_revenue_join(),
-    "window_topk": sql_window_topk(),
-    "semi_anti": sql_semi_anti(),
-    "sessionize": sql_sessionize(),
-    "events_json": sql_events_json(),
-    "events_window_agg": sql_events_window_agg(),
-    "event_percentiles": sql_event_percentiles(),
+    "pivot_lang": sql_pivot_lang(),
+    "cube_lang_source": sql_cube_lang_source(),
+    "rollup_lang_source": sql_rollup_lang_source(),
+    "set_ops": sql_set_ops(),
+    "sql_api": sql_sql_api(),
+    "wordcount": sql_wordcount(),
+    "distinct_exact": sql_distinct_exact(),
+    "approx_percentile": sql_approx_percentile(),
     "text_stats": sql_text_stats(),
+    "pii_scrub": sql_pii_scrub(),
+    "repeated_ngrams": sql_repeated_ngrams(),
     "bpe_token_count": sql_bpe_token_count(),
     "lang_id": sql_lang_id(),
     "html_tags": sql_html_tags(),
@@ -2608,16 +2782,23 @@ ORACLES = {
     "embedding_neardup": sql_embedding_neardup(),
     "ann_ivf": sql_ann_ivf(),
     "text_entropy": sql_text_entropy(),
-    "asof_join": sql_asof_join(),
-    "raster_info": sql_raster_info(),
-    "pivot_lang": sql_pivot_lang(),
-    "cube_lang_source": sql_cube_lang_source(),
-    "rollup_lang_source": sql_rollup_lang_source(),
-    "set_ops": sql_set_ops(),
-    "sql_api": sql_sql_api(),
-    "wordcount": sql_wordcount(),
-    "distinct_exact": sql_distinct_exact(),
-    "approx_percentile": sql_approx_percentile(),
+    "window_topk": sql_window_topk(),
+    "sessionize": sql_sessionize(),
+    "dtm_window_max": sql_dtm_window_max(),
+    "dtm_overview_max": sql_dtm_overview_max(),
+    "tile_assignment": sql_tile_assignment(),
+    "zonal_stats": sql_zonal_stats(),
+    "band_math": sql_band_math(),
+    "terrarium_decode": sql_terrarium_decode(),
+    "crop": sql_crop(),
+    "img2ascii": sql_img2ascii(),
+    "doc_quality": sql_doc_quality(),
+    "tpch_q1": sql_tpch_q1(),
+    "revenue_join": sql_revenue_join(),
+    "semi_anti": sql_semi_anti(),
+    "events_json": sql_events_json(),
+    "events_window_agg": sql_events_window_agg(),
+    "event_percentiles": sql_event_percentiles(),
 }
 
 

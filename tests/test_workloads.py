@@ -184,6 +184,69 @@ def test_text_entropy_semantics(spark, tmp_path):
     assert rows[2].rep_ratio_e6 == 0
 
 
+def test_pii_scrub_semantics(spark, tmp_path):
+    """Hand-computed redaction for a doc carrying all three planted
+    PII kinds (doc_id 30: divisible by 2, 3, 5) and one carrying none
+    (doc_id 7) — the expected scrubbed text is assembled in Python
+    and md5'd independently."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georaster_spark.queries import q_pii_scrub
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([30, 7], type=pa.int64()),
+                "text": pa.array(["hello world", "plain text"]),
+                "lang": pa.array(["en", "en"]),
+                "source": pa.array(["s", "s"]),
+                "n_chars": pa.array([11, 10], type=pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    rows = {r.doc_id: r for r in q_pii_scrub(spark, d).collect()}
+    assert (rows[30].n_email, rows[30].n_phone, rows[30].n_ip) == (1, 1, 1)
+    assert (rows[7].n_email, rows[7].n_phone, rows[7].n_ip) == (0, 0, 0)
+    expect30 = "hello world contact <EMAIL> now tel <PHONE> from <IP>"
+    assert rows[30].scrubbed_md5 == hashlib.md5(expect30.encode()).hexdigest()
+    assert rows[7].scrubbed_md5 == hashlib.md5(b"plain text").hexdigest()
+
+
+def test_repeated_ngrams_semantics(spark, tmp_path):
+    """Hand-counted word-3-grams: 'a b a b a b a' has 5 grams, 2
+    distinct ('a b a' x3, 'b a b' x2) -> dup ratio 0.6, filtered;
+    a varied doc keeps; a 2-token doc emits no grams and drops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georaster_spark.queries import q_repeated_ngrams
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(["a b a b a b a", "x y z w", "p q"]),
+                "lang": pa.array(["en", "en", "en"]),
+                "source": pa.array(["s", "s", "s"]),
+                "n_chars": pa.array([13, 7, 3], type=pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    rows = {r.doc_id: r for r in q_repeated_ngrams(spark, d).collect()}
+    assert set(rows) == {1, 2}  # doc 3 has < 3 tokens
+    assert (rows[1].n_grams, rows[1].n_distinct, rows[1].max_rep) == (5, 2, 3)
+    assert rows[1].dup_ratio_e6 == 600000 and rows[1].keep == 0
+    assert (rows[2].n_grams, rows[2].n_distinct, rows[2].max_rep) == (2, 2, 1)
+    assert rows[2].dup_ratio_e6 == 0 and rows[2].keep == 1
+
+
 def test_stratified_sample_semantics(spark):
     """Hand-check the deterministic keep rule against an independent
     Python computation (guards against a formula bug mirrored into
