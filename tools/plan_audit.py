@@ -195,6 +195,28 @@ def main() -> int:
         any("o_date" in l and "[]" not in l for l in p.splitlines() if "PushedFilters" in l),
     )
 
+    # pii_scrub: a pure projection — regex count/redact runs inside
+    # whole-stage codegen with no shuffle at all
+    p = plans["pii_scrub"] = explain_str(Q.q_pii_scrub(spark, SF))
+    check("pii_scrub", "zero Exchanges (pure map stage)", n_nodes(p, "Exchange") == 0)
+    check(
+        "pii_scrub",
+        "regexps evaluate inside WholeStageCodegen (no Python in the hot path)",
+        "codegen id" in p and "MapInPandas" not in p and "BatchEvalPython" not in p,
+    )
+
+    # repeated_ngrams: explode + two partial-aggregated groupBys —
+    # exactly two Exchanges, both keyed on doc_id(+gram), and the
+    # unused html blob never scanned
+    p = plans["repeated_ngrams"] = explain_str(Q.q_repeated_ngrams(spark, SF))
+    check(
+        "repeated_ngrams",
+        "exactly two Exchanges (gram count, per-doc rollup) with "
+        "map-side partial_count before each",
+        n_nodes(p, "Exchange") == 2 and "partial_count" in p,
+    )
+    check("repeated_ngrams", "documents scan prunes the html column", "html" not in p)
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (explain('formatted') invariants)\n\n")
