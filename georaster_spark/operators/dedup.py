@@ -302,13 +302,17 @@ def connected_components(
     union/distinct/except plan grows super-linearly in rounds and
     Catalyst analysis, not the data, becomes the bottleneck).
     """
-    edges = _symmetric(
-        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-    ).localCheckpoint()
-    # every input node appears in `edges` (pairs have two
-    # endpoints); the node set labels survivors whose edges contract
-    # away onto their component min
-    nodes = edges.select(F.col("u").alias("node")).distinct()
+    raw = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    edges = _symmetric(raw).localCheckpoint()
+    # node set from the RAW pairs, before _symmetric drops self-loops:
+    # a node whose only edge is (x, x) must still label itself (the
+    # pre-rewrite min-label implementation emitted it; generic callers
+    # key survivors off this output)
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+    )
     converged = False
     for _ in range(max_iters):
         new_edges = _symmetric(

@@ -2602,17 +2602,27 @@ def q_ice_prune(spark, sf_dir):
         tempfile.gettempdir(),
         "georaster_ice_prune_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
     )
-    shutil.rmtree(tbl, ignore_errors=True)
-    icetable.write_table(
-        orders.select(
-            "o_orderkey",
-            F.to_date("o_orderdate").alias("o_date"),
-            "o_totalprice",
-        ),
-        tbl,
-        cluster_by=["o_date"],
-        n_files=8,
-    )
+    if not os.path.exists(tbl):
+        # write-once + atomic rename, same rule as _synth_ingest_paths:
+        # bench.py and check_oracle share this dir, and a truncating
+        # rewrite would race a concurrent reader mid-scan (content is
+        # deterministic per sf_dir, so reuse is exact)
+        tmp = f"{tbl}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        icetable.write_table(
+            orders.select(
+                "o_orderkey",
+                F.to_date("o_orderdate").alias("o_date"),
+                "o_totalprice",
+            ),
+            tmp,
+            cluster_by=["o_date"],
+            n_files=8,
+        )
+        try:
+            os.replace(tmp, tbl)
+        except OSError:  # another process won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
     filters = [
         ("o_date", ">=", datetime.date(1996, 1, 1)),
         ("o_date", "<", datetime.date(1997, 1, 1)),

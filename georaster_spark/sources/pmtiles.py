@@ -326,7 +326,6 @@ def write_pmtiles(
         leaves = b""
     else:
         # split into fixed-size leaves; root holds one pointer each
-        leaf_blobs: list[bytes] = []
         root_entries: list[Entry] = []
         leaf_bytes = bytearray()
         for i in range(0, len(entries), max_root_entries):
@@ -336,7 +335,6 @@ def write_pmtiles(
                 Entry(chunk[0].tile_id, len(leaf_bytes), len(blob), 0)
             )
             leaf_bytes.extend(blob)
-            leaf_blobs.append(blob)
         root = _compress(serialize_directory(root_entries), internal_compression)
         leaves = bytes(leaf_bytes)
 
@@ -400,8 +398,13 @@ class PmtilesReader:
 
     def __init__(self, path: str):
         self.path = path
-        with open(path, "rb") as f:
-            head = f.read(HEADER_SIZE)
+        # ONE handle for the reader's lifetime: a tile lookup does
+        # 2-3 ranged reads (root/leaf/data) and a scan does thousands
+        # per archive — per-read open/close would dominate at lake
+        # scale. CPython refcounting closes it promptly when the
+        # reader drops; ``close()``/``with`` for deterministic cleanup.
+        self._f = open(path, "rb")
+        head = self._f.read(HEADER_SIZE)
         self.header = Header.unpack(head)
         self.root = deserialize_directory(
             _decompress(
@@ -410,10 +413,18 @@ class PmtilesReader:
             )
         )
 
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self) -> "PmtilesReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def _read(self, offset: int, length: int) -> bytes:
-        with open(self.path, "rb") as f:
-            f.seek(offset)
-            data = f.read(length)
+        self._f.seek(offset)
+        data = self._f.read(length)
         if len(data) != length:
             raise PmtilesError("truncated archive section")
         return data
@@ -466,6 +477,14 @@ class PmtilesReader:
 
 
 # ----------------------------------------------------- scalar parity API
+def _round_half_away(x: float) -> int:
+    """Rust ``f64::round()``: half away from zero (Python ``round``
+    is half-to-even and disagrees at exact .5)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
 def get_pixel_at(reader: PmtilesReader, z: int, lon: float, lat: float):
     """World coordinate → (r, g, b[, a]) through the tile pyramid —
     the engine twin of ``get_pixel_at`` (``src/pmtiles.rs:37-51``):
@@ -485,8 +504,11 @@ def get_pixel_at(reader: PmtilesReader, z: int, lon: float, lat: float):
     lon0, lat0, lon1, lat1 = cells.cell_bounds(cells.zxy_to_cell(z, x, y))
     psx = (lon1 - lon0) / w
     psy = (lat1 - lat0) / h
-    px = round((lon - lon0) / psx)
-    py = round((lat1 - lat) / psy)
+    # Rust f64::round() rounds half AWAY FROM ZERO; Python round() is
+    # banker's — they diverge on exact .5 offsets (reachable: tile
+    # bounds and pixel sizes are exact binary fractions)
+    px = _round_half_away((lon - lon0) / psx)
+    py = _round_half_away((lat1 - lat) / psy)
     if not (0 <= px < w and 0 <= py < h):
         return None
     pix = arr[py, px]
@@ -571,11 +593,25 @@ def tile_stats_df(spark, paths, tile_partitions: int | None = None):
     def kernel(batches):
         from georaster_spark.sources.png import decode_png
 
+        handles: dict[str, object] = {}  # one open per archive per task
+
+        def pread(path, offset, length):
+            f = handles.get(path)
+            if f is None:
+                f = handles[path] = open(path, "rb")
+            f.seek(offset)
+            data = f.read(length)
+            if len(data) != length:
+                raise PmtilesError(
+                    f"truncated read at {offset}+{length} in {path}"
+                )
+            return data
+
         for pdf in batches:
             out = {c.split()[0]: [] for c in _STATS_SCHEMA.split(", ")}
             for row in pdf.itertuples(index=False):
                 blob = _decompress(
-                    _pread(row.archive, row.abs_offset, row.length),
+                    pread(row.archive, row.abs_offset, row.length),
                     int(row.tile_compression),
                 )
                 arr = decode_png(blob)
@@ -601,14 +637,7 @@ def tile_stats_df(spark, paths, tile_partitions: int | None = None):
                 for k, v in zip(out, vals):
                     out[k].append(v)
             yield pd.DataFrame(out)
+        for f in handles.values():
+            f.close()
 
     return entries.mapInPandas(kernel, schema=_STATS_SCHEMA)
-
-
-def _pread(path: str, offset: int, length: int) -> bytes:
-    with open(path, "rb") as f:
-        f.seek(offset)
-        data = f.read(length)
-    if len(data) != length:
-        raise PmtilesError(f"truncated read at {offset}+{length} in {path}")
-    return data

@@ -143,8 +143,9 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise PngError("zero-dimension image")
         elif ctype == b"IDAT":
             idat.extend(body)
-        elif ctype == b"PLTE":
-            raise PngError("palette PNG (color type 3) not supported")
+        # PLTE is ignored: for color types 2/6 it is a legal OPTIONAL
+        # suggested-palette chunk; true palette images (color type 3)
+        # are already rejected at the IHDR check above
         elif ctype == b"IEND":
             seen_end = True
             break

@@ -115,6 +115,19 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
 
 
+def test_connected_components_self_pair_node_survives(spark):
+    """A node whose ONLY edge is a self-pair must still appear,
+    labeling itself (self-loops are dropped from the edge set but not
+    from the node set)."""
+    from georaster_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (9, 9)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 9: 9}
+
+
 def test_lsh_prefiltered_jaccard_equals_all_pairs(spark):
     """The scale-safe LSH-prefiltered exact Jaccard must equal the
     all-pairs form at the configured banding on the testdata (the

@@ -147,6 +147,43 @@ def test_png_errors():
         decode_png(data)
     with pytest.raises(PngError, match="uint8"):
         encode_png(np.zeros((2, 2), np.int32))
+    # true palette images (color type 3) rejected at the IHDR check
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    crc = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    data = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr + crc
+    with pytest.raises(PngError, match="color type 3"):
+        decode_png(data)
+
+
+def test_round_half_away_matches_rust():
+    """Rust f64::round() is half AWAY FROM ZERO; Python round() is
+    banker's and disagrees at exact .5 (reachable: tile bounds and
+    pixel sizes are exact binary fractions)."""
+    from georaster_spark.sources.pmtiles import _round_half_away
+
+    assert _round_half_away(2.5) == 3  # Python round(2.5) == 2
+    assert _round_half_away(3.5) == 4
+    assert _round_half_away(-2.5) == -3  # Python round(-2.5) == -2
+    assert _round_half_away(2.4) == 2
+    assert _round_half_away(-2.4) == -2
+    assert _round_half_away(0.0) == 0
+
+
+def test_png_ignores_ancillary_suggested_palette():
+    """PLTE is a legal OPTIONAL chunk for truecolor (type 2/6) —
+    some optimizers emit it; it must not fail the decode."""
+    arr = _rand((5, 4, 3), 7)
+    good = encode_png(arr)
+    # splice a 1-entry PLTE chunk right after IHDR (8-sig + 25-IHDR)
+    plte_body = b"\x10\x20\x30"
+    plte = (
+        struct.pack(">I", len(plte_body))
+        + b"PLTE"
+        + plte_body
+        + struct.pack(">I", zlib.crc32(b"PLTE" + plte_body) & 0xFFFFFFFF)
+    )
+    spliced = good[:33] + plte + good[33:]
+    assert np.array_equal(decode_png(spliced), arr)
 
 
 # ------------------------------------------------------------- tile ids

@@ -158,6 +158,11 @@ def main() -> None:
     # alternate levels to decorrelate host noise; keep the best
     # (min-wall) observation per level for the headline, and every
     # pair's own efficiency for the median-of-fresh-runs criterion
+    # the stage-probe mode only makes sense per level (its dict lacks
+    # the wall/throughput keys the pair loop needs) — run it via
+    # `--cores N`; strip it here so an inherited env var can't crash
+    # the campaign after the first expensive pair
+    child_env = {k: v for k, v in os.environ.items() if k != "SCALING_STAGES"}
     for _ in range(pairs):
         this_pair = {}
         for cores in (lo, hi):
@@ -166,6 +171,7 @@ def main() -> None:
                 capture_output=True,
                 text=True,
                 check=True,
+                env=child_env,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])

@@ -50,13 +50,15 @@ def _kernel_alu(seconds: float) -> float:
 
 
 def _kernel_mem(seconds: float) -> float:
-    """GB/sec of a streaming copy+reduce over an out-of-cache array."""
+    """GB/sec of a streaming copy over an out-of-cache array
+    (read ARR_MB + write ARR_MB per pass — pure bandwidth, no
+    reduction)."""
     a = np.random.default_rng(0).random(ARR_MB * 1024 * 1024 // 8)
     moved = 0
     t0 = time.time()
     while time.time() - t0 < seconds:
         b = a.copy()          # read + write ARR_MB
-        moved += 2 * a.nbytes + b[:1].nbytes
+        moved += 2 * a.nbytes
         del b
     return moved / (time.time() - t0) / 1e9
 
