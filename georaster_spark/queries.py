@@ -2501,6 +2501,20 @@ def sql_stream_to_table():
     return sql_stream_window_agg()
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (the training-pipeline dedup primitive
+    in its streaming form): first-seen content fingerprints via
+    stateful ``dropDuplicates``; availableNow replay of the static
+    corpus equals batch DISTINCT — the oracle's assertion."""
+    from georaster_spark.streaming.events import dedup_stream
+
+    return dedup_stream(spark, sf_dir)
+
+
+def sql_stream_dedup():
+    return "SELECT DISTINCT md5(text) AS fp FROM documents"
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState);
     equals the batch window-function sessionizer on static input."""
@@ -2661,14 +2675,15 @@ def sql_ice_prune():
 # Catalog order is deliberate: the external driver verifies the FIRST
 # 50 entries in dict order, so each round the window rotates to keep
 # every entry at most one round stale (r03 ∪ r02 covers all 65).
-# This round the window holds: the 5 entries added in round 3
+# This round the window holds: the entries added in round 3
 # (media_png_decode, pmtiles_ingest, ice_prune, pip_join_hot,
-# bpe_token_count), the 10 entries that sat in round 2's tail
+# bpe_token_count, pii_scrub, repeated_ngrams, stream_dedup), the
+# 10 entries that sat in round 2's tail
 # (raster_info … approx_percentile), and every entry whose underlying
 # code changed this round (value_casts, dedup_components, ann_ivf,
-# media_*, raster_ingest). The 15 tail entries are green in BOTH
-# r01 and r02 driver runs, unchanged this round, and pytest-covered.
-# Every entry keeps its oracle; tools/check_oracle.py verifies all 65
+# media_*, raster_ingest). Tail entries (and text_entropy at slot 51)
+# are r02-driver-green, unchanged this round, and pytest-covered.
+# Every entry keeps its oracle; tools/check_oracle.py verifies all 68
 # regardless of order.
 QUERIES = {
     "moving_avg": q_moving_avg,
@@ -2680,6 +2695,7 @@ QUERIES = {
     "stream_window_agg": q_stream_window_agg,
     "stream_sessionize": q_stream_sessionize,
     "stream_to_table": q_stream_to_table,
+    "stream_dedup": q_stream_dedup,
     "raster_ingest": q_raster_ingest,
     "pmtiles_ingest": q_pmtiles_ingest,
     "ice_prune": q_ice_prune,
@@ -2751,6 +2767,7 @@ ORACLES = {
     "stream_window_agg": sql_stream_window_agg(),
     "stream_sessionize": sql_stream_sessionize(),
     "stream_to_table": sql_stream_to_table(),
+    "stream_dedup": sql_stream_dedup(),
     "raster_ingest": sql_raster_ingest(),
     "pmtiles_ingest": sql_pmtiles_ingest(),
     "ice_prune": sql_ice_prune(),

@@ -41,8 +41,8 @@ from pyspark.sql.types import (
 SESSION_GAP_S = 1800
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream over the static events parquet (availableNow
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-stream over a static testdata parquet table (availableNow
     replays it once — the unit-test harness for streaming plans).
 
     FileStreamSource requires a *directory*; the testdata table is a
@@ -52,15 +52,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    src = f"{sf_dir}/events.parquet"
+    src = f"{sf_dir}/{table}.parquet"
     if os.path.isfile(src):
         # deterministic per source path: a restart from a checkpoint
         # must resolve the SAME directory or FileStreamSource's
         # recorded offsets point at a dead basePath
         tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
-        d = os.path.join(tempfile.gettempdir(), f"stream_events_{tag}")
+        d = os.path.join(tempfile.gettempdir(), f"stream_{table}_{tag}")
         os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, "events.parquet")
+        link = os.path.join(d, f"{table}.parquet")
         # lexists: a dangling symlink must be repaired, not re-created
         # (os.path.exists follows the link and would report False)
         if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(src):
@@ -68,11 +68,35 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.lexists(link):
             os.symlink(src, link)
         src = d
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    ev = spark.readStream.schema(schema).parquet(src)
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_table(spark, sf_dir, "events")
     # event-time ops (watermark) need TIMESTAMP, parquet infers NTZ;
     # session tz is pinned UTC so the cast is value-preserving
     return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over the documents stream: emit each
+    content fingerprint the FIRST time it is seen (``dropDuplicates``
+    keeps a seen-set in the state store). On a static availableNow
+    replay the emitted set equals batch ``SELECT DISTINCT md5(text)``
+    — the oracle's equivalence.
+
+    Scale notes: state is deliberately UNBOUNDED — whole-corpus exact
+    dedup must remember every fingerprint (RocksDB state store +
+    state-key = 16-byte hash keeps it compact: ~100 GB of state per
+    trillion docs, partitioned across executors). When the stream has
+    an event-time column, ``dropDuplicatesWithinWatermark`` is the
+    bounded-state variant (dedup horizon = watermark delay)."""
+    docs = stream_table(spark, sf_dir, "documents")
+    uniq = docs.select(F.md5("text").alias("fp")).dropDuplicates(["fp"])
+    name = f"stream_dedup_{int(time.time() * 1000) % 10_000_000}"
+    _run_to_memory(uniq, name, "append")
+    return spark.table(name)
 
 
 class _capped_shuffle_partitions:

@@ -25,6 +25,36 @@ def test_stream_window_agg_equals_batch(spark):
     assert len(stream) > 0
 
 
+def test_stream_dedup_drops_planted_duplicates(spark, tmp_path):
+    """Stateful dropDuplicates emits each content fingerprint exactly
+    once: 6 docs with 2 planted exact-dup groups -> 4 rows, equal to
+    the batch DISTINCT set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georaster_spark.streaming.events import dedup_stream
+
+    texts = ["alpha", "beta", "alpha", "gamma", "beta", "delta"]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 6),
+                "source": pa.array(["s"] * 6),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    got = sorted(r.fp for r in dedup_stream(spark, d).collect())
+    import hashlib
+
+    expect = sorted({hashlib.md5(t.encode()).hexdigest() for t in texts})
+    assert got == expect  # 4 unique fingerprints, each emitted once
+
+
 def test_stream_sessionize_equals_batch_rollup(spark):
     sess = Q.q_stream_sessionize(spark, SF)
     rollup = (
