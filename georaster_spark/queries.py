@@ -482,6 +482,55 @@ def sql_text_entropy():
     """
 
 
+HLL_P = 12  # 4096 registers — std error 1.04/sqrt(m) ≈ 1.6%
+
+
+def q_hll_registers(spark, sf_dir):
+    """Portable HyperLogLog over document content: per-bucket
+    max-rho registers from an md5-derived 60-bit hash (bucket = low
+    12 bits, rho = leading-zero count of the remaining 48 + 1,
+    computed with an integer smear + bit_count — no float log, so
+    both engines produce IDENTICAL integer registers and the oracle
+    hash-matches exactly, unlike engine-native HLL sketches which
+    never agree across implementations). One partial-aggregated
+    groupBy on 4096 keys — the estimator a 100 TB distinct-count
+    runs with one tiny shuffle. The estimate derivation from these
+    registers (harmonic mean / linear counting) is asserted against
+    the exact distinct count in tests/test_workloads.py."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    hb = d.select((h % (1 << HLL_P)).alias("bucket"), F.shiftright(h, HLL_P).alias("h48"))
+    # highest-set-bit via bit smearing (exact integer arithmetic):
+    # y = h48 | h48>>1 | ... | h48>>32; bit_count(y) = bit_length
+    y = F.col("h48")
+    for s in (1, 2, 4, 8, 16, 32):
+        y = y.bitwiseOR(F.shiftright(y, s))
+    rho = (F.lit(49) - F.bit_count(y)).cast("long")
+    return (
+        hb.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.col("bucket").cast("long").alias("bucket"), "rho")
+    )
+
+
+def sql_hll_registers():
+    m = 1 << HLL_P
+    smear = "h48"
+    for s in (1, 2, 4, 8, 16, 32):
+        smear = f"({smear} | ({smear} >> {s}))"
+    return f"""
+    WITH hb AS (
+      SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % {m} AS bucket,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) >> {HLL_P} AS h48
+      FROM documents
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(max(49 - bit_count({smear})) AS BIGINT) AS rho
+    FROM hb GROUP BY 1
+    """
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction pass (webtext curation: strip emails / phones /
     IPs before training). The synthetic corpus carries no PII, so the
@@ -2723,6 +2772,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "pii_scrub": q_pii_scrub,
     "repeated_ngrams": q_repeated_ngrams,
+    "hll_registers": q_hll_registers,
     "bpe_token_count": q_bpe_token_count,
     "lang_id": q_lang_id,
     "html_tags": q_html_tags,
@@ -2732,12 +2782,12 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "winnow_fps": q_winnow_fps,
     "embedding_topk": q_embedding_topk,
-    "simhash_pairs": q_simhash_pairs,
     "dedup_components": q_dedup_components,
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
     "text_entropy": q_text_entropy,
     # --- tail: green in both r01 and r02, unchanged this round ---
+    "simhash_pairs": q_simhash_pairs,
     "window_topk": q_window_topk,
     "sessionize": q_sessionize,
     "dtm_window_max": q_dtm_window_max,
@@ -2795,6 +2845,7 @@ ORACLES = {
     "text_stats": sql_text_stats(),
     "pii_scrub": sql_pii_scrub(),
     "repeated_ngrams": sql_repeated_ngrams(),
+    "hll_registers": sql_hll_registers(),
     "bpe_token_count": sql_bpe_token_count(),
     "lang_id": sql_lang_id(),
     "html_tags": sql_html_tags(),
@@ -2804,11 +2855,11 @@ ORACLES = {
     "minhash_lsh": sql_minhash_lsh(),
     "winnow_fps": sql_winnow_fps(),
     "embedding_topk": sql_embedding_topk(),
-    "simhash_pairs": sql_simhash_pairs(),
     "dedup_components": sql_dedup_components(),
     "embedding_neardup": sql_embedding_neardup(),
     "ann_ivf": sql_ann_ivf(),
     "text_entropy": sql_text_entropy(),
+    "simhash_pairs": sql_simhash_pairs(),
     "window_topk": sql_window_topk(),
     "sessionize": sql_sessionize(),
     "dtm_window_max": sql_dtm_window_max(),

@@ -184,6 +184,31 @@ def test_text_entropy_semantics(spark, tmp_path):
     assert rows[2].rep_ratio_e6 == 0
 
 
+def test_hll_estimate_tracks_exact_distinct(spark):
+    """The portable HLL registers yield an estimate within the
+    sketch's error bound of the exact distinct count (standard
+    Flajolet HLL: harmonic mean + linear-counting small-range
+    correction; p=12 -> ~1.6% std error, assert 5%)."""
+    import math
+
+    from georaster_spark.queries import HLL_P, q_hll_registers
+
+    sf = "/root/testdata/sf0.001"
+    m = 1 << HLL_P
+    regs = {r.bucket: r.rho for r in q_hll_registers(spark, sf).collect()}
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -regs.get(b, 0) for b in range(m))
+    raw = alpha * m * m / s
+    zeros = m - len(regs)
+    est = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros) else raw
+    exact = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr("count(distinct md5(text)) AS n")
+        .collect()[0]["n"]
+    )
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
 def test_pii_scrub_semantics(spark, tmp_path):
     """Hand-computed redaction for a doc carrying all three planted
     PII kinds (doc_id 30: divisible by 2, 3, 5) and one carrying none

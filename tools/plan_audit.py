@@ -217,6 +217,16 @@ def main() -> int:
     )
     check("repeated_ngrams", "documents scan prunes the html column", "html" not in p)
 
+    # hll_registers: the approximate-distinct estimator must be ONE
+    # tiny shuffle (4096 keys) with map-side partial max — the whole
+    # point of sketching at 100 TB
+    p = plans["hll_registers"] = explain_str(Q.q_hll_registers(spark, SF))
+    check(
+        "hll_registers",
+        "single Exchange with map-side partial_max (register merge)",
+        n_nodes(p, "Exchange") == 1 and "partial_max" in p,
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (explain('formatted') invariants)\n\n")
