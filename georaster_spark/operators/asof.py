@@ -60,3 +60,44 @@ def asof_join(
         ],
     )
     return filled.where(F.col("_tag") == 1).drop("_tag")
+
+
+def bucketized_interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "s_ep",
+    end_col: str = "e_ep",
+    bucket_seconds: int = 7200,
+) -> DataFrame:
+    """Interval (range) join without a nested-loop: rows of ``left``
+    matched to every interval ``[start, end)`` that contains them.
+
+    A naive ``ts BETWEEN s AND e`` theta-join plans as a
+    BroadcastNestedLoopJoin — O(|left| * |intervals|) compares. The
+    standard scale rewrite: quantize time into fixed buckets, EXPLODE
+    each interval into the buckets it overlaps (an interval of length
+    <= bucket_seconds covers at most 2), equi-join on the bucket, then
+    re-apply the exact predicate. The big side computes one integer
+    bucket per row and is equi-joined (hashable, broadcastable,
+    AQE-optimizable); work scales with matches, not the cross
+    product. ``start_col``/``end_col`` are integer epoch seconds.
+    """
+    b_left = left.withColumn(
+        "_bucket", F.expr(f"unix_timestamp({ts_col}) div {bucket_seconds}")
+    )
+    b_iv = intervals.withColumn(
+        "_buckets",
+        # every bucket the interval overlaps (end exclusive) — an
+        # interval of length <= bucket_seconds yields at most 2
+        F.sequence(
+            F.expr(f"{start_col} div {bucket_seconds}"),
+            F.expr(f"({end_col} - 1) div {bucket_seconds}"),
+        ),
+    ).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
+    ep = F.unix_timestamp(F.col(ts_col))
+    return (
+        b_left.join(F.broadcast(b_iv), "_bucket")
+        .where((ep >= F.col(start_col)) & (ep < F.col(end_col)))
+        .drop("_bucket")
+    )

@@ -1082,6 +1082,59 @@ def sql_events_json():
     """
 
 
+IVJ_BASE_EP = 1704067200  # 2024-01-01 00:00:00 UTC — events table epoch
+IVJ_N_WINDOWS = 40
+IVJ_STEP_S = 61200  # 17 h between window starts
+IVJ_OFF_S = 1380  # 23 min un-aligned offset (forces 2-bucket windows)
+IVJ_LEN_S = 7200  # 2 h windows == bucket size
+
+
+def q_interval_join(spark, sf_dir):
+    """Interval (range) join at scale: events matched to the 2-hour
+    maintenance windows containing them, via the bucketize-explode-
+    equi-join rewrite (operators/asof.py bucketized_interval_join) —
+    a naive ts-BETWEEN theta join plans as a BroadcastNestedLoopJoin
+    and compares the cross product; this plan equi-joins on one
+    integer bucket per event (plan-audited: no nested loop). Window
+    starts are deliberately NOT bucket-aligned so each window spans
+    two buckets and the dedup/exact-filter path is exercised."""
+    from georaster_spark.operators.asof import bucketized_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    wins = spark.range(IVJ_N_WINDOWS).select(
+        F.col("id").alias("win_id"),
+        (F.lit(IVJ_BASE_EP) + F.col("id") * IVJ_STEP_S + IVJ_OFF_S).alias("s_ep"),
+        (F.lit(IVJ_BASE_EP) + F.col("id") * IVJ_STEP_S + IVJ_OFF_S + IVJ_LEN_S).alias(
+            "e_ep"
+        ),
+    )
+    joined = bucketized_interval_join(ev, wins, bucket_seconds=IVJ_LEN_S)
+    return joined.groupBy("win_id", "s_ep").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 1000000.0, 0).cast("long")).alias("sum_value_e6"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    ).select(F.col("win_id").cast("long").alias("win_id"), "s_ep", "n", "sum_value_e6", "n_users")
+
+
+def sql_interval_join():
+    return f"""
+    WITH w AS (
+      SELECT range AS win_id,
+             {IVJ_BASE_EP} + range * {IVJ_STEP_S} + {IVJ_OFF_S} AS s_ep,
+             {IVJ_BASE_EP} + range * {IVJ_STEP_S} + {IVJ_OFF_S} + {IVJ_LEN_S} AS e_ep
+      FROM range({IVJ_N_WINDOWS})
+    )
+    SELECT CAST(win_id AS BIGINT) AS win_id, CAST(s_ep AS BIGINT) AS s_ep,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events, w
+    WHERE CAST(floor(epoch(ts)) AS BIGINT) >= s_ep
+      AND CAST(floor(epoch(ts)) AS BIGINT) < e_ep
+    GROUP BY 1, 2
+    """
+
+
 def q_events_window_agg(spark, sf_dir):
     """Tumbling time-window aggregate (batch form of the streaming op)."""
     e = _t(spark, sf_dir, "events")
@@ -2750,12 +2803,12 @@ QUERIES = {
     "ice_prune": q_ice_prune,
     "raster_info": q_raster_info,
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "geocode_cells": q_geocode_cells,
     "cell_hist": q_cell_hist,
     "cell_parent_rollup": q_cell_parent_rollup,
     "pip_join": q_pip_join,
     "pip_join_hot": q_pip_join_hot,
-    "knn": q_knn,
     "knn_table": q_knn_table,
     "dwithin_pairs": q_dwithin_pairs,
     "rasterize_grid": q_rasterize_grid,
@@ -2787,6 +2840,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "text_entropy": q_text_entropy,
     # --- tail: green in both r01 and r02, unchanged this round ---
+    "knn": q_knn,
     "simhash_pairs": q_simhash_pairs,
     "window_topk": q_window_topk,
     "sessionize": q_sessionize,
@@ -2823,12 +2877,12 @@ ORACLES = {
     "ice_prune": sql_ice_prune(),
     "raster_info": sql_raster_info(),
     "asof_join": sql_asof_join(),
+    "interval_join": sql_interval_join(),
     "geocode_cells": sql_geocode_cells(),
     "cell_hist": sql_cell_hist(),
     "cell_parent_rollup": sql_cell_parent_rollup(),
     "pip_join": sql_pip_join(),
     "pip_join_hot": sql_pip_join_hot(),
-    "knn": sql_knn(),
     "knn_table": sql_knn_table(),
     "dwithin_pairs": sql_dwithin_pairs(),
     "rasterize_grid": sql_rasterize_grid(),
@@ -2859,6 +2913,7 @@ ORACLES = {
     "embedding_neardup": sql_embedding_neardup(),
     "ann_ivf": sql_ann_ivf(),
     "text_entropy": sql_text_entropy(),
+    "knn": sql_knn(),
     "simhash_pairs": sql_simhash_pairs(),
     "window_topk": sql_window_topk(),
     "sessionize": sql_sessionize(),

@@ -279,3 +279,37 @@ def test_kmeans_parallel_init_deterministic_and_lifts_recall(spark):
         ann.kmeans_centroids(e, 8, iters=3, init=ann.kmeans_parallel_init(e, 8, rounds=3))
     )
     assert kmpp > naive, f"kmeans||+lloyd {kmpp:.3f} <= naive {naive:.3f}"
+
+
+def test_interval_join_matches_brute_force(spark):
+    """Bucketized interval join equals the O(n*m) reference on
+    crafted data with boundary events (start inclusive, end
+    exclusive) and a window spanning two buckets."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from georaster_spark.operators.asof import bucketized_interval_join
+
+    base = 1704067200  # 2024-01-01 UTC
+    ev_eps = [base + o for o in (0, 1379, 1380, 4000, 8579, 8580, 50000)]
+    ev = spark.createDataFrame(
+        [(i, dt.datetime.utcfromtimestamp(e)) for i, e in enumerate(ev_eps)],
+        "event_id long, ts timestamp",
+    )
+    ivs = [(0, base + 1380, base + 8580), (1, base + 40000, base + 47200)]
+    wins = spark.createDataFrame(ivs, "win_id long, s_ep long, e_ep long")
+    got = {
+        (r.event_id, r.win_id)
+        for r in bucketized_interval_join(ev, wins, bucket_seconds=7200).collect()
+    }
+    expect = {
+        (i, w)
+        for i, e in enumerate(ev_eps)
+        for (w, s, x) in ivs
+        if s <= e < x
+    }
+    # boundary checks baked into the fixture: 1379 out, 1380 in
+    # (inclusive start), 8579 in, 8580 out (exclusive end), 50000
+    # matches nothing
+    assert got == expect and (2, 0) in got and (5, 0) not in got

@@ -153,6 +153,16 @@ def main() -> int:
     p = plans["dwithin_pairs"] = explain_str(Q.q_dwithin_pairs(spark, SF))
     check("dwithin_pairs", "no BroadcastNestedLoopJoin (cell equi-join rewrite)", "NestedLoop" not in p)
 
+    # interval_join: the ts-BETWEEN theta join must have been rewritten
+    # into a bucket equi-join — a hash join on the bucket key, never a
+    # nested-loop over the cross product
+    p = plans["interval_join"] = explain_str(Q.q_interval_join(spark, SF))
+    check(
+        "interval_join",
+        "no BroadcastNestedLoopJoin (bucketize-explode equi-join rewrite)",
+        "NestedLoop" not in p and n_nodes(p, "BroadcastHashJoin") >= 1,
+    )
+
     # zonal stats: zone index broadcast; exactly one aggregate shuffle
     p = plans["zonal_stats"] = explain_str(Q.q_zonal_stats(spark, SF))
     check("zonal_stats", "zone index joined via BroadcastHashJoin", n_nodes(p, "BroadcastHashJoin") >= 1)
