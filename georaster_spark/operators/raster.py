@@ -431,3 +431,133 @@ def pick_overview(
         if g.width * g.height <= max_pixels:
             return idx, g, df
     return cascade[-1]
+
+
+def focal_stats_halo(
+    pixels: DataFrame,
+    tile: int = 256,
+    x_col: str = "x",
+    y_col: str = "y",
+    v_col: str = "value",
+) -> DataFrame:
+    """3×3 focal (neighborhood) statistics via tile-halo exchange —
+    the canonical distributed stencil.
+
+    Per output pixel: count / sum / min / max over the up-to-9 cells
+    of its 3×3 window that are PRESENT in the input (missing
+    neighbors — image edge, nodata holes, crop boundary — are simply
+    ignored, mirroring the reference's bounds-clipped window scans,
+    ``src/geotiff.rs:316-318``).
+
+    Scale design: a naive formulation ships every pixel to 9
+    neighbor positions (9× shuffle volume) or self-joins the pixel
+    table on a range predicate. Here each pixel is shuffled ~once:
+    it is assigned to its own ``tile×tile`` block, plus a HALO copy
+    into adjacent blocks only when it sits on the 1-px block border
+    (duplication factor 1 + ~4/tile). One groupBy on the block key,
+    then a NumPy dense-stencil kernel per block emits only the
+    block's owned pixels — so blocks compute independently and the
+    shuffle volume is ~1.02× the input at tile=256. Larger stencils
+    only widen the halo; the plan shape is unchanged.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    tx, ty = F.floor(x / tile), F.floor(y / tile)
+    # pmod, not %: Spark's % keeps the dividend's sign, which would
+    # mis-place halo copies for negative pixel coordinates
+    lx, ly = F.pmod(x, F.lit(tile)), F.pmod(y, F.lit(tile))
+    targets = []
+    for dx in (-1, 0, 1):
+        cx = F.lit(True) if dx == 0 else (lx == (0 if dx < 0 else tile - 1))
+        for dy in (-1, 0, 1):
+            cy = F.lit(True) if dy == 0 else (ly == (0 if dy < 0 else tile - 1))
+            targets.append(
+                F.when(
+                    cx & cy,
+                    F.struct(
+                        (tx + dx).cast("long").alias("tx"),
+                        (ty + dy).cast("long").alias("ty"),
+                    ),
+                )
+            )
+    exploded = pixels.select(
+        F.explode(F.array_compact(F.array(*targets))).alias("_t"),
+        x.cast("long").alias("_x"),
+        y.cast("long").alias("_y"),
+        F.col(v_col).cast("double").alias("_v"),
+    ).select(F.col("_t.tx").alias("_tx"), F.col("_t.ty").alias("_ty"), "_x", "_y", "_v")
+
+    T = tile
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        gx = int(pdf["_tx"].iloc[0]) * T - 1  # grid covers block + 1px halo
+        gy = int(pdf["_ty"].iloc[0]) * T - 1
+        ix = pdf["_x"].to_numpy() - gx
+        iy = pdf["_y"].to_numpy() - gy
+        vals = pdf["_v"].to_numpy(dtype=np.float64)
+        V = np.zeros((T + 2, T + 2))
+        M = np.zeros((T + 2, T + 2), dtype=bool)
+        V[iy, ix] = vals
+        M[iy, ix] = True
+        S = np.zeros((T, T))
+        C = np.zeros((T, T), dtype=np.int64)
+        MN = np.full((T, T), np.inf)
+        MX = np.full((T, T), -np.inf)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                Vw = V[1 + dy : T + 1 + dy, 1 + dx : T + 1 + dx]
+                Mw = M[1 + dy : T + 1 + dy, 1 + dx : T + 1 + dx]
+                S += np.where(Mw, Vw, 0.0)
+                C += Mw
+                MN = np.minimum(MN, np.where(Mw, Vw, np.inf))
+                MX = np.maximum(MX, np.where(Mw, Vw, -np.inf))
+        own = M[1 : T + 1, 1 : T + 1]  # emit only pixels owned by this block
+        oy, ox = np.nonzero(own)
+        return pd.DataFrame(
+            {
+                "x": (gx + 1 + ox).astype(np.int64),
+                "y": (gy + 1 + oy).astype(np.int64),
+                "n_nb": C[own],
+                "sum_v": S[own],
+                "min_v": MN[own],
+                "max_v": MX[own],
+            }
+        )
+
+    return exploded.groupBy("_tx", "_ty").applyInPandas(
+        kernel, schema="x long, y long, n_nb long, sum_v double, min_v double, max_v double"
+    )
+
+
+def focal_stats_explode(pixels: DataFrame, x_col: str = "x", y_col: str = "y", v_col: str = "value") -> DataFrame:
+    """Reference formulation of ``focal_stats_halo``: every pixel
+    contributes itself to all 9 neighbor positions (9× shuffle), one
+    groupBy on the position, then an inner join back onto the pixel
+    set to keep only positions that actually exist. 100% JVM/codegen
+    — used as the equality oracle in tests and viable when the 9×
+    shuffle is cheaper than a Python kernel (small rasters)."""
+    x, y = F.col(x_col), F.col(y_col)
+    contrib = pixels.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (x + dx).cast("long").alias("cx"),
+                        (y + dy).cast("long").alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("_t"),
+        F.col(v_col).cast("double").alias("_v"),
+    )
+    agg = contrib.groupBy(
+        F.col("_t.cx").alias("x"), F.col("_t.cy").alias("y")
+    ).agg(
+        F.count("_v").alias("n_nb"),
+        F.sum("_v").alias("sum_v"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"),
+    )
+    present = pixels.select(x.cast("long").alias("x"), y.cast("long").alias("y"))
+    return agg.join(present, ["x", "y"])

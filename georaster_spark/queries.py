@@ -393,6 +393,59 @@ def sql_band_math():
     """
 
 
+FOCAL_X0, FOCAL_Y0, FOCAL_W = 2450, 2950, 200
+
+
+def q_focal_stats(spark, sf_dir):
+    """3×3 focal (neighborhood) statistics over a DTM crop via
+    tile-halo exchange (operators/raster.py focal_stats_halo) — the
+    canonical distributed stencil: each pixel shuffles ~once (halo
+    copies only for block-border pixels, ~1.06× duplication at
+    tile=64, ~1.02× at 256), one groupBy on the block key, NumPy
+    dense stencil per block — vs the naive 9× explode shuffle or a
+    range self-join. Crop edges exercise the missing-neighbor path
+    (n_nb of 4/6/9), mirroring the reference's bounds-clipped window
+    scans (src/geotiff.rs:316-318) lifted to a neighborhood op.
+    Equality against the 9×-explode JVM form is asserted in
+    tests/test_raster.py on sparse rasters with holes."""
+    px = dtm_pixels_df(spark, partitions=32).where(
+        F.col("x").between(FOCAL_X0, FOCAL_X0 + FOCAL_W - 1)
+        & F.col("y").between(FOCAL_Y0, FOCAL_Y0 + FOCAL_W - 1)
+    )
+    out = R.focal_stats_halo(px.select("x", "y", "value"), tile=64)
+    return out.select(
+        "x",
+        "y",
+        "n_nb",
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.round(F.col("sum_v") / F.col("n_nb") * 1000000.0, 0)
+        .cast("long")
+        .alias("mean_e6"),
+    )
+
+
+def sql_focal_stats():
+    x1, y1 = FOCAL_X0 + FOCAL_W - 1, FOCAL_Y0 + FOCAL_W - 1
+    return f"""
+    WITH px AS ({dtm_pixels_sql()}),
+    c AS (
+      SELECT x, y, value FROM px
+      WHERE x BETWEEN {FOCAL_X0} AND {x1} AND y BETWEEN {FOCAL_Y0} AND {y1}
+    )
+    SELECT CAST(a.x AS BIGINT) AS x, CAST(a.y AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS n_nb,
+           CAST(sum(b.value) AS BIGINT) AS sum_v,
+           CAST(min(b.value) AS BIGINT) AS min_v,
+           CAST(max(b.value) AS BIGINT) AS max_v,
+           CAST(round(sum(b.value) / count(*) * 1000000.0, 0) AS BIGINT) AS mean_e6
+    FROM c a JOIN c b
+      ON b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+    GROUP BY a.x, a.y
+    """
+
+
 STOPWORDS = ["the", "a", "of", "and", "cell", "doc"]
 
 
@@ -528,6 +581,88 @@ def sql_hll_registers():
     SELECT CAST(bucket AS BIGINT) AS bucket,
            CAST(max(49 - bit_count({smear})) AS BIGINT) AS rho
     FROM hb GROUP BY 1
+    """
+
+
+CMS_D, CMS_W = 4, 512
+
+
+def _cms_bucket(j: Column, key: Column) -> Column:
+    """Portable CMS bucket: md5-derived 60-bit hash of 'cms:j:key',
+    reduced mod CMS_W — identical integer registers in both engines."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("cms"), j, key)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % CMS_W
+
+
+def q_cms_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the events stream: d=4
+    portable hash rows × w=512 buckets. Registers are built with ONE
+    partial-aggregated groupBy on 2048 keys — constant-size state
+    regardless of input rows, the frequency estimator a 100 TB
+    pipeline can afford — then point estimates est(u) = min_j
+    reg[j][h_j(u)] are recovered via a broadcast join of the tiny
+    register table. Output pins the CMS one-sided error (est_n >=
+    exact_n, asserted in tests) alongside the exact counts. The
+    probe set here is the exact top-20 so the DuckDB oracle can
+    replicate end-to-end; at scale candidates come from a
+    per-partition top-k pre-filter instead of a global exact count."""
+    e = _t(spark, sf_dir, "events")
+    rows = spark.range(CMS_D).select(F.col("id").alias("j"))
+    regs = (
+        e.crossJoin(F.broadcast(rows))
+        .groupBy("j", _cms_bucket(F.col("j"), F.col("user_id")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("reg"))
+    )
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    probes = top.crossJoin(F.broadcast(rows)).withColumn(
+        "bucket", _cms_bucket(F.col("j"), F.col("user_id"))
+    )
+    return (
+        probes.join(F.broadcast(regs), ["j", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("reg").alias("est_n"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("est_n").cast("long").alias("est_n"),
+        )
+    )
+
+
+def sql_cms_topk():
+    bucket = (
+        "CAST('0x' || substr(md5(concat_ws(':', 'cms', j, user_id)), 1, 15) "
+        f"AS BIGINT) % {CMS_W}"
+    )
+    return f"""
+    WITH js AS (SELECT range AS j FROM range({CMS_D})),
+    regs AS (
+      SELECT j, {bucket} AS bucket, count(*) AS reg
+      FROM events, js GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT user_id, count(*) AS exact_n FROM events
+      GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 20
+    ),
+    probes AS (
+      SELECT user_id, exact_n, j, {bucket} AS bucket FROM top, js
+    )
+    SELECT CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(min(reg) AS BIGINT) AS est_n
+    FROM probes p JOIN regs USING (j, bucket)
+    GROUP BY 1, 2
     """
 
 
@@ -2788,7 +2923,6 @@ def sql_ice_prune():
 # Every entry keeps its oracle; tools/check_oracle.py verifies all 68
 # regardless of order.
 QUERIES = {
-    "moving_avg": q_moving_avg,
     "media_features": q_media_features,
     "media_png_decode": q_media_png_decode,
     "media_frames": q_media_frames,
@@ -2811,7 +2945,7 @@ QUERIES = {
     "pip_join_hot": q_pip_join_hot,
     "knn_table": q_knn_table,
     "dwithin_pairs": q_dwithin_pairs,
-    "rasterize_grid": q_rasterize_grid,
+    "focal_stats": q_focal_stats,
     "xyz_lookup": q_xyz_lookup,
     "value_casts": q_value_casts,
     "pivot_lang": q_pivot_lang,
@@ -2826,6 +2960,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "repeated_ngrams": q_repeated_ngrams,
     "hll_registers": q_hll_registers,
+    "cms_topk": q_cms_topk,
     "bpe_token_count": q_bpe_token_count,
     "lang_id": q_lang_id,
     "html_tags": q_html_tags,
@@ -2840,6 +2975,8 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "text_entropy": q_text_entropy,
     # --- tail: green in both r01 and r02, unchanged this round ---
+    "moving_avg": q_moving_avg,
+    "rasterize_grid": q_rasterize_grid,
     "knn": q_knn,
     "simhash_pairs": q_simhash_pairs,
     "window_topk": q_window_topk,
@@ -2862,7 +2999,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "moving_avg": sql_moving_avg(),
     "media_features": sql_media_features(),
     "media_png_decode": sql_media_png_decode(),
     "media_frames": sql_media_frames(),
@@ -2885,7 +3021,7 @@ ORACLES = {
     "pip_join_hot": sql_pip_join_hot(),
     "knn_table": sql_knn_table(),
     "dwithin_pairs": sql_dwithin_pairs(),
-    "rasterize_grid": sql_rasterize_grid(),
+    "focal_stats": sql_focal_stats(),
     "xyz_lookup": sql_xyz_lookup(),
     "value_casts": sql_value_casts(),
     "pivot_lang": sql_pivot_lang(),
@@ -2900,6 +3036,7 @@ ORACLES = {
     "pii_scrub": sql_pii_scrub(),
     "repeated_ngrams": sql_repeated_ngrams(),
     "hll_registers": sql_hll_registers(),
+    "cms_topk": sql_cms_topk(),
     "bpe_token_count": sql_bpe_token_count(),
     "lang_id": sql_lang_id(),
     "html_tags": sql_html_tags(),
@@ -2913,6 +3050,8 @@ ORACLES = {
     "embedding_neardup": sql_embedding_neardup(),
     "ann_ivf": sql_ann_ivf(),
     "text_entropy": sql_text_entropy(),
+    "moving_avg": sql_moving_avg(),
+    "rasterize_grid": sql_rasterize_grid(),
     "knn": sql_knn(),
     "simhash_pairs": sql_simhash_pairs(),
     "window_topk": sql_window_topk(),

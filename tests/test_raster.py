@@ -302,3 +302,42 @@ class TestStrictCasts:
             nd.select(cast_i64_strict(F.col("v"), "i32").alias("x")).collect()
         with pytest.raises(Exception, match="ValueRange"):
             nd.select(cast_u64_strict(F.col("v"), "u32").alias("x")).collect()
+
+
+class TestFocalStats:
+    def test_focal_stats_hand_checked(self, spark):
+        """3×3 focal over a 2×2 block + one isolated pixel — every
+        aggregate derived by hand (center pixel included in its own
+        neighborhood; absent neighbors ignored)."""
+        from georaster_spark.operators.raster import focal_stats_halo
+
+        pts = [(0, 0, 1.0), (1, 0, 2.0), (0, 1, 3.0), (1, 1, 4.0), (3, 3, 10.0)]
+        px = spark.createDataFrame(pts, "x int, y int, value double")
+        out = {(r.x, r.y): r for r in focal_stats_halo(px, tile=2).collect()}
+        assert set(out) == {(0, 0), (1, 0), (0, 1), (1, 1), (3, 3)}
+        for k in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+            r = out[k]
+            assert (r.n_nb, r.sum_v, r.min_v, r.max_v) == (4, 10.0, 1.0, 4.0)
+        r = out[(3, 3)]
+        assert (r.n_nb, r.sum_v, r.min_v, r.max_v) == (1, 10.0, 10.0, 10.0)
+
+    def test_focal_halo_equals_explode_on_sparse_raster(self, spark):
+        """Tile-halo kernel == the 9×-explode JVM formulation on a
+        sparse raster with holes, spanning many blocks and NEGATIVE
+        coordinates (pmod halo placement)."""
+        from georaster_spark.operators.raster import (
+            focal_stats_explode,
+            focal_stats_halo,
+        )
+
+        pts = [
+            (x, y, float((x * 7 + y * 13) % 29))
+            for x in range(-5, 20)
+            for y in range(-3, 17)
+            if (x * 3 + y * 5) % 7 != 0
+        ]
+        px = spark.createDataFrame(pts, "x int, y int, value double")
+        halo = sorted(map(tuple, focal_stats_halo(px, tile=8).collect()))
+        ref = sorted(map(tuple, focal_stats_explode(px).collect()))
+        assert len(halo) == len(pts)
+        assert halo == ref

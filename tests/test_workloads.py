@@ -421,3 +421,33 @@ class TestBpeTokenize:
             for r in df.select("word", bpe_tokenize_col(F.col("word")).alias("n")).collect()
         }
         assert got == {"anananan": 4, "ananan": 3}
+
+
+def test_cms_estimate_one_sided_and_matches_independent_python(spark):
+    """Count-min-sketch invariants: est_n >= exact_n for every probe
+    (one-sided error), and every estimate equals an independently
+    written per-row Python CMS over the same events parquet — so the
+    portable md5 bucket path is validated against something other
+    than its own SQL mirror."""
+    import collections
+    import hashlib
+
+    import pandas as pd
+
+    from georaster_spark.queries import CMS_D, CMS_W, q_cms_topk
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_cms_topk(spark, sf).collect()
+    users = pd.read_parquet(f"{sf}/events.parquet")["user_id"]
+    assert len(rows) == min(20, users.nunique())
+    assert all(r.est_n >= r.exact_n for r in rows)
+
+    def bucket(j, u):
+        return int(hashlib.md5(f"cms:{j}:{u}".encode()).hexdigest()[:15], 16) % CMS_W
+    regs = collections.Counter()
+    for u in users:
+        for j in range(CMS_D):
+            regs[(j, bucket(j, u))] += 1
+    for r in rows:
+        est = min(regs[(j, bucket(j, r.user_id))] for j in range(CMS_D))
+        assert est == r.est_n, (r.user_id, est, r.est_n)

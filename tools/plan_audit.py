@@ -163,6 +163,30 @@ def main() -> int:
         "NestedLoop" not in p and n_nodes(p, "BroadcastHashJoin") >= 1,
     )
 
+    # focal_stats: the tile-halo stencil — exactly ONE Exchange (the
+    # block-key groupBy feeding the Arrow kernel); the naive forms
+    # this replaces are a 9x-volume shuffle or a range self-join
+    p = plans["focal_stats"] = explain_str(Q.q_focal_stats(spark, SF))
+    check(
+        "focal_stats",
+        "single Exchange (block-key groupBy) into the stencil kernel, no joins",
+        n_nodes(p, "Exchange") == 1
+        and n_nodes(p, "FlatMapGroupsInPandas") == 1
+        and "Join" not in p,
+    )
+
+    # cms_topk: register build is partial-aggregated (map-side combine
+    # to 2048 keys before the shuffle) and every join is broadcast —
+    # the register table and probe set are tiny by construction
+    p = plans["cms_topk"] = explain_str(Q.q_cms_topk(spark, SF))
+    check(
+        "cms_topk",
+        "map-side partial_count register build; all joins broadcast "
+        "(no sort-merge join of the big side)",
+        "partial_count" in p and "SortMergeJoin" not in p
+        and n_nodes(p, "BroadcastHashJoin") >= 1,
+    )
+
     # zonal stats: zone index broadcast; exactly one aggregate shuffle
     p = plans["zonal_stats"] = explain_str(Q.q_zonal_stats(spark, SF))
     check("zonal_stats", "zone index joined via BroadcastHashJoin", n_nodes(p, "BroadcastHashJoin") >= 1)
