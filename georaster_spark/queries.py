@@ -584,6 +584,131 @@ def sql_hll_registers():
     """
 
 
+BM25_TERMS = ["spark", "window", "merge", "hash"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25_score(spark, sf_dir):
+    """BM25 relevance scoring of every document against a pinned
+    query-term set — the retrieval / quality-scoring stage of a
+    training-data pipeline. Scale shape: tokens are FILTERED to the
+    query terms before any shuffle (non-matching terms never leave
+    the map side), per-(doc,term) tf is one partial-aggregated
+    groupBy, and the document-frequency + corpus stats sides are
+    broadcast (a handful of rows). All arithmetic JVM-side; doc
+    lengths and counts are integer-exact in both engines, so the only
+    cross-engine noise is the final <=4-term float sum, absorbed by
+    the e6 rounding."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(F.split("text", " ")).cast("double")).alias("avgdl"),
+    )
+    tf = (
+        tok.where(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = BM25_K1, BM25_B
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "contrib",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.sum("contrib") * 1000000.0, 0).cast("long").alias("score_e6"),
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "n_terms", "score_e6")
+
+
+def sql_bm25_score():
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1, b = BM25_K1, BM25_B
+    # float literals in e-notation so DuckDB parses them as DOUBLE,
+    # not DECIMAL; (k1 + 1.0) kept as the same runtime addition
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term IN ({terms})
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(round(sum(
+             ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0)
+             * (tf * ({k1}e0 + 1.0e0))
+             / (tf + {k1}e0 * ((1.0e0 - {b}e0) + {b}e0 * dl / avgdl))
+           ) * 1000000.0, 0) AS BIGINT) AS score_e6
+    FROM tf t JOIN dl USING (doc_id) CROSS JOIN stats JOIN dfreq USING (term)
+    GROUP BY 1
+    """
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding corpus (class prototypes /
+    cluster summaries for a training pipeline): posexplode to
+    (label, dim) and ONE partial-aggregated groupBy on label x 64
+    dims — constant-size aggregate state, no vector ever collected.
+    Output long-form (label, pos, n, mean_e6) so the oracle needs no
+    array reassembly."""
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        flat.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg(F.col("v").cast("double")) * 1000000.0, 0)
+            .cast("long")
+            .alias("mean_e6"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("pos").cast("long").alias("pos"),
+            "n",
+            "mean_e6",
+        )
+    )
+
+
+def sql_embedding_centroids():
+    return """
+    WITH flat AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(avg(v) * 1000000.0, 0) AS BIGINT) AS mean_e6
+    FROM flat GROUP BY 1, 2
+    """
+
+
 CMS_D, CMS_W = 4, 512
 
 
@@ -2944,7 +3069,6 @@ QUERIES = {
     "pip_join": q_pip_join,
     "pip_join_hot": q_pip_join_hot,
     "knn_table": q_knn_table,
-    "dwithin_pairs": q_dwithin_pairs,
     "focal_stats": q_focal_stats,
     "xyz_lookup": q_xyz_lookup,
     "value_casts": q_value_casts,
@@ -2961,6 +3085,8 @@ QUERIES = {
     "repeated_ngrams": q_repeated_ngrams,
     "hll_registers": q_hll_registers,
     "cms_topk": q_cms_topk,
+    "bm25_score": q_bm25_score,
+    "embedding_centroids": q_embedding_centroids,
     "bpe_token_count": q_bpe_token_count,
     "lang_id": q_lang_id,
     "html_tags": q_html_tags,
@@ -2969,7 +3095,6 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "winnow_fps": q_winnow_fps,
-    "embedding_topk": q_embedding_topk,
     "dedup_components": q_dedup_components,
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
@@ -2977,6 +3102,8 @@ QUERIES = {
     # --- tail: green in both r01 and r02, unchanged this round ---
     "moving_avg": q_moving_avg,
     "rasterize_grid": q_rasterize_grid,
+    "dwithin_pairs": q_dwithin_pairs,
+    "embedding_topk": q_embedding_topk,
     "knn": q_knn,
     "simhash_pairs": q_simhash_pairs,
     "window_topk": q_window_topk,
@@ -3020,7 +3147,6 @@ ORACLES = {
     "pip_join": sql_pip_join(),
     "pip_join_hot": sql_pip_join_hot(),
     "knn_table": sql_knn_table(),
-    "dwithin_pairs": sql_dwithin_pairs(),
     "focal_stats": sql_focal_stats(),
     "xyz_lookup": sql_xyz_lookup(),
     "value_casts": sql_value_casts(),
@@ -3037,6 +3163,8 @@ ORACLES = {
     "repeated_ngrams": sql_repeated_ngrams(),
     "hll_registers": sql_hll_registers(),
     "cms_topk": sql_cms_topk(),
+    "bm25_score": sql_bm25_score(),
+    "embedding_centroids": sql_embedding_centroids(),
     "bpe_token_count": sql_bpe_token_count(),
     "lang_id": sql_lang_id(),
     "html_tags": sql_html_tags(),
@@ -3045,13 +3173,14 @@ ORACLES = {
     "ngram_jaccard": sql_ngram_jaccard(),
     "minhash_lsh": sql_minhash_lsh(),
     "winnow_fps": sql_winnow_fps(),
-    "embedding_topk": sql_embedding_topk(),
     "dedup_components": sql_dedup_components(),
     "embedding_neardup": sql_embedding_neardup(),
     "ann_ivf": sql_ann_ivf(),
     "text_entropy": sql_text_entropy(),
     "moving_avg": sql_moving_avg(),
     "rasterize_grid": sql_rasterize_grid(),
+    "dwithin_pairs": sql_dwithin_pairs(),
+    "embedding_topk": sql_embedding_topk(),
     "knn": sql_knn(),
     "simhash_pairs": sql_simhash_pairs(),
     "window_topk": sql_window_topk(),

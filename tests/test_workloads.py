@@ -451,3 +451,59 @@ def test_cms_estimate_one_sided_and_matches_independent_python(spark):
     for r in rows:
         est = min(regs[(j, bucket(j, r.user_id))] for j in range(CMS_D))
         assert est == r.est_n, (r.user_id, est, r.est_n)
+
+
+def test_bm25_matches_independent_python(spark):
+    """Every BM25 score equals an independently written plain-Python
+    BM25 over the same parquet (own tokenizer, own df/idf/avgdl) —
+    validates the formula end-to-end, not just the SQL mirror."""
+    import collections
+    import math
+
+    import pandas as pd
+
+    from georaster_spark.queries import BM25_B, BM25_K1, BM25_TERMS, q_bm25_score
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text"]]
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    tf = {
+        d: collections.Counter(w for w in t if w in BM25_TERMS)
+        for d, t in toks.items()
+    }
+    df = collections.Counter(term for c in tf.values() for term in c)
+    expect = {}
+    for d, c in tf.items():
+        if not c:
+            continue
+        s = 0.0
+        for term, f in c.items():
+            idf = math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            s += idf * (f * (BM25_K1 + 1.0)) / (
+                f + BM25_K1 * ((1.0 - BM25_B) + BM25_B * len(toks[d]) / avgdl)
+            )
+        expect[d] = (len(c), round(s * 1000000.0))
+    got = {r.doc_id: (r.n_terms, r.score_e6) for r in q_bm25_score(spark, sf).collect()}
+    assert got == expect
+
+
+def test_embedding_centroids_match_numpy(spark):
+    """Per-label centroid rows equal a NumPy groupby-mean over the
+    same parquet, for every (label, dim)."""
+    import numpy as np
+    import pandas as pd
+
+    from georaster_spark.queries import q_embedding_centroids
+
+    sf = "/root/testdata/sf0.001"
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    got = {(r.label, r.pos): (r.n, r.mean_e6) for r in q_embedding_centroids(spark, sf).collect()}
+    for label, grp in emb.groupby("label"):
+        mat = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        for pos in range(mat.shape[1]):
+            n, mean_e6 = got[(label, pos)]
+            assert n == len(grp)
+            assert abs(mean_e6 - mat[:, pos].mean() * 1e6) < 1.0, (label, pos)
+    assert len(got) == emb["label"].nunique() * 64

@@ -187,6 +187,26 @@ def main() -> int:
         and n_nodes(p, "BroadcastHashJoin") >= 1,
     )
 
+    # bm25_score: tf build is the only big shuffle (term filter BEFORE
+    # the exchange, map-side partial_count); stats/df sides broadcast
+    p = plans["bm25_score"] = explain_str(Q.q_bm25_score(spark, SF))
+    check(
+        "bm25_score",
+        "query-term filter precedes the tf shuffle (partial_count) and "
+        "stats/df joins are all broadcast (no sort-merge join)",
+        "partial_count" in p and "SortMergeJoin" not in p
+        and n_nodes(p, "BroadcastHashJoin") >= 1,
+    )
+
+    # embedding_centroids: posexplode then ONE partial-aggregated
+    # groupBy on (label, pos) — constant-size aggregate state
+    p = plans["embedding_centroids"] = explain_str(Q.q_embedding_centroids(spark, SF))
+    check(
+        "embedding_centroids",
+        "single Exchange with map-side partial aggregation, no joins",
+        n_nodes(p, "Exchange") == 1 and "partial_" in p and "Join" not in p,
+    )
+
     # zonal stats: zone index broadcast; exactly one aggregate shuffle
     p = plans["zonal_stats"] = explain_str(Q.q_zonal_stats(spark, SF))
     check("zonal_stats", "zone index joined via BroadcastHashJoin", n_nodes(p, "BroadcastHashJoin") >= 1)
