@@ -1395,6 +1395,150 @@ def sql_interval_join():
     """
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase): users
+    counted at step k only if their first step-k event strictly
+    follows their first step-(k-1) completion. Each stage is one
+    filter + one groupBy + one equi-join, ALL keyed on user_id — at
+    scale the event stream hash-partitions once on user_id and every
+    stage reuses that partitioning (no re-shuffle), the standard
+    sequence-analytics shape."""
+    e = _t(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_prev"))
+    )
+    stages = [s1]
+    for step in FUNNEL_STEPS[1:]:
+        prev = stages[-1]
+        stages.append(
+            e.where(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_prev"))
+        )
+    out = None
+    for i, (step, df) in enumerate(zip(FUNNEL_STEPS, stages), start=1):
+        row = df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(step).alias("event_type"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def sql_funnel_steps():
+    v, c, p = FUNNEL_STEPS
+    return f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = '{v}' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE event_type = '{c}' AND ts > t1 GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE event_type = '{p}' AND ts > t2 GROUP BY 1
+    )
+    SELECT CAST(1 AS BIGINT) AS step, '{v}' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), '{c}', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), '{p}', CAST(count(*) AS BIGINT) FROM s3
+    """
+
+
+PR_ITERS, PR_DAMPING = 3, 0.85
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank (3 fixed iterations, d=0.85) over a deterministic
+    synthetic citation graph on the documents table (3 hash-derived
+    out-links per doc, self-loops dropped, duplicate edges deduped) —
+    the iterative-algorithm class done as repeated DataFrame joins
+    (operators/graph.py pagerank): per iteration ONE edge⋈rank
+    equi-join plus ONE partial-aggregated groupBy, both keyed on the
+    node id so the edge list's hash partitioning is reused across
+    iterations. The DuckDB oracle unrolls the same three iterations
+    as chained CTEs."""
+    from georaster_spark.operators.graph import pagerank
+
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("v")
+    )
+    cntl = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    vv = F.col("v")
+    edges = (
+        nodes.crossJoin(F.broadcast(cntl))
+        .select(
+            "v",
+            F.explode(
+                F.array(
+                    (vv * 7 + 1) % F.col("nn"),
+                    (vv * 13 + 3) % F.col("nn"),
+                    (vv * 29 + 11) % F.col("nn"),
+                )
+            ).alias("dst"),
+        )
+        .where(F.col("dst") != vv)
+        .select(F.col("v").alias("src"), "dst")
+        .distinct()
+    )
+    out = pagerank(nodes, edges, iters=PR_ITERS, damping=PR_DAMPING)
+    return out.select(
+        F.col("v").cast("long").alias("doc_id"),
+        F.round(F.col("r") * 1000000000.0, 0).cast("long").alias("rank_e9"),
+    )
+
+
+def sql_pagerank():
+    d = PR_DAMPING
+    parts = [
+        "nodes AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents)",
+        "cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS nn FROM nodes)",
+        """edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT v AS src, (v * 7 + 1) % nn AS dst FROM nodes, cnt
+        UNION ALL SELECT v, (v * 13 + 3) % nn FROM nodes, cnt
+        UNION ALL SELECT v, (v * 29 + 11) % nn FROM nodes, cnt
+      ) WHERE dst != src
+    )""",
+        "outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY 1)",
+        "r0 AS (SELECT v, 1.0e0 / n AS r FROM nodes, cnt)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""s{i} AS (
+      SELECT e.dst AS v, sum(r.r / d.deg) AS s
+      FROM edges e JOIN r{i - 1} r ON r.v = e.src JOIN outdeg d ON d.src = e.src
+      GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT n.v, (1.0e0 - {d}e0) / cnt.n + {d}e0 * coalesce(s.s, 0.0e0) AS r
+      FROM nodes n CROSS JOIN cnt LEFT JOIN s{i} s ON s.v = n.v
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(v AS BIGINT) AS doc_id,
+           CAST(round(r * 1000000000.0, 0) AS BIGINT) AS rank_e9
+    FROM r{PR_ITERS}
+    """
+    )
+
+
 def q_events_window_agg(spark, sf_dir):
     """Tumbling time-window aggregate (batch form of the streaming op)."""
     e = _t(spark, sf_dir, "events")
@@ -3063,9 +3207,9 @@ QUERIES = {
     "raster_info": q_raster_info,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
+    "funnel_steps": q_funnel_steps,
+    "pagerank": q_pagerank,
     "geocode_cells": q_geocode_cells,
-    "cell_hist": q_cell_hist,
-    "cell_parent_rollup": q_cell_parent_rollup,
     "pip_join": q_pip_join,
     "pip_join_hot": q_pip_join_hot,
     "knn_table": q_knn_table,
@@ -3101,6 +3245,8 @@ QUERIES = {
     "text_entropy": q_text_entropy,
     # --- tail: green in both r01 and r02, unchanged this round ---
     "moving_avg": q_moving_avg,
+    "cell_hist": q_cell_hist,
+    "cell_parent_rollup": q_cell_parent_rollup,
     "rasterize_grid": q_rasterize_grid,
     "dwithin_pairs": q_dwithin_pairs,
     "embedding_topk": q_embedding_topk,
@@ -3141,9 +3287,9 @@ ORACLES = {
     "raster_info": sql_raster_info(),
     "asof_join": sql_asof_join(),
     "interval_join": sql_interval_join(),
+    "funnel_steps": sql_funnel_steps(),
+    "pagerank": sql_pagerank(),
     "geocode_cells": sql_geocode_cells(),
-    "cell_hist": sql_cell_hist(),
-    "cell_parent_rollup": sql_cell_parent_rollup(),
     "pip_join": sql_pip_join(),
     "pip_join_hot": sql_pip_join_hot(),
     "knn_table": sql_knn_table(),
@@ -3178,6 +3324,8 @@ ORACLES = {
     "ann_ivf": sql_ann_ivf(),
     "text_entropy": sql_text_entropy(),
     "moving_avg": sql_moving_avg(),
+    "cell_hist": sql_cell_hist(),
+    "cell_parent_rollup": sql_cell_parent_rollup(),
     "rasterize_grid": sql_rasterize_grid(),
     "dwithin_pairs": sql_dwithin_pairs(),
     "embedding_topk": sql_embedding_topk(),

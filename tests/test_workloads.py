@@ -507,3 +507,66 @@ def test_embedding_centroids_match_numpy(spark):
             assert n == len(grp)
             assert abs(mean_e6 - mat[:, pos].mean() * 1e6) < 1.0, (label, pos)
     assert len(got) == emb["label"].nunique() * 64
+
+
+def test_funnel_matches_independent_python(spark):
+    """Funnel counts equal a hand-rolled pandas sequence walk
+    (first view, first click strictly after it, first purchase
+    strictly after that)."""
+    import pandas as pd
+
+    from georaster_spark.queries import FUNNEL_STEPS, q_funnel_steps
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    expect = {}
+    reached = {}
+    for u, grp in ev.groupby("user_id"):
+        t_prev = None
+        for i, step in enumerate(FUNNEL_STEPS, start=1):
+            sel = grp[grp["event_type"] == step]
+            if t_prev is not None:
+                sel = sel[sel["ts"] > t_prev]
+            if sel.empty:
+                break
+            t_prev = sel["ts"].min()
+            reached.setdefault(i, set()).add(u)
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        expect[(i, step)] = len(reached.get(i, ()))
+    got = {(r.step, r.event_type): r.n_users for r in q_funnel_steps(spark, sf).collect()}
+    assert got == expect
+    # funnel is monotone non-increasing
+    ns = [got[(i, s)] for i, s in enumerate(FUNNEL_STEPS, start=1)]
+    assert ns == sorted(ns, reverse=True) and ns[0] > 0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Catalog PageRank equals an independent dense NumPy power
+    iteration on the same synthetic graph; ranks of a
+    no-dangling-node graph sum to 1."""
+    import numpy as np
+    import pandas as pd
+
+    from georaster_spark.queries import PR_DAMPING, PR_ITERS, q_pagerank
+
+    sf = "/root/testdata/sf0.001"
+    n = len(pd.read_parquet(f"{sf}/documents.parquet"))
+    edges = set()
+    for v in range(n):
+        for dst in ((v * 7 + 1) % n, (v * 13 + 3) % n, (v * 29 + 11) % n):
+            if dst != v:
+                edges.add((v, dst))
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(PR_ITERS):
+        nxt = np.full(n, (1.0 - PR_DAMPING) / n)
+        for s, d in edges:
+            nxt[d] += PR_DAMPING * r[s] / outdeg[s]
+        r = nxt
+    got = {row.doc_id: row.rank_e9 for row in q_pagerank(spark, sf).collect()}
+    assert len(got) == n
+    assert abs(sum(got.values()) / 1e9 - 1.0) < 1e-6
+    for v in range(n):
+        assert abs(got[v] - round(r[v] * 1e9)) <= 1, (v, got[v], r[v])

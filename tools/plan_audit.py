@@ -207,6 +207,31 @@ def main() -> int:
         n_nodes(p, "Exchange") == 1 and "partial_" in p and "Join" not in p,
     )
 
+    # funnel_steps: the event_type filters reach the parquet scan and
+    # every per-stage min is partially aggregated map-side
+    p = plans["funnel_steps"] = explain_str(Q.q_funnel_steps(spark, SF))
+    check(
+        "funnel_steps",
+        "event_type filter pushed to the parquet scan; map-side "
+        "partial_min before each user_id shuffle",
+        any(
+            "event_type" in l and "[]" not in l
+            for l in p.splitlines()
+            if "PushedFilters" in l
+        )
+        and "partial_min" in p,
+    )
+
+    # pagerank: every iteration's contribution aggregate has a
+    # map-side partial_sum (combine before the dst shuffle)
+    p = plans["pagerank"] = explain_str(Q.q_pagerank(spark, SF))
+    check(
+        "pagerank",
+        "map-side partial_sum on every iteration's contribution "
+        "aggregate (3 iterations -> 3 partial_sum aggregates)",
+        len(re.findall(r"partial_sum", p)) >= 3,
+    )
+
     # zonal stats: zone index broadcast; exactly one aggregate shuffle
     p = plans["zonal_stats"] = explain_str(Q.q_zonal_stats(spark, SF))
     check("zonal_stats", "zone index joined via BroadcastHashJoin", n_nodes(p, "BroadcastHashJoin") >= 1)
