@@ -739,17 +739,20 @@ def q_cms_topk(spark, sf_dir):
     per-partition top-k pre-filter instead of a global exact count."""
     e = _t(spark, sf_dir, "events")
     rows = spark.range(CMS_D).select(F.col("id").alias("j"))
+    # dictionary trick: hash each DISTINCT user once and weight by its
+    # count instead of hashing every event row — identical registers,
+    # |users| x d hashes instead of |events| x d. (For pure streaming
+    # sketching with unbounded keys, hash the rows directly; the
+    # pre-group wins whenever distinct keys << rows.)
+    ucnt = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
     regs = (
-        e.crossJoin(F.broadcast(rows))
+        ucnt.crossJoin(F.broadcast(rows))
         .groupBy("j", _cms_bucket(F.col("j"), F.col("user_id")).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("reg"))
+        .agg(F.sum("c").alias("reg"))
     )
-    top = (
-        e.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.desc("exact_n"), "user_id")
-        .limit(20)
-    )
+    top = ucnt.select("user_id", F.col("c").alias("exact_n")).orderBy(
+        F.desc("exact_n"), "user_id"
+    ).limit(20)
     probes = top.crossJoin(F.broadcast(rows)).withColumn(
         "bucket", _cms_bucket(F.col("j"), F.col("user_id"))
     )
