@@ -433,6 +433,41 @@ def pick_overview(
     return cascade[-1]
 
 
+def _halo_exploded(
+    pixels: DataFrame, tile: int, x_col: str, y_col: str, v_col: str
+) -> DataFrame:
+    """Shared stage 1 of the tile-halo stencils: assign each pixel to
+    its own ``tile×tile`` block plus a halo copy into adjacent blocks
+    when it sits on the 1-px block border (≤4 targets at corners,
+    1 typically — duplication 1 + ~4/tile). Output columns:
+    ``_tx,_ty`` block key, ``_x,_y,_v`` pixel."""
+    x, y = F.col(x_col), F.col(y_col)
+    tx, ty = F.floor(x / tile), F.floor(y / tile)
+    # pmod, not %: Spark's % keeps the dividend's sign, which would
+    # mis-place halo copies for negative pixel coordinates
+    lx, ly = F.pmod(x, F.lit(tile)), F.pmod(y, F.lit(tile))
+    targets = []
+    for dx in (-1, 0, 1):
+        cx = F.lit(True) if dx == 0 else (lx == (0 if dx < 0 else tile - 1))
+        for dy in (-1, 0, 1):
+            cy = F.lit(True) if dy == 0 else (ly == (0 if dy < 0 else tile - 1))
+            targets.append(
+                F.when(
+                    cx & cy,
+                    F.struct(
+                        (tx + dx).cast("long").alias("tx"),
+                        (ty + dy).cast("long").alias("ty"),
+                    ),
+                )
+            )
+    return pixels.select(
+        F.explode(F.array_compact(F.array(*targets))).alias("_t"),
+        x.cast("long").alias("_x"),
+        y.cast("long").alias("_y"),
+        F.col(v_col).cast("double").alias("_v"),
+    ).select(F.col("_t.tx").alias("_tx"), F.col("_t.ty").alias("_ty"), "_x", "_y", "_v")
+
+
 def focal_stats_halo(
     pixels: DataFrame,
     tile: int = 256,
@@ -460,32 +495,7 @@ def focal_stats_halo(
     shuffle volume is ~1.02× the input at tile=256. Larger stencils
     only widen the halo; the plan shape is unchanged.
     """
-    x, y = F.col(x_col), F.col(y_col)
-    tx, ty = F.floor(x / tile), F.floor(y / tile)
-    # pmod, not %: Spark's % keeps the dividend's sign, which would
-    # mis-place halo copies for negative pixel coordinates
-    lx, ly = F.pmod(x, F.lit(tile)), F.pmod(y, F.lit(tile))
-    targets = []
-    for dx in (-1, 0, 1):
-        cx = F.lit(True) if dx == 0 else (lx == (0 if dx < 0 else tile - 1))
-        for dy in (-1, 0, 1):
-            cy = F.lit(True) if dy == 0 else (ly == (0 if dy < 0 else tile - 1))
-            targets.append(
-                F.when(
-                    cx & cy,
-                    F.struct(
-                        (tx + dx).cast("long").alias("tx"),
-                        (ty + dy).cast("long").alias("ty"),
-                    ),
-                )
-            )
-    exploded = pixels.select(
-        F.explode(F.array_compact(F.array(*targets))).alias("_t"),
-        x.cast("long").alias("_x"),
-        y.cast("long").alias("_y"),
-        F.col(v_col).cast("double").alias("_v"),
-    ).select(F.col("_t.tx").alias("_tx"), F.col("_t.ty").alias("_ty"), "_x", "_y", "_v")
-
+    exploded = _halo_exploded(pixels, tile, x_col, y_col, v_col)
     T = tile
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -561,3 +571,70 @@ def focal_stats_explode(pixels: DataFrame, x_col: str = "x", y_col: str = "y", v
     )
     present = pixels.select(x.cast("long").alias("x"), y.cast("long").alias("y"))
     return agg.join(present, ["x", "y"])
+
+
+def horn_gradients_halo(
+    pixels: DataFrame,
+    tile: int = 256,
+    x_col: str = "x",
+    y_col: str = "y",
+    v_col: str = "value",
+) -> DataFrame:
+    """Horn 3×3 gradient NUMERATORS via the same tile-halo exchange
+    as ``focal_stats_halo`` (one ~1.02× shuffle, per-block NumPy
+    stencil).
+
+    Emits, per pixel whose full 3×3 window is present (n_nb == 9):
+
+      gx_num = (NE + 2·E + SE) − (NW + 2·W + SW)
+      gy_num = (SW + 2·S + SE) − (NW + 2·N + NE)
+
+    with north = smaller y (the raster row axis points south, as in
+    the reference's negative ``pixel_size_y`` convention,
+    ``src/geotiff.rs:109``). dz/dx = gx_num / (8·cellsize); the
+    division and downstream trig (slope/aspect/hillshade) are left to
+    the caller's Column algebra so the numerators stay integer-exact
+    for integer rasters — which lets a cross-engine oracle hash them
+    exactly. Edge pixels (incomplete window) are not emitted,
+    matching GDAL's default edge behavior for hillshade.
+    """
+    exploded = _halo_exploded(pixels, tile, x_col, y_col, v_col)
+    T = tile
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        gx0 = int(pdf["_tx"].iloc[0]) * T - 1
+        gy0 = int(pdf["_ty"].iloc[0]) * T - 1
+        ix = pdf["_x"].to_numpy() - gx0
+        iy = pdf["_y"].to_numpy() - gy0
+        V = np.zeros((T + 2, T + 2))
+        M = np.zeros((T + 2, T + 2), dtype=bool)
+        V[iy, ix] = pdf["_v"].to_numpy(dtype=np.float64)
+        M[iy, ix] = True
+        GX = np.zeros((T, T))
+        GY = np.zeros((T, T))
+        C = np.zeros((T, T), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                Vw = V[1 + dy : T + 1 + dy, 1 + dx : T + 1 + dx]
+                Mw = M[1 + dy : T + 1 + dy, 1 + dx : T + 1 + dx]
+                wx = dx * (2 if dy == 0 else 1)
+                wy = dy * (2 if dx == 0 else 1)
+                if wx:
+                    GX += wx * np.where(Mw, Vw, 0.0)
+                if wy:
+                    GY += wy * np.where(Mw, Vw, 0.0)
+                C += Mw
+        own = M[1 : T + 1, 1 : T + 1] & (C == 9)
+        oy, ox = np.nonzero(own)
+        return pd.DataFrame(
+            {
+                "x": (gx0 + 1 + ox).astype(np.int64),
+                "y": (gy0 + 1 + oy).astype(np.int64),
+                "gx_num": GX[own],
+                "gy_num": GY[own],
+            }
+        )
+
+    return exploded.groupBy("_tx", "_ty").applyInPandas(
+        kernel, schema="x long, y long, gx_num double, gy_num double"
+    )

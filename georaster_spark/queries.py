@@ -446,6 +446,71 @@ def sql_focal_stats():
     """
 
 
+def q_hillshade(spark, sf_dir):
+    """Hillshade over the DTM crop (GDAL-style Horn method, azimuth
+    315°, altitude 45°): gradient NUMERATORS come from the tile-halo
+    stencil kernel (operators/raster.py horn_gradients_halo — same
+    ~1.02× shuffle as focal_stats), integer-exact so the oracle
+    hashes them exactly; the division and trig (slope/aspect/shading)
+    run as Column algebra with identical expression text in the
+    DuckDB twin, rounded e4 to absorb cross-engine libm ulps. Edge
+    pixels with incomplete 3×3 windows are skipped (GDAL default)."""
+    px = dtm_pixels_df(spark, partitions=32).where(
+        F.col("x").between(FOCAL_X0, FOCAL_X0 + FOCAL_W - 1)
+        & F.col("y").between(FOCAL_Y0, FOCAL_Y0 + FOCAL_W - 1)
+    )
+    g = R.horn_gradients_halo(px.select("x", "y", "value"), tile=64)
+    dzdx = F.col("gx_num") / 80.0  # 8 * cellsize(10 m)
+    dzdy = F.col("gy_num") / 80.0
+    slope = F.atan(F.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect = F.atan2(dzdy, -dzdx)
+    zen, az = F.radians(F.lit(45.0)), F.radians(F.lit(315.0))
+    hs = 255.0 * (
+        F.cos(zen) * F.cos(slope) + F.sin(zen) * F.sin(slope) * F.cos(az - aspect)
+    )
+    return g.select(
+        "x",
+        "y",
+        F.col("gx_num").cast("long").alias("gx_num"),
+        F.col("gy_num").cast("long").alias("gy_num"),
+        F.round(hs * 10000.0, 0).cast("long").alias("hillshade_e4"),
+    )
+
+
+def sql_hillshade():
+    x1, y1 = FOCAL_X0 + FOCAL_W - 1, FOCAL_Y0 + FOCAL_W - 1
+    slope = (
+        "atan(sqrt((gx_num / 80.0e0) * (gx_num / 80.0e0)"
+        " + (gy_num / 80.0e0) * (gy_num / 80.0e0)))"
+    )
+    aspect = "atan2(gy_num / 80.0e0, -(gx_num / 80.0e0))"
+    hs = (
+        f"255.0e0 * (cos(radians(45.0e0)) * cos({slope})"
+        f" + sin(radians(45.0e0)) * sin({slope})"
+        f" * cos(radians(315.0e0) - {aspect}))"
+    )
+    return f"""
+    WITH px AS ({dtm_pixels_sql()}),
+    c AS (
+      SELECT x, y, value FROM px
+      WHERE x BETWEEN {FOCAL_X0} AND {x1} AND y BETWEEN {FOCAL_Y0} AND {y1}
+    ),
+    g AS (
+      SELECT a.x, a.y,
+             sum((b.x - a.x) * (CASE WHEN b.y = a.y THEN 2 ELSE 1 END) * b.value) AS gx_num,
+             sum((b.y - a.y) * (CASE WHEN b.x = a.x THEN 2 ELSE 1 END) * b.value) AS gy_num,
+             count(*) AS n_nb
+      FROM c a JOIN c b
+        ON b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+      GROUP BY 1, 2
+    )
+    SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST(gx_num AS BIGINT) AS gx_num, CAST(gy_num AS BIGINT) AS gy_num,
+           CAST(round({hs} * 10000.0, 0) AS BIGINT) AS hillshade_e4
+    FROM g WHERE n_nb = 9
+    """
+
+
 STOPWORDS = ["the", "a", "of", "and", "cell", "doc"]
 
 
@@ -3212,11 +3277,11 @@ QUERIES = {
     "interval_join": q_interval_join,
     "funnel_steps": q_funnel_steps,
     "pagerank": q_pagerank,
-    "geocode_cells": q_geocode_cells,
     "pip_join": q_pip_join,
     "pip_join_hot": q_pip_join_hot,
     "knn_table": q_knn_table,
     "focal_stats": q_focal_stats,
+    "hillshade": q_hillshade,
     "xyz_lookup": q_xyz_lookup,
     "value_casts": q_value_casts,
     "pivot_lang": q_pivot_lang,
@@ -3248,6 +3313,7 @@ QUERIES = {
     "text_entropy": q_text_entropy,
     # --- tail: green in both r01 and r02, unchanged this round ---
     "moving_avg": q_moving_avg,
+    "geocode_cells": q_geocode_cells,
     "cell_hist": q_cell_hist,
     "cell_parent_rollup": q_cell_parent_rollup,
     "rasterize_grid": q_rasterize_grid,
@@ -3292,11 +3358,11 @@ ORACLES = {
     "interval_join": sql_interval_join(),
     "funnel_steps": sql_funnel_steps(),
     "pagerank": sql_pagerank(),
-    "geocode_cells": sql_geocode_cells(),
     "pip_join": sql_pip_join(),
     "pip_join_hot": sql_pip_join_hot(),
     "knn_table": sql_knn_table(),
     "focal_stats": sql_focal_stats(),
+    "hillshade": sql_hillshade(),
     "xyz_lookup": sql_xyz_lookup(),
     "value_casts": sql_value_casts(),
     "pivot_lang": sql_pivot_lang(),
@@ -3327,6 +3393,7 @@ ORACLES = {
     "ann_ivf": sql_ann_ivf(),
     "text_entropy": sql_text_entropy(),
     "moving_avg": sql_moving_avg(),
+    "geocode_cells": sql_geocode_cells(),
     "cell_hist": sql_cell_hist(),
     "cell_parent_rollup": sql_cell_parent_rollup(),
     "rasterize_grid": sql_rasterize_grid(),

@@ -341,3 +341,36 @@ class TestFocalStats:
         ref = sorted(map(tuple, focal_stats_explode(px).collect()))
         assert len(halo) == len(pts)
         assert halo == ref
+
+
+class TestHornGradients:
+    def test_hand_checked_ramp_and_flat(self, spark):
+        """v = x planar ramp: the single full-window pixel gets
+        gx_num = (NE + 2E + SE) - (NW + 2W + SW) = 8, gy_num = 0;
+        a constant raster gets zero gradients."""
+        from georaster_spark.operators.raster import horn_gradients_halo
+
+        ramp = spark.createDataFrame(
+            [(x, y, float(x)) for x in range(3) for y in range(3)],
+            "x int, y int, value double",
+        )
+        out = horn_gradients_halo(ramp, tile=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.x, r.y, r.gx_num, r.gy_num) == (1, 1, 8.0, 0.0)
+
+        flat = spark.createDataFrame(
+            [(x, y, 5.0) for x in range(3) for y in range(3)],
+            "x int, y int, value double",
+        )
+        f = horn_gradients_halo(flat, tile=2).collect()[0]
+        assert (f.gx_num, f.gy_num) == (0.0, 0.0)
+
+    def test_incomplete_windows_are_skipped(self, spark):
+        """A hole in the 3x3 window suppresses the center pixel (GDAL
+        edge behavior): removing one corner leaves no emitted rows."""
+        from georaster_spark.operators.raster import horn_gradients_halo
+
+        pts = [(x, y, 1.0) for x in range(3) for y in range(3) if (x, y) != (0, 0)]
+        df = spark.createDataFrame(pts, "x int, y int, value double")
+        assert horn_gradients_halo(df, tile=2).count() == 0

@@ -207,6 +207,18 @@ def main() -> int:
         n_nodes(p, "Exchange") == 1 and "partial_" in p and "Join" not in p,
     )
 
+    # hillshade: same halo-stencil shape as focal_stats — one block
+    # Exchange into the gradient kernel, trig downstream in codegen
+    p = plans["hillshade"] = explain_str(Q.q_hillshade(spark, SF))
+    check(
+        "hillshade",
+        "single Exchange into the Horn kernel; slope/aspect trig is a "
+        "JVM Project (no Python evaluator downstream of the kernel)",
+        n_nodes(p, "Exchange") == 1
+        and n_nodes(p, "FlatMapGroupsInPandas") == 1
+        and "BatchEvalPython" not in p,
+    )
+
     # funnel_steps: the event_type filters reach the parquet scan and
     # every per-stage min is partially aggregated map-side
     p = plans["funnel_steps"] = explain_str(Q.q_funnel_steps(spark, SF))
