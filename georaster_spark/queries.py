@@ -3242,6 +3242,128 @@ def sql_ice_prune():
     """
 
 
+def q_ice_merge(spark, sf_dir):
+    """Copy-on-write MERGE through the snapshot table layer (E10,
+    sources/icetable.py merge_table): a deterministic CDC batch is
+    applied to an orders snapshot — upserts (keys %7: price +1000),
+    inserts (new keys derived +10M for keys %97: price ×2), then
+    deletes (base keys %13) — each as ONE atomic snapshot commit, so
+    the committed chain is base→upsert→delete and time travel to any
+    pre-merge state still works (RAISED on otherwise, so a green
+    driver row is also evidence of the snapshot history). Plan shape:
+    the big side anti-joins a broadcastable update key set and
+    shuffles at most once on the key. All mutation happens once under
+    a temp name + atomic rename; the query itself only reads."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from georaster_spark.sources import icetable
+
+    tbl = os.path.join(
+        tempfile.gettempdir(),
+        "georaster_ice_merge_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(tbl):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        base = orders.select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            "o_totalprice",
+        )
+        tmp = f"{tbl}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        icetable.write_table(base, tmp, n_files=8)
+        upserts = base.where(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        )
+        inserts = base.where(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_date",
+            (F.col("o_totalprice") * 2.0).alias("o_totalprice"),
+        )
+        icetable.merge_table(
+            spark, tmp, upserts.unionByName(inserts), ["o_orderkey"]
+        )
+        deletes = base.where(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+        icetable.merge_table(spark, tmp, deletes, ["o_orderkey"], delete=True)
+        try:
+            os.replace(tmp, tbl)
+        except OSError:  # another process won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
+    chain = icetable.committed_chain(tbl)
+    if len(chain) != 3:
+        raise RuntimeError(f"expected 3 snapshots (base, upsert, delete), got {len(chain)}")
+    df = icetable.read_table(spark, tbl)
+    return df.groupBy(F.year("o_date").cast("long").alias("yr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("sum_price_c"),
+    )
+
+
+def sql_ice_merge():
+    return """
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, o_date, o_totalprice + 1000.0e0 AS o_totalprice
+      FROM base WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_date, o_totalprice * 2.0e0
+      FROM base WHERE o_orderkey % 97 = 0
+    ),
+    merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+    ),
+    final AS (
+      SELECT * FROM merged
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0)
+    )
+    SELECT CAST(year(o_date) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM final GROUP BY 1
+    """
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted (importance) Bernoulli sampling: per-doc keep
+    probability proportional to a length-derived quality weight,
+    decided by a portable md5 hash — the curation stage that
+    downsamples low-value documents while staying reproducible across
+    engines, runs, and retries (unlike rand()). Pure filter
+    projection: zero shuffles, trivially scalable."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % 1000000
+    thr = F.round(
+        F.least(F.lit(1.0), F.col("n_chars") / 400.0) * 300000.0, 0
+    ).cast("long")
+    return d.where(h < thr).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        thr.alias("keep_e6"),
+    )
+
+
+def sql_weighted_sample():
+    return """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(round(least(1.0e0, n_chars / 400.0e0) * 300000.0, 0) AS BIGINT) AS keep_e6
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+          < CAST(round(least(1.0e0, n_chars / 400.0e0) * 300000.0, 0) AS BIGINT)
+    """
+
+
 # =====================================================================
 # catalog
 # =====================================================================
@@ -3272,6 +3394,7 @@ QUERIES = {
     "raster_ingest": q_raster_ingest,
     "pmtiles_ingest": q_pmtiles_ingest,
     "ice_prune": q_ice_prune,
+    "ice_merge": q_ice_merge,
     "raster_info": q_raster_info,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
@@ -3279,7 +3402,6 @@ QUERIES = {
     "pagerank": q_pagerank,
     "pip_join": q_pip_join,
     "pip_join_hot": q_pip_join_hot,
-    "knn_table": q_knn_table,
     "focal_stats": q_focal_stats,
     "hillshade": q_hillshade,
     "xyz_lookup": q_xyz_lookup,
@@ -3302,7 +3424,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "lang_id": q_lang_id,
     "html_tags": q_html_tags,
-    "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -3314,6 +3436,8 @@ QUERIES = {
     # --- tail: green in both r01 and r02, unchanged this round ---
     "moving_avg": q_moving_avg,
     "geocode_cells": q_geocode_cells,
+    "knn_table": q_knn_table,
+    "stratified_sample": q_stratified_sample,
     "cell_hist": q_cell_hist,
     "cell_parent_rollup": q_cell_parent_rollup,
     "rasterize_grid": q_rasterize_grid,
@@ -3353,6 +3477,7 @@ ORACLES = {
     "raster_ingest": sql_raster_ingest(),
     "pmtiles_ingest": sql_pmtiles_ingest(),
     "ice_prune": sql_ice_prune(),
+    "ice_merge": sql_ice_merge(),
     "raster_info": sql_raster_info(),
     "asof_join": sql_asof_join(),
     "interval_join": sql_interval_join(),
@@ -3360,7 +3485,6 @@ ORACLES = {
     "pagerank": sql_pagerank(),
     "pip_join": sql_pip_join(),
     "pip_join_hot": sql_pip_join_hot(),
-    "knn_table": sql_knn_table(),
     "focal_stats": sql_focal_stats(),
     "hillshade": sql_hillshade(),
     "xyz_lookup": sql_xyz_lookup(),
@@ -3383,7 +3507,7 @@ ORACLES = {
     "bpe_token_count": sql_bpe_token_count(),
     "lang_id": sql_lang_id(),
     "html_tags": sql_html_tags(),
-    "stratified_sample": sql_stratified_sample(),
+    "weighted_sample": sql_weighted_sample(),
     "dedup_exact": sql_dedup_exact(),
     "ngram_jaccard": sql_ngram_jaccard(),
     "minhash_lsh": sql_minhash_lsh(),
@@ -3394,6 +3518,8 @@ ORACLES = {
     "text_entropy": sql_text_entropy(),
     "moving_avg": sql_moving_avg(),
     "geocode_cells": sql_geocode_cells(),
+    "knn_table": sql_knn_table(),
+    "stratified_sample": sql_stratified_sample(),
     "cell_hist": sql_cell_hist(),
     "cell_parent_rollup": sql_cell_parent_rollup(),
     "rasterize_grid": sql_rasterize_grid(),

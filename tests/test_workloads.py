@@ -570,3 +570,25 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) / 1e9 - 1.0) < 1e-6
     for v in range(n):
         assert abs(got[v] - round(r[v] * 1e9)) <= 1, (v, got[v], r[v])
+
+
+def test_weighted_sample_matches_independent_python(spark):
+    """Sample membership and thresholds equal an independent hashlib
+    walk over the same parquet: keep doc iff
+    md5_60bit(doc_id) % 1e6 < round(min(1, n_chars/400) * 3e5)."""
+    import hashlib
+
+    import pandas as pd
+
+    from georaster_spark.queries import q_weighted_sample
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "lang", "n_chars"]]
+    expect = {}
+    for r in docs.itertuples():
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % 1000000
+        thr = round(min(1.0, r.n_chars / 400.0) * 300000.0)
+        if h < thr:
+            expect[r.doc_id] = (r.lang, thr)
+    got = {r.doc_id: (r.lang, r.keep_e6) for r in q_weighted_sample(spark, sf).collect()}
+    assert got == expect and 0 < len(got) < len(docs)

@@ -219,6 +219,16 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    # weighted_sample: importance sampling is a pure filter projection
+    # — zero shuffles, all hashing inside codegen
+    p = plans["weighted_sample"] = explain_str(Q.q_weighted_sample(spark, SF))
+    check(
+        "weighted_sample",
+        "zero Exchanges and no Python (codegen filter projection)",
+        n_nodes(p, "Exchange") == 0 and "codegen id" in p
+        and "BatchEvalPython" not in p,
+    )
+
     # funnel_steps: the event_type filters reach the parquet scan and
     # every per-stage min is partially aggregated map-side
     p = plans["funnel_steps"] = explain_str(Q.q_funnel_steps(spark, SF))
