@@ -1417,6 +1417,18 @@ IVJ_OFF_S = 1380  # 23 min un-aligned offset (forces 2-bucket windows)
 IVJ_LEN_S = 7200  # 2 h windows == bucket size
 
 
+def _interval_windows(spark):
+    """The static 40-window maintenance-interval table (deliberately
+    NOT bucket-aligned so every window spans two buckets)."""
+    return spark.range(IVJ_N_WINDOWS).select(
+        F.col("id").alias("win_id"),
+        (F.lit(IVJ_BASE_EP) + F.col("id") * IVJ_STEP_S + IVJ_OFF_S).alias("s_ep"),
+        (F.lit(IVJ_BASE_EP) + F.col("id") * IVJ_STEP_S + IVJ_OFF_S + IVJ_LEN_S).alias(
+            "e_ep"
+        ),
+    )
+
+
 def q_interval_join(spark, sf_dir):
     """Interval (range) join at scale: events matched to the 2-hour
     maintenance windows containing them, via the bucketize-explode-
@@ -1429,14 +1441,9 @@ def q_interval_join(spark, sf_dir):
     from georaster_spark.operators.asof import bucketized_interval_join
 
     ev = _t(spark, sf_dir, "events")
-    wins = spark.range(IVJ_N_WINDOWS).select(
-        F.col("id").alias("win_id"),
-        (F.lit(IVJ_BASE_EP) + F.col("id") * IVJ_STEP_S + IVJ_OFF_S).alias("s_ep"),
-        (F.lit(IVJ_BASE_EP) + F.col("id") * IVJ_STEP_S + IVJ_OFF_S + IVJ_LEN_S).alias(
-            "e_ep"
-        ),
+    joined = bucketized_interval_join(
+        ev, _interval_windows(spark), bucket_seconds=IVJ_LEN_S
     )
-    joined = bucketized_interval_join(ev, wins, bucket_seconds=IVJ_LEN_S)
     return joined.groupBy("win_id", "s_ep").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.round(F.col("value") * 1000000.0, 0).cast("long")).alias("sum_value_e6"),
@@ -1456,6 +1463,46 @@ def sql_interval_join():
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events, w
+    WHERE CAST(floor(epoch(ts)) AS BIGINT) >= s_ep
+      AND CAST(floor(epoch(ts)) AS BIGINT) < e_ep
+    GROUP BY 1, 2
+    """
+
+
+def q_stream_interval(spark, sf_dir):
+    """Stream-static join (streaming/events.py interval_counts_stream):
+    the streaming events feed joins the STATIC interval table via the
+    bucketize-explode rewrite — a stateless broadcast join, the
+    enrichment pattern for decorating an unbounded stream with a
+    dimension — then a complete-mode aggregate. availableNow replay
+    must equal the batch interval_join, which is the shared oracle."""
+    from georaster_spark.streaming.events import interval_counts_stream
+
+    out = interval_counts_stream(
+        spark, sf_dir, _interval_windows(spark), bucket_seconds=IVJ_LEN_S
+    )
+    return out.select(
+        F.col("win_id").cast("long").alias("win_id"),
+        "s_ep",
+        "n",
+        "sum_value_e6",
+    )
+
+
+def sql_stream_interval():
+    # the batch interval join minus the distinct aggregate (distinct
+    # aggregations are unsupported on streaming DataFrames)
+    return f"""
+    WITH w AS (
+      SELECT range AS win_id,
+             {IVJ_BASE_EP} + range * {IVJ_STEP_S} + {IVJ_OFF_S} AS s_ep,
+             {IVJ_BASE_EP} + range * {IVJ_STEP_S} + {IVJ_OFF_S} + {IVJ_LEN_S} AS e_ep
+      FROM range({IVJ_N_WINDOWS})
+    )
+    SELECT CAST(win_id AS BIGINT) AS win_id, CAST(s_ep AS BIGINT) AS s_ep,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6
     FROM events, w
     WHERE CAST(floor(epoch(ts)) AS BIGINT) >= s_ep
       AND CAST(floor(epoch(ts)) AS BIGINT) < e_ep
@@ -3394,6 +3441,7 @@ QUERIES = {
     "stream_sessionize": q_stream_sessionize,
     "stream_to_table": q_stream_to_table,
     "stream_dedup": q_stream_dedup,
+    "stream_interval": q_stream_interval,
     "raster_ingest": q_raster_ingest,
     "pmtiles_ingest": q_pmtiles_ingest,
     "ice_prune": q_ice_prune,
@@ -3425,7 +3473,6 @@ QUERIES = {
     "bm25_score": q_bm25_score,
     "embedding_centroids": q_embedding_centroids,
     "bpe_token_count": q_bpe_token_count,
-    "lang_id": q_lang_id,
     "html_tags": q_html_tags,
     "weighted_sample": q_weighted_sample,
     "dedup_exact": q_dedup_exact,
@@ -3438,6 +3485,7 @@ QUERIES = {
     "text_entropy": q_text_entropy,
     # --- tail: green in both r01 and r02, unchanged this round ---
     "moving_avg": q_moving_avg,
+    "lang_id": q_lang_id,
     "geocode_cells": q_geocode_cells,
     "knn_table": q_knn_table,
     "stratified_sample": q_stratified_sample,
@@ -3477,6 +3525,7 @@ ORACLES = {
     "stream_sessionize": sql_stream_sessionize(),
     "stream_to_table": sql_stream_to_table(),
     "stream_dedup": sql_stream_dedup(),
+    "stream_interval": sql_stream_interval(),
     "raster_ingest": sql_raster_ingest(),
     "pmtiles_ingest": sql_pmtiles_ingest(),
     "ice_prune": sql_ice_prune(),
@@ -3508,7 +3557,6 @@ ORACLES = {
     "bm25_score": sql_bm25_score(),
     "embedding_centroids": sql_embedding_centroids(),
     "bpe_token_count": sql_bpe_token_count(),
-    "lang_id": sql_lang_id(),
     "html_tags": sql_html_tags(),
     "weighted_sample": sql_weighted_sample(),
     "dedup_exact": sql_dedup_exact(),
@@ -3520,6 +3568,7 @@ ORACLES = {
     "ann_ivf": sql_ann_ivf(),
     "text_entropy": sql_text_entropy(),
     "moving_avg": sql_moving_avg(),
+    "lang_id": sql_lang_id(),
     "geocode_cells": sql_geocode_cells(),
     "knn_table": sql_knn_table(),
     "stratified_sample": sql_stratified_sample(),

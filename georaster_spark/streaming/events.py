@@ -99,6 +99,37 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def interval_counts_stream(
+    spark: SparkSession, sf_dir: str, wins: DataFrame, bucket_seconds: int
+) -> DataFrame:
+    """STREAM-STATIC join: the streaming events feed equi-joins a
+    static interval table through the same bucketize-explode rewrite
+    as the batch operator (operators/asof.py bucketized_interval_join
+    — the static side broadcasts, the join itself is STATELESS: no
+    state store, no watermark needed for the join), then a
+    complete-mode aggregate per window. On an availableNow replay the
+    result must equal the batch interval join — the oracle's
+    equivalence. At scale this is the enrichment pattern: an
+    unbounded stream decorated by a slowly-changing dimension without
+    any stream-stream state."""
+    from georaster_spark.operators.asof import bucketized_interval_join
+
+    ev = stream_events(spark, sf_dir)
+    joined = bucketized_interval_join(ev, wins, bucket_seconds=bucket_seconds)
+    # no countDistinct here: distinct aggregates are unsupported on
+    # streams (state would be unbounded per group) — the batch twin
+    # keeps it; approx_count_distinct is the streaming alternative
+    agg = joined.groupBy("win_id", "s_ep").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 1000000.0, 0).cast("long")).alias(
+            "sum_value_e6"
+        ),
+    )
+    name = f"stream_interval_{int(time.time() * 1000) % 10_000_000}"
+    _run_to_memory(agg, name, "complete")
+    return spark.table(name)
+
+
 class _capped_shuffle_partitions:
     """A streaming query pins spark.sql.shuffle.partitions at start
     and creates one state-store instance per partition — under a

@@ -347,3 +347,35 @@ def test_sessionize_live_kill_and_resume(spark, tmp_path):
     # the boundary-spanning u2 session stays ONE session with both events
     u2 = [r for r in phased[1] if r[0] == 2 and r[1] == 1]
     assert u2 and u2[0][3] == 2
+
+
+def test_stream_static_interval_join_equals_batch(spark):
+    """Stream-static join: the availableNow replay of the streaming
+    interval enrichment equals the batch bucketized interval join,
+    row for row (the join is stateless; no watermark involved)."""
+    from pyspark.sql import functions as F
+
+    from georaster_spark.queries import (
+        IVJ_LEN_S,
+        _interval_windows,
+        q_stream_interval,
+    )
+    from georaster_spark.operators.asof import bucketized_interval_join
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in q_stream_interval(spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = (
+        bucketized_interval_join(ev, _interval_windows(spark), bucket_seconds=IVJ_LEN_S)
+        .groupBy("win_id", "s_ep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 1000000.0, 0).cast("long")).alias(
+                "sum_value_e6"
+            ),
+        )
+    )
+    expect = {tuple(r) for r in batch.collect()}
+    assert got == expect and len(got) > 0
