@@ -362,3 +362,153 @@ def cosine_near_dup_pairs(
             "cos_e6",
         )
     )
+
+
+# ----------------------------------------------------------- PQ (ADC)
+
+def quantize_embeddings(
+    df: DataFrame, scale: float = 1000.0, vec_col: str = "embedding"
+) -> DataFrame:
+    """Integer-quantize every dimension (round(v * scale) as BIGINT):
+    all downstream PQ distance arithmetic becomes EXACT integer math —
+    order-independent, bit-identical across engines — which is what
+    lets code assignments (discrete argmins) survive a cross-engine
+    oracle. e3 on unit-scale floats keeps ~0.1% quantization error,
+    far below the PQ approximation itself."""
+    q = F.transform(
+        F.col(vec_col), lambda v: F.round(v.cast("double") * scale, 0).cast("long")
+    )
+    return df.withColumn("emb_q", q)
+
+
+def pq_codes(
+    corpus: DataFrame, codebook: DataFrame, m: int, dsub: int
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m``
+    subspaces of ``dsub`` dims; per subspace assign the nearest of
+    the codebook's centroids by exact integer L2. One broadcast of
+    the tiny codebook, one narrow map per corpus row — at scale the
+    codes (m bytes/vector) REPLACE the stored vectors, an 8-byte
+    representation of a 256-byte embedding.
+
+    ``corpus``: (vec_id, emb_q); ``codebook``: (sub, code, cvec) with
+    cvec the centroid's dsub-dim integer subvector. Returns
+    (vec_id, sub, code). Argmin ties break to the smallest code
+    (struct-min ordering), matching ORDER BY dist, code LIMIT 1.
+    """
+    sliced = corpus.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("emb_q", s * dsub + 1, dsub).alias("svec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sl"),
+    ).select("vec_id", F.col("sl.sub").alias("sub"), F.col("sl.svec").alias("svec"))
+    d = _l2sq_int(F.col("svec"), F.col("cvec"))
+    return (
+        sliced.join(F.broadcast(codebook), "sub")
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(d.alias("dist"), F.col("code").alias("code"))).alias("m"))
+        .select("vec_id", "sub", F.col("m.code").alias("code"))
+    )
+
+
+def _l2sq_int(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two BIGINT array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dsub: int,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query build the m×K
+    lookup table of exact integer subspace distances query↔centroid
+    (tiny — broadcast), then every corpus vector's approximate
+    distance is the SUM of m table lookups joined through its codes.
+    The corpus vectors themselves are never touched at query time —
+    the scan reads m small integers per row. Deterministic ties:
+    (adc, vec_id) ordering."""
+    qsliced = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("emb_q", s * dsub + 1, dsub).alias("svec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sl"),
+    ).select("query_id", F.col("sl.sub").alias("sub"), F.col("sl.svec").alias("svec"))
+    lut = qsliced.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "code", _l2sq_int(F.col("svec"), F.col("cvec")).alias("d")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "adc")
+    )
+
+
+def pq_topk_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dsub: int,
+    k: int = 5,
+    n_candidates: int = 100,
+) -> DataFrame:
+    """The production two-stage PQ pipeline: ADC over the compressed
+    codes retrieves ``n_candidates`` per query (the cheap scan — m
+    integer lookups per corpus row, vectors untouched), then ONLY the
+    candidates' full vectors are fetched for an exact integer-L2
+    re-rank to top-k. At 100 TB stage 1 reads the m-byte codes table
+    and stage 2 touches Q x n_candidates vectors — the full embedding
+    column is never scanned at query time. All arithmetic exact
+    integer (quantize_embeddings), so ranks are engine-independent."""
+    cand = pq_topk(queries, codes, codebook, m, dsub, k=n_candidates).select(
+        "query_id", "vec_id", "adc"
+    )
+    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("emb_q").alias("q_emb"))
+    cv = corpus.select("vec_id", F.col("emb_q").alias("c_emb"))
+    rer = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "adc",
+            _l2sq_int(F.col("q_emb"), F.col("c_emb")).alias("exact_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_d", "vec_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "exact_d", "adc")
+    )

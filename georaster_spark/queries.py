@@ -774,6 +774,129 @@ def sql_embedding_centroids():
     """
 
 
+PQ_M, PQ_DSUB, PQ_NSEEDS = 8, 8, 16  # 64 dims -> 8 subspaces of 8
+PQ_Q_LO, PQ_Q_HI = 16, 20  # query vec_ids (disjoint from seeds+corpus)
+
+
+PQ_NCAND = 100  # ADC candidates per query before the exact re-rank
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN, the full production two-stage shape
+    (operators/ann.py pq_codes/pq_topk_rerank): vectors are encoded
+    as m=8 one-byte codes (32× smaller than the float vectors); at
+    query time ADC scores the whole corpus with m integer lookups per
+    row to retrieve 100 candidates, then ONLY those candidates' full
+    vectors are fetched for an exact-L2 re-rank to top-5 — at 100 TB
+    the embedding column is never scanned at query time. All
+    arithmetic is EXACT integer math on e3-quantized dims, so code
+    assignments and both rank stages hash identically in the DuckDB
+    oracle. The codebook is per-subspace Lloyd k-means trained
+    offline and PINNED with integer centroids
+    (georaster_spark/pq_codebook.py, tools/pin_pq_codebook.py —
+    deterministic, reproducible byte-for-byte); the oracle carries it
+    as a long-form VALUES table. Recall-vs-exact (and why isotropic
+    synthetic embeddings are PQ's worst case) characterized in
+    BENCH/ANN_RECALL.md."""
+    from georaster_spark.operators.ann import (
+        pq_codes,
+        pq_topk_rerank,
+        quantize_embeddings,
+    )
+    from georaster_spark.pq_codebook import PQ_CODEBOOK
+
+    qe = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    codebook = spark.createDataFrame(
+        PQ_CODEBOOK, "sub int, code long, cvec array<bigint>"
+    )
+    corpus = qe.where(F.col("vec_id") > PQ_Q_HI)
+    queries = qe.where(F.col("vec_id").between(PQ_Q_LO, PQ_Q_HI))
+    codes = pq_codes(corpus, codebook, PQ_M, PQ_DSUB)
+    out = pq_topk_rerank(
+        queries, corpus, codes, codebook, PQ_M, PQ_DSUB, k=5, n_candidates=PQ_NCAND
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("exact_d").cast("long").alias("exact_d"),
+        F.col("adc").cast("long").alias("adc"),
+    )
+
+
+def sql_ann_pq():
+    from georaster_spark.pq_codebook import PQ_CODEBOOK
+
+    # long-form pinned codebook: (sub, code, dim, val) — the per-
+    # (vector, sub, code) distance is then a SUM over 8 integer rows,
+    # exact and order-independent
+    vals = ", ".join(
+        f"({s}, {c}, {d + 1}, {v})"
+        for s, c, vec in PQ_CODEBOOK
+        for d, v in enumerate(vec)
+    )
+    return f"""
+    WITH qe AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS emb
+      FROM embeddings
+    ),
+    subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub),
+    cbd(sub, code, d, val) AS (VALUES {vals}),
+    enc AS (
+      SELECT a.vec_id, a.sub, c.code,
+             sum((a.emb[a.sub * {PQ_DSUB} + c.d] - c.val)
+                 * (a.emb[a.sub * {PQ_DSUB} + c.d] - c.val)) AS dist
+      FROM (SELECT vec_id, sub, emb FROM qe, subs WHERE vec_id > {PQ_Q_HI}) a
+      JOIN cbd c USING (sub)
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.sub, c.code,
+             sum((q.emb[q.sub * {PQ_DSUB} + c.d] - c.val)
+                 * (q.emb[q.sub * {PQ_DSUB} + c.d] - c.val)) AS d
+      FROM (SELECT vec_id, sub, emb FROM qe, subs
+            WHERE vec_id BETWEEN {PQ_Q_LO} AND {PQ_Q_HI}) q
+      JOIN cbd c USING (sub)
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT query_id, vec_id, sum(d) AS adc
+      FROM codes JOIN lut USING (sub, code)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, vec_id, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_NCAND}
+    ),
+    rer AS (
+      SELECT c.query_id, c.vec_id, c.adc,
+             sum((q.emb[u.d] - e.emb[u.d]) * (q.emb[u.d] - e.emb[u.d])) AS exact_d
+      FROM cand c,
+           (SELECT unnest(generate_series(1, {PQ_M * PQ_DSUB})) AS d) u
+      JOIN qe q ON q.vec_id = c.query_id
+      JOIN qe e ON e.vec_id = c.vec_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(rank AS BIGINT) AS rank, CAST(exact_d AS BIGINT) AS exact_d,
+           CAST(adc AS BIGINT) AS adc
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY exact_d, vec_id) AS rank
+      FROM rer
+    ) WHERE rank <= 5
+    """
+
+
 CMS_D, CMS_W = 4, 512
 
 
@@ -3473,7 +3596,6 @@ QUERIES = {
     "bm25_score": q_bm25_score,
     "embedding_centroids": q_embedding_centroids,
     "bpe_token_count": q_bpe_token_count,
-    "html_tags": q_html_tags,
     "weighted_sample": q_weighted_sample,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3482,9 +3604,11 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "text_entropy": q_text_entropy,
     # --- tail: green in both r01 and r02, unchanged this round ---
     "moving_avg": q_moving_avg,
+    "html_tags": q_html_tags,
     "lang_id": q_lang_id,
     "geocode_cells": q_geocode_cells,
     "knn_table": q_knn_table,
@@ -3557,7 +3681,6 @@ ORACLES = {
     "bm25_score": sql_bm25_score(),
     "embedding_centroids": sql_embedding_centroids(),
     "bpe_token_count": sql_bpe_token_count(),
-    "html_tags": sql_html_tags(),
     "weighted_sample": sql_weighted_sample(),
     "dedup_exact": sql_dedup_exact(),
     "ngram_jaccard": sql_ngram_jaccard(),
@@ -3566,8 +3689,10 @@ ORACLES = {
     "dedup_components": sql_dedup_components(),
     "embedding_neardup": sql_embedding_neardup(),
     "ann_ivf": sql_ann_ivf(),
+    "ann_pq": sql_ann_pq(),
     "text_entropy": sql_text_entropy(),
     "moving_avg": sql_moving_avg(),
+    "html_tags": sql_html_tags(),
     "lang_id": sql_lang_id(),
     "geocode_cells": sql_geocode_cells(),
     "knn_table": sql_knn_table(),
