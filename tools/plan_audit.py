@@ -254,6 +254,16 @@ def main() -> int:
         len(re.findall(r"partial_sum", p)) >= 3,
     )
 
+    # ann_pq: the tiny codebook/LUT sides broadcast at every stage —
+    # the corpus is never on the build side of a nested loop
+    p = plans["ann_pq"] = explain_str(Q.q_ann_pq(spark, SF))
+    check(
+        "ann_pq",
+        "codebook + LUT + query-vector joins all hash joins with "
+        "broadcasts present; no nested-loop join",
+        n_nodes(p, "BroadcastHashJoin") >= 2 and "NestedLoop" not in p,
+    )
+
     # zonal stats: zone index broadcast; exactly one aggregate shuffle
     p = plans["zonal_stats"] = explain_str(Q.q_zonal_stats(spark, SF))
     check("zonal_stats", "zone index joined via BroadcastHashJoin", n_nodes(p, "BroadcastHashJoin") >= 1)
