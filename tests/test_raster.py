@@ -374,3 +374,28 @@ class TestHornGradients:
         pts = [(x, y, 1.0) for x in range(3) for y in range(3) if (x, y) != (0, 0)]
         df = spark.createDataFrame(pts, "x int, y int, value double")
         assert horn_gradients_halo(df, tile=2).count() == 0
+
+
+    @pytest.mark.parametrize(
+        "tile,step",
+        [(3, 5), (64, 3)],  # tile=3: halo-heavy; tile=64: one block
+    )
+    def test_focal_halo_equals_explode_config_matrix(self, spark, tile, step):
+        """Halo == explode across block-size regimes: tiny blocks
+        (almost every pixel is a border pixel, max halo duplication)
+        and a block larger than the whole extent (no halo at all)."""
+        from georaster_spark.operators.raster import (
+            focal_stats_explode,
+            focal_stats_halo,
+        )
+
+        pts = [
+            (x, y, float((x * 11 + y * 17) % 23))
+            for x in range(0, 30)
+            for y in range(0, 20)
+            if (x + y) % step != 0
+        ]
+        px = spark.createDataFrame(pts, "x int, y int, value double")
+        halo = sorted(map(tuple, focal_stats_halo(px, tile=tile).collect()))
+        ref = sorted(map(tuple, focal_stats_explode(px).collect()))
+        assert halo == ref and len(halo) == len(pts)
