@@ -321,10 +321,18 @@ class TestFocalStats:
         r = out[(3, 3)]
         assert (r.n_nb, r.sum_v, r.min_v, r.max_v) == (1, 10.0, 10.0, 10.0)
 
-    def test_focal_halo_equals_explode_on_sparse_raster(self, spark):
-        """Tile-halo kernel == the 9×-explode JVM formulation on a
-        sparse raster with holes, spanning many blocks and NEGATIVE
-        coordinates (pmod halo placement)."""
+    @pytest.mark.parametrize(
+        "tile,x0,step",
+        [
+            (8, -5, 7),  # negative coords (pmod halo placement), sparse
+            (3, 0, 5),  # tiny blocks: almost every pixel is a border pixel
+            (64, 0, 3),  # block larger than the extent: no halo at all
+        ],
+    )
+    def test_focal_halo_equals_explode(self, spark, tile, x0, step):
+        """Tile-halo kernel == the 9×-explode JVM formulation on
+        sparse rasters with holes, across block-size regimes and
+        negative coordinates."""
         from georaster_spark.operators.raster import (
             focal_stats_explode,
             focal_stats_halo,
@@ -332,12 +340,12 @@ class TestFocalStats:
 
         pts = [
             (x, y, float((x * 7 + y * 13) % 29))
-            for x in range(-5, 20)
+            for x in range(x0, x0 + 25)
             for y in range(-3, 17)
-            if (x * 3 + y * 5) % 7 != 0
+            if (x * 3 + y * 5) % step != 0
         ]
         px = spark.createDataFrame(pts, "x int, y int, value double")
-        halo = sorted(map(tuple, focal_stats_halo(px, tile=8).collect()))
+        halo = sorted(map(tuple, focal_stats_halo(px, tile=tile).collect()))
         ref = sorted(map(tuple, focal_stats_explode(px).collect()))
         assert len(halo) == len(pts)
         assert halo == ref
@@ -376,26 +384,3 @@ class TestHornGradients:
         assert horn_gradients_halo(df, tile=2).count() == 0
 
 
-    @pytest.mark.parametrize(
-        "tile,step",
-        [(3, 5), (64, 3)],  # tile=3: halo-heavy; tile=64: one block
-    )
-    def test_focal_halo_equals_explode_config_matrix(self, spark, tile, step):
-        """Halo == explode across block-size regimes: tiny blocks
-        (almost every pixel is a border pixel, max halo duplication)
-        and a block larger than the whole extent (no halo at all)."""
-        from georaster_spark.operators.raster import (
-            focal_stats_explode,
-            focal_stats_halo,
-        )
-
-        pts = [
-            (x, y, float((x * 11 + y * 17) % 23))
-            for x in range(0, 30)
-            for y in range(0, 20)
-            if (x + y) % step != 0
-        ]
-        px = spark.createDataFrame(pts, "x int, y int, value double")
-        halo = sorted(map(tuple, focal_stats_halo(px, tile=tile).collect()))
-        ref = sorted(map(tuple, focal_stats_explode(px).collect()))
-        assert halo == ref and len(halo) == len(pts)
