@@ -1634,6 +1634,36 @@ def sql_stream_interval():
     """
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked STREAM-STREAM inner join (streaming/events.py
+    view_click_join_stream): per-user view→click attribution within a
+    1-hour horizon, both sides unbounded. Watermarks on BOTH streams
+    plus the time-bounded join condition give the state store an
+    eviction rule (state is bounded by the horizon, not the stream
+    length) — the canonical two-unbounded-sides join. availableNow
+    replay equals the batch self-join, which is the oracle."""
+    from georaster_spark.streaming.events import view_click_join_stream
+
+    out = view_click_join_stream(spark, sf_dir, horizon="1 hour")
+    return out.select(
+        F.col("view_id").cast("long").alias("view_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+
+
+def sql_stream_stream_join():
+    return """
+    SELECT CAST(v.event_id AS BIGINT) AS view_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(v.user_id AS BIGINT) AS user_id
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -3551,7 +3581,7 @@ def sql_weighted_sample():
 # This round's window holds: every entry ADDED in round 3
 # (media_png_decode, pmtiles_ingest, ice_prune, ice_merge,
 # pip_join_hot, bpe_token_count, pii_scrub, repeated_ngrams,
-# stream_dedup, stream_interval, hll_registers, interval_join,
+# stream_dedup, stream_interval, stream_stream_join, hll_registers, interval_join,
 # funnel_steps, pagerank, focal_stats, hillshade, cms_topk,
 # bm25_score, embedding_centroids, weighted_sample, ice_merge,
 # ann_pq), the 10 entries that sat in round 2's tail
@@ -3572,6 +3602,7 @@ QUERIES = {
     "stream_to_table": q_stream_to_table,
     "stream_dedup": q_stream_dedup,
     "stream_interval": q_stream_interval,
+    "stream_stream_join": q_stream_stream_join,
     "raster_ingest": q_raster_ingest,
     "pmtiles_ingest": q_pmtiles_ingest,
     "ice_prune": q_ice_prune,
@@ -3595,7 +3626,6 @@ QUERIES = {
     "wordcount": q_wordcount,
     "distinct_exact": q_distinct_exact,
     "approx_percentile": q_approx_percentile,
-    "text_stats": q_text_stats,
     "pii_scrub": q_pii_scrub,
     "repeated_ngrams": q_repeated_ngrams,
     "hll_registers": q_hll_registers,
@@ -3616,6 +3646,7 @@ QUERIES = {
     # entry below is r02-driver-green and unchanged in round 3 ---
     "text_entropy": q_text_entropy,
     "moving_avg": q_moving_avg,
+    "text_stats": q_text_stats,
     "html_tags": q_html_tags,
     "lang_id": q_lang_id,
     "geocode_cells": q_geocode_cells,
@@ -3658,6 +3689,7 @@ ORACLES = {
     "stream_to_table": sql_stream_to_table(),
     "stream_dedup": sql_stream_dedup(),
     "stream_interval": sql_stream_interval(),
+    "stream_stream_join": sql_stream_stream_join(),
     "raster_ingest": sql_raster_ingest(),
     "pmtiles_ingest": sql_pmtiles_ingest(),
     "ice_prune": sql_ice_prune(),
@@ -3681,7 +3713,6 @@ ORACLES = {
     "wordcount": sql_wordcount(),
     "distinct_exact": sql_distinct_exact(),
     "approx_percentile": sql_approx_percentile(),
-    "text_stats": sql_text_stats(),
     "pii_scrub": sql_pii_scrub(),
     "repeated_ngrams": sql_repeated_ngrams(),
     "hll_registers": sql_hll_registers(),
@@ -3700,6 +3731,7 @@ ORACLES = {
     "ann_pq": sql_ann_pq(),
     "text_entropy": sql_text_entropy(),
     "moving_avg": sql_moving_avg(),
+    "text_stats": sql_text_stats(),
     "html_tags": sql_html_tags(),
     "lang_id": sql_lang_id(),
     "geocode_cells": sql_geocode_cells(),

@@ -130,6 +130,49 @@ def interval_counts_stream(
     return spark.table(name)
 
 
+def view_click_join_stream(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STREAM inner join — the hardest streaming join class:
+    each user's view events matched to their click events within
+    ``horizon`` after the view. Both sides are unbounded, so BOTH
+    carry watermarks and the join condition includes the time bound —
+    that pair is what lets the state store EVICT: a buffered view can
+    be dropped once the click-side watermark passes view_ts + horizon
+    (without the time bound the state grows forever). Append-mode
+    output; on an availableNow replay the emitted pairs equal the
+    batch self-join — the oracle's equivalence."""
+    v = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    c = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("view_id", "click_id", "user_id")
+    name = f"stream_ssjoin_{int(time.time() * 1000) % 10_000_000}"
+    _run_to_memory(joined, name, "append")
+    return spark.table(name)
+
+
 class _capped_shuffle_partitions:
     """A streaming query pins spark.sql.shuffle.partitions at start
     and creates one state-store instance per partition — under a

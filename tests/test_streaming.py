@@ -379,3 +379,34 @@ def test_stream_static_interval_join_equals_batch(spark):
     )
     expect = {tuple(r) for r in batch.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked stream-stream inner join: the availableNow replay
+    emits exactly the batch self-join's (view, click) pairs within
+    the 1-hour horizon."""
+    from pyspark.sql import functions as F
+
+    from georaster_spark.queries import q_stream_stream_join
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in q_stream_stream_join(spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    batch = v.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") >= F.col("vts"))
+        & (F.col("cts") < F.col("vts") + F.expr("INTERVAL 1 hour")),
+    ).select("view_id", "click_id", "user_id")
+    expect = {tuple(r) for r in batch.collect()}
+    assert got == expect and len(got) > 0
