@@ -366,3 +366,39 @@ def test_pq_matches_independent_numpy(spark):
         for r in q_ann_pq(spark, sf).collect()
     }
     assert got == expect
+
+
+def test_interval_join_randomized_vs_brute_force(spark):
+    """Randomized (seeded) interval-join property: 200 events at
+    arbitrary offsets x 12 arbitrary-length intervals (some longer
+    than one bucket, some empty, some overlapping) == the O(n*m)
+    python brute force."""
+    import datetime as dt
+    import random
+
+    from georaster_spark.operators.asof import bucketized_interval_join
+
+    rng = random.Random(42)
+    base = 1704067200
+    ev_eps = sorted(rng.randrange(0, 400000) for _ in range(200))
+    ivs = []
+    for w in range(12):
+        s = rng.randrange(0, 380000)
+        length = rng.choice([0, 900, 3600, 7200, 10000, 25000])
+        ivs.append((w, base + s, base + s + length))
+    ev = spark.createDataFrame(
+        [(i, dt.datetime.utcfromtimestamp(base + e)) for i, e in enumerate(ev_eps)],
+        "event_id long, ts timestamp",
+    )
+    wins = spark.createDataFrame(ivs, "win_id long, s_ep long, e_ep long")
+    got = {
+        (r.event_id, r.win_id)
+        for r in bucketized_interval_join(ev, wins, bucket_seconds=7200).collect()
+    }
+    expect = {
+        (i, w)
+        for i, e in enumerate(ev_eps)
+        for (w, s, x) in ivs
+        if s <= base + e < x
+    }
+    assert got == expect
