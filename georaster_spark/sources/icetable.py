@@ -38,6 +38,12 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: the table advanced past the
+    snapshot this commit was based on. Re-read and retry (the written
+    data files are orphaned and reclaimed by ``expire_snapshots``)."""
+
+
 def _meta_dir(path: str) -> str:
     return os.path.join(path, "metadata")
 
@@ -48,6 +54,40 @@ def _pointer(path: str) -> str:
 
 def _manifest_path(path: str, snapshot_id: str) -> str:
     return os.path.join(_meta_dir(path), f"manifest-{snapshot_id}.json")
+
+
+class _commit_lock:
+    """Tiny advisory lock (O_CREAT|O_EXCL) serializing the
+    check-pointer-then-swap critical section. A lock older than 60 s
+    is presumed crashed and stolen."""
+
+    def __init__(self, path: str, timeout_s: float = 30.0):
+        self.lock = _pointer(path) + ".lock"
+        self.timeout_s = timeout_s
+
+    def __enter__(self):
+        deadline = time.time() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.lock) > 60:
+                        os.unlink(self.lock)  # steal a crashed holder's lock
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(f"commit lock busy: {self.lock}")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.lock)
+        except FileNotFoundError:
+            pass
 
 
 def current_snapshot(path: str) -> str | None:
@@ -238,11 +278,20 @@ def write_table(
     extra: dict[str, Any] | None = None,
     cluster_by: list[str] | None = None,
     n_files: int | None = None,
+    expected_parent: str | None = "auto",
 ) -> str:
     """Write a new snapshot and atomically commit it. Returns the
     snapshot id. ``mode='append'`` keeps prior snapshot's files live
     in the new manifest (file-level append, like Iceberg's
     append-files commit).
+
+    Commits are OPTIMISTICALLY CONCURRENT (Iceberg's commit
+    contract): the basis snapshot is captured up front, and the
+    pointer swap happens under a lock only if the table still points
+    at that basis — a racing committer that won in between raises
+    ``CommitConflict`` here instead of being silently clobbered
+    (lost update). Pass ``expected_parent`` to pin an explicit basis
+    (e.g. a snapshot id read earlier in a read-modify-write).
 
     ``cluster_by`` range-partitions and sorts the data on the given
     keys before writing (Iceberg ``write.sort-order`` analog): each
@@ -253,6 +302,7 @@ def write_table(
     choice)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(mode)
+    parent = current_snapshot(path) if expected_parent == "auto" else expected_parent
     if cluster_by:
         cols = [df[c] for c in cluster_by]
         df = (
@@ -276,7 +326,6 @@ def write_table(
     stats = collect_file_stats(df.sparkSession, path, files)
     for f in files:
         f["stats"] = stats.get(f["path"], {})
-    parent = current_snapshot(path)
     if mode == "append" and parent is not None:
         files = read_manifest(path, parent)["files"] + files
 
@@ -293,11 +342,19 @@ def write_table(
     os.makedirs(_meta_dir(path), exist_ok=True)
     with open(_manifest_path(path, snapshot_id), "w") as f:
         json.dump(manifest, f)
-    # atomic commit: write-temp + rename
+    # atomic commit: CAS on the basis snapshot, then write-temp+rename
     tmp = _pointer(path) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(snapshot_id)
-    os.replace(tmp, _pointer(path))
+    with _commit_lock(path):
+        cur = current_snapshot(path)
+        if cur != parent:
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"table advanced to {cur} since basis {parent}; "
+                f"re-read and retry (snapshot {snapshot_id} orphaned)"
+            )
+        os.replace(tmp, _pointer(path))
     return snapshot_id
 
 
@@ -473,4 +530,5 @@ def rollback(path: str, snapshot_id: str) -> None:
     tmp = _pointer(path) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(snapshot_id)
-    os.replace(tmp, _pointer(path))
+    with _commit_lock(path):
+        os.replace(tmp, _pointer(path))

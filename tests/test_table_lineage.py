@@ -374,3 +374,49 @@ class TestPartitionedMaintenance:
         assert t.count() == 401
         plan = t.where(F.col("part") == 3)._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [isnotnull(part" in plan
+
+
+class TestOptimisticCommit:
+    def test_stale_basis_raises_commit_conflict(self, spark, docs, tmp_path):
+        """A committer whose basis snapshot is no longer current must
+        get CommitConflict instead of silently clobbering the racing
+        winner (lost update) — Iceberg's commit contract."""
+        import pytest as _pytest
+
+        path = str(tmp_path / "t")
+        s1 = icetable.write_table(docs, path)
+        basis = icetable.current_snapshot(path)
+        assert basis == s1
+        # a racing committer wins in between
+        s2 = icetable.write_table(docs.limit(3), path)
+        assert icetable.current_snapshot(path) == s2
+        # our commit, based on the now-stale s1, must conflict
+        with _pytest.raises(icetable.CommitConflict):
+            icetable.write_table(docs.limit(1), path, expected_parent=basis)
+        # the winner's state is intact, and its lineage is unbroken
+        assert icetable.current_snapshot(path) == s2
+        assert icetable.read_table(spark, path).count() == 3
+        chain = icetable.committed_chain(path)
+        assert [c["snapshot_id"] for c in chain] == [s1, s2]
+
+    def test_auto_basis_sequential_commits_still_chain(self, spark, docs, tmp_path):
+        path = str(tmp_path / "t2")
+        s1 = icetable.write_table(docs, path)
+        s2 = icetable.write_table(docs.limit(2), path, mode="append")
+        assert icetable.current_snapshot(path) == s2
+        m = icetable.read_manifest(path)
+        assert m["parent_snapshot_id"] == s1
+
+    def test_commit_lock_is_released_after_conflict(self, spark, docs, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        path = str(tmp_path / "t3")
+        icetable.write_table(docs.limit(2), path)
+        with _pytest.raises(icetable.CommitConflict):
+            icetable.write_table(docs.limit(1), path, expected_parent="bogus")
+        assert not os.path.exists(icetable._pointer(path) + ".lock")
+        # and a fresh auto-basis commit still succeeds afterwards
+        s = icetable.write_table(docs.limit(1), path)
+        assert icetable.current_snapshot(path) == s
