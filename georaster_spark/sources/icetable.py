@@ -8,7 +8,10 @@ implements the same *contract* on plain partitioned Parquet:
 - a JSON **manifest** per snapshot records schema, partition
   columns, per-file row counts, and parent snapshot (lineage);
 - a single **pointer file** (``metadata/current``) names the live
-  snapshot; commits are atomic pointer swaps (``os.replace``);
+  snapshot; commits are atomic pointer swaps (``os.replace``) with
+  **optimistic concurrency** — the swap happens only if the table
+  still points at the committer's basis snapshot, else
+  ``CommitConflict`` (no lost updates between racing writers);
 - **time travel**: ``read_table(..., snapshot_id=...)``;
 - **rollback**: repoint without deleting data;
 - **file skipping**: each commit records per-file column min/max/
