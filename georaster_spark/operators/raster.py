@@ -638,3 +638,79 @@ def horn_gradients_halo(
     return exploded.groupBy("_tx", "_ty").applyInPandas(
         kernel, schema="x long, y long, gx_num double, gy_num double"
     )
+
+
+def resample_bilinear(
+    pixels: DataFrame,
+    src_x0: int,
+    src_y0: int,
+    src_w: int,
+    src_h: int,
+    dst_w: int,
+    dst_h: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    v_col: str = "value",
+) -> DataFrame:
+    """Bilinear resampling of a source pixel window onto a dst_w×dst_h
+    target grid (pixel-center convention: target pixel (i, j) samples
+    source coords ``src_x0 + (i + 0.5) * scale - 0.5``).
+
+    Scale shape: the target grid is GENERATED executor-side
+    (spark.range — nothing on the driver), each target pixel explodes
+    into its 4 corner references with bilinear weights, and ONE
+    equi-join against the pixel table gathers the values, followed by
+    one partial-aggregated groupBy — no range join, no per-row
+    Python, and the pixel table shuffles once on its natural (x, y)
+    key. The inverse direction of the overview cascade
+    (``build_overview``'s 2×2 aggregate); together they mirror the
+    reference's multi-resolution pyramid access (COG overviews,
+    ``src/geotiff.rs:94-98``) with arbitrary ratios.
+    """
+    spark = pixels.sparkSession
+    sx_scale = src_w / dst_w
+    sy_scale = src_h / dst_h
+    grid = spark.range(dst_w * dst_h).select(
+        (F.col("id") % dst_w).cast("int").alias("i"),
+        (F.col("id") / dst_w).cast("int").alias("j"),
+    )
+    sx = src_x0 + (F.col("i") + 0.5) * sx_scale - 0.5
+    sy = src_y0 + (F.col("j") + 0.5) * sy_scale - 0.5
+    g = grid.select(
+        "i",
+        "j",
+        F.floor(sx).cast("long").alias("x0"),
+        F.floor(sy).cast("long").alias("y0"),
+        (sx - F.floor(sx)).alias("fx"),
+        (sy - F.floor(sy)).alias("fy"),
+    )
+    corners = g.select(
+        "i",
+        "j",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("x0") + dx).alias("x"),
+                        (F.col("y0") + dy).alias("y"),
+                        (
+                            ((1.0 - F.col("fx")) if dx == 0 else F.col("fx"))
+                            * ((1.0 - F.col("fy")) if dy == 0 else F.col("fy"))
+                        ).alias("w"),
+                    )
+                    for dx in (0, 1)
+                    for dy in (0, 1)
+                ]
+            )
+        ).alias("c"),
+    ).select("i", "j", F.col("c.x").alias("x"), F.col("c.y").alias("y"), F.col("c.w").alias("w"))
+    src = pixels.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(v_col).cast("double").alias("v"),
+    )
+    return (
+        corners.join(src, ["x", "y"])
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("v"), F.count(F.lit(1)).alias("n_src"))
+    )

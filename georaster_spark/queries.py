@@ -512,6 +512,75 @@ def sql_hillshade():
     """
 
 
+RS_DST = 128  # resample target grid (source window is FOCAL 200x200)
+
+
+def q_resample_bilinear(spark, sf_dir):
+    """Bilinear resampling of the DTM crop onto a 128×128 grid
+    (operators/raster.py resample_bilinear) — arbitrary-ratio
+    downsampling, the inverse direction of the 2×2 overview cascade:
+    the target grid generates executor-side, each target pixel
+    explodes into its 4 weighted corner references, ONE equi-join
+    gathers the source values, one partial-aggregated groupBy sums —
+    no range join, no Python. The scale ratio 200/128 = 25/16 is
+    exact binary, so the fractional weights are bit-identical in both
+    engines and the e6-rounded values hash exactly."""
+    px = dtm_pixels_df(spark, partitions=32).where(
+        F.col("x").between(FOCAL_X0, FOCAL_X0 + FOCAL_W - 1)
+        & F.col("y").between(FOCAL_Y0, FOCAL_Y0 + FOCAL_W - 1)
+    )
+    out = R.resample_bilinear(
+        px.select("x", "y", "value"),
+        src_x0=FOCAL_X0,
+        src_y0=FOCAL_Y0,
+        src_w=FOCAL_W,
+        src_h=FOCAL_W,
+        dst_w=RS_DST,
+        dst_h=RS_DST,
+    )
+    return out.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.col("n_src").cast("long").alias("n_src"),
+        F.round(F.col("v") * 1000000.0, 0).cast("long").alias("bilinear_e6"),
+    )
+
+
+def sql_resample_bilinear():
+    x1, y1 = FOCAL_X0 + FOCAL_W - 1, FOCAL_Y0 + FOCAL_W - 1
+    scale = FOCAL_W / RS_DST
+    n = RS_DST * RS_DST
+    return f"""
+    WITH px AS ({dtm_pixels_sql()}),
+    c AS (
+      SELECT x, y, value FROM px
+      WHERE x BETWEEN {FOCAL_X0} AND {x1} AND y BETWEEN {FOCAL_Y0} AND {y1}
+    ),
+    g AS (
+      SELECT CAST(range % {RS_DST} AS BIGINT) AS i,
+             CAST(range // {RS_DST} AS BIGINT) AS j,
+             {FOCAL_X0} + (range % {RS_DST} + 0.5e0) * {scale!r} - 0.5e0 AS sx,
+             {FOCAL_Y0} + (range // {RS_DST} + 0.5e0) * {scale!r} - 0.5e0 AS sy
+      FROM range({n})
+    ),
+    gg AS (
+      SELECT i, j, CAST(floor(sx) AS BIGINT) AS x0, CAST(floor(sy) AS BIGINT) AS y0,
+             sx - floor(sx) AS fx, sy - floor(sy) AS fy
+      FROM g
+    ),
+    corners AS (
+      SELECT i, j, x0 + d.dx AS x, y0 + d.dy AS y,
+             (CASE WHEN d.dx = 0 THEN 1.0e0 - fx ELSE fx END)
+             * (CASE WHEN d.dy = 0 THEN 1.0e0 - fy ELSE fy END) AS w
+      FROM gg, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)
+    )
+    SELECT i, j, CAST(count(*) AS BIGINT) AS n_src,
+           CAST(round(sum(w * value) * 1000000.0, 0) AS BIGINT) AS bilinear_e6
+    FROM corners JOIN c USING (x, y)
+    GROUP BY 1, 2
+    """
+
+
 STOPWORDS = ["the", "a", "of", "and", "cell", "doc"]
 
 
@@ -3616,7 +3685,7 @@ QUERIES = {
     "pip_join_hot": q_pip_join_hot,
     "focal_stats": q_focal_stats,
     "hillshade": q_hillshade,
-    "xyz_lookup": q_xyz_lookup,
+    "resample_bilinear": q_resample_bilinear,
     "value_casts": q_value_casts,
     "pivot_lang": q_pivot_lang,
     "cube_lang_source": q_cube_lang_source,
@@ -3646,6 +3715,7 @@ QUERIES = {
     # entry below is r02-driver-green and unchanged in round 3 ---
     "text_entropy": q_text_entropy,
     "moving_avg": q_moving_avg,
+    "xyz_lookup": q_xyz_lookup,
     "text_stats": q_text_stats,
     "html_tags": q_html_tags,
     "lang_id": q_lang_id,
@@ -3703,7 +3773,7 @@ ORACLES = {
     "pip_join_hot": sql_pip_join_hot(),
     "focal_stats": sql_focal_stats(),
     "hillshade": sql_hillshade(),
-    "xyz_lookup": sql_xyz_lookup(),
+    "resample_bilinear": sql_resample_bilinear(),
     "value_casts": sql_value_casts(),
     "pivot_lang": sql_pivot_lang(),
     "cube_lang_source": sql_cube_lang_source(),
@@ -3731,6 +3801,7 @@ ORACLES = {
     "ann_pq": sql_ann_pq(),
     "text_entropy": sql_text_entropy(),
     "moving_avg": sql_moving_avg(),
+    "xyz_lookup": sql_xyz_lookup(),
     "text_stats": sql_text_stats(),
     "html_tags": sql_html_tags(),
     "lang_id": sql_lang_id(),

@@ -384,3 +384,56 @@ class TestHornGradients:
         assert horn_gradients_halo(df, tile=2).count() == 0
 
 
+
+
+class TestResampleBilinear:
+    def test_2x2_to_1x1_is_the_mean(self, spark):
+        """dst pixel center maps to the exact middle of a 2x2 source:
+        all four weights are 0.25, the result is the plain mean."""
+        from georaster_spark.operators.raster import resample_bilinear
+
+        px = spark.createDataFrame(
+            [(0, 0, 1.0), (1, 0, 2.0), (0, 1, 3.0), (1, 1, 4.0)],
+            "x int, y int, value double",
+        )
+        out = resample_bilinear(px, 0, 0, 2, 2, 1, 1).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.i, r.j, r.n_src, r.v) == (0, 0, 4, 2.5)
+
+    def test_4x4_to_2x2_matches_numpy(self, spark):
+        """Arbitrary 4x4 source onto 2x2: every value equals a
+        hand-rolled NumPy bilinear with the same pixel-center rule."""
+        import numpy as np
+
+        from georaster_spark.operators.raster import resample_bilinear
+
+        V = np.arange(16, dtype=np.float64).reshape(4, 4) ** 2  # y-major
+        pts = [(x, y, float(V[y, x])) for x in range(4) for y in range(4)]
+        px = spark.createDataFrame(pts, "x int, y int, value double")
+        got = {(r.i, r.j): r.v for r in resample_bilinear(px, 0, 0, 4, 4, 2, 2).collect()}
+        for i in range(2):
+            for j in range(2):
+                sx, sy = (i + 0.5) * 2.0 - 0.5, (j + 0.5) * 2.0 - 0.5
+                x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+                fx, fy = sx - x0, sy - y0
+                exp = (
+                    V[y0, x0] * (1 - fx) * (1 - fy)
+                    + V[y0, x0 + 1] * fx * (1 - fy)
+                    + V[y0 + 1, x0] * (1 - fx) * fy
+                    + V[y0 + 1, x0 + 1] * fx * fy
+                )
+                assert got[(i, j)] == pytest.approx(exp, abs=1e-12)
+
+    def test_identity_ratio_reproduces_source(self, spark):
+        """dst grid == src grid: fx = fy = 0 so every output equals
+        its source pixel exactly."""
+        from georaster_spark.operators.raster import resample_bilinear
+
+        pts = [(x, y, float(x * 10 + y)) for x in range(3) for y in range(3)]
+        px = spark.createDataFrame(pts, "x int, y int, value double")
+        got = {(r.i, r.j): (r.v, r.n_src) for r in resample_bilinear(px, 0, 0, 3, 3, 3, 3).collect()}
+        for x in range(3):
+            for y in range(3):
+                v, n = got[(x, y)]
+                assert v == float(x * 10 + y) and n >= 1

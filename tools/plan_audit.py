@@ -229,6 +229,17 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    # resample_bilinear: corner gather is a HASH equi-join (never a
+    # nested loop) and the target grid generates executor-side (Range)
+    p = plans["resample_bilinear"] = explain_str(Q.q_resample_bilinear(spark, SF))
+    check(
+        "resample_bilinear",
+        "corner gather is a hash equi-join with map-side partial_sum; "
+        "no nested-loop join; target grid from executor-side Range",
+        "NestedLoop" not in p and "partial_sum" in p
+        and n_nodes(p, "Range") >= 1,
+    )
+
     # funnel_steps: the event_type filters reach the parquet scan and
     # every per-stage min is partially aggregated map-side
     p = plans["funnel_steps"] = explain_str(Q.q_funnel_steps(spark, SF))
