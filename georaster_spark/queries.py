@@ -1733,6 +1733,58 @@ def sql_stream_stream_join():
     """
 
 
+RETENTION_MAX_WEEK = 3
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention analysis: users bucketed by the ISO week of
+    their first event (the cohort), then counted as retained in each
+    subsequent week they were active (k = 0..3). Two shuffles, both
+    keyed on user_id — the cohort assignment broadcast back onto the
+    stream — then one partial-aggregated rollup; the standard
+    product-analytics shape at any scale."""
+    e = _t(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    k = (
+        F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+        / 7
+    ).cast("long")
+    return (
+        e.join(cohort, "user_id")
+        .select("user_id", F.col("cohort_week"), k.alias("k"))
+        .where(F.col("k") <= RETENTION_MAX_WEEK)
+        .groupBy("cohort_week", "k")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "k",
+            "n_users",
+        )
+    )
+
+
+def sql_cohort_retention():
+    return f"""
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT e.user_id, c.cohort_week,
+             date_diff('day', c.cohort_week,
+                       CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS k
+      FROM events e JOIN cohort c USING (user_id)
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(k AS BIGINT) AS k,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM act WHERE k <= {RETENTION_MAX_WEEK}
+    GROUP BY 1, 2
+    """
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -3680,6 +3732,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
     "pagerank": q_pagerank,
     "pip_join": q_pip_join,
     "pip_join_hot": q_pip_join_hot,
@@ -3703,7 +3756,6 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "bpe_token_count": q_bpe_token_count,
     "weighted_sample": q_weighted_sample,
-    "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "winnow_fps": q_winnow_fps,
@@ -3715,6 +3767,7 @@ QUERIES = {
     # entry below is r02-driver-green and unchanged in round 3 ---
     "text_entropy": q_text_entropy,
     "moving_avg": q_moving_avg,
+    "dedup_exact": q_dedup_exact,
     "xyz_lookup": q_xyz_lookup,
     "text_stats": q_text_stats,
     "html_tags": q_html_tags,
@@ -3768,6 +3821,7 @@ ORACLES = {
     "asof_join": sql_asof_join(),
     "interval_join": sql_interval_join(),
     "funnel_steps": sql_funnel_steps(),
+    "cohort_retention": sql_cohort_retention(),
     "pagerank": sql_pagerank(),
     "pip_join": sql_pip_join(),
     "pip_join_hot": sql_pip_join_hot(),
@@ -3791,7 +3845,6 @@ ORACLES = {
     "embedding_centroids": sql_embedding_centroids(),
     "bpe_token_count": sql_bpe_token_count(),
     "weighted_sample": sql_weighted_sample(),
-    "dedup_exact": sql_dedup_exact(),
     "ngram_jaccard": sql_ngram_jaccard(),
     "minhash_lsh": sql_minhash_lsh(),
     "winnow_fps": sql_winnow_fps(),
@@ -3801,6 +3854,7 @@ ORACLES = {
     "ann_pq": sql_ann_pq(),
     "text_entropy": sql_text_entropy(),
     "moving_avg": sql_moving_avg(),
+    "dedup_exact": sql_dedup_exact(),
     "xyz_lookup": sql_xyz_lookup(),
     "text_stats": sql_text_stats(),
     "html_tags": sql_html_tags(),

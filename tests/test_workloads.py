@@ -592,3 +592,33 @@ def test_weighted_sample_matches_independent_python(spark):
             expect[r.doc_id] = (r.lang, thr)
     got = {r.doc_id: (r.lang, r.keep_e6) for r in q_weighted_sample(spark, sf).collect()}
     assert got == expect and 0 < len(got) < len(docs)
+
+
+def test_cohort_retention_matches_independent_pandas(spark):
+    """Retention cells equal a hand-rolled pandas cohort walk (ISO
+    Monday week truncation, week-diff buckets, distinct users)."""
+    import pandas as pd
+
+    from georaster_spark.queries import RETENTION_MAX_WEEK, q_cohort_retention
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")[["user_id", "ts"]]
+    wk = ev["ts"].dt.to_period("W-SUN").dt.start_time.dt.date  # Monday start
+    ev = ev.assign(week=wk)
+    cohort = ev.groupby("user_id")["week"].min().rename("cohort_week")
+    j = ev.join(cohort, on="user_id")
+    j["k"] = ((pd.to_datetime(j["week"]) - pd.to_datetime(j["cohort_week"])).dt.days // 7)
+    j = j[j["k"] <= RETENTION_MAX_WEEK]
+    expect = {
+        (str(cw), int(k)): int(g["user_id"].nunique())
+        for (cw, k), g in j.groupby(["cohort_week", "k"])
+    }
+    got = {
+        (r.cohort_week, r.k): r.n_users for r in q_cohort_retention(spark, sf).collect()
+    }
+    assert got == expect
+    # retention is monotone non-increasing within each cohort
+    for cw in {c for c, _ in got}:
+        ks = sorted(k for c, k in got if c == cw)
+        vals = [got[(cw, k)] for k in ks]
+        assert vals == sorted(vals, reverse=True)

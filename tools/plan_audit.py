@@ -240,6 +240,16 @@ def main() -> int:
         and n_nodes(p, "Range") >= 1,
     )
 
+    # cohort_retention: both shuffles keyed on user_id, partial agg
+    # before each; no sort-merge blowup on the cohort re-join
+    p = plans["cohort_retention"] = explain_str(Q.q_cohort_retention(spark, SF))
+    check(
+        "cohort_retention",
+        "map-side partial aggregation present and the cohort re-join "
+        "is a hash join (no nested loop)",
+        "partial_" in p and "NestedLoop" not in p,
+    )
+
     # funnel_steps: the event_type filters reach the parquet scan and
     # every per-stage min is partially aggregated map-side
     p = plans["funnel_steps"] = explain_str(Q.q_funnel_steps(spark, SF))
