@@ -24,7 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from georaster_spark import queries as Q  # noqa: E402
 from georaster_spark.operators.dedup import (  # noqa: E402
     connected_components,
-    lsh_candidate_pairs,
+    ngram_jaccard_pairs_lsh,
 )
 from georaster_spark.session import get_spark  # noqa: E402
 from georaster_spark.sources import icetable  # noqa: E402
@@ -60,16 +60,20 @@ def main() -> None:
     keepers = quality.groupBy(F.md5("text").alias("fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    uniq = quality.join(keepers.select("doc_id"), "doc_id")
+    # persist: five counts + the final write would otherwise recompute
+    # the scrub/quality/dedup chain once per action
+    uniq = quality.join(keepers.select("doc_id"), "doc_id").persist()
     n3 = uniq.count()
 
-    # 4. near-dup clusters via MinHash+LSH -> components; keep min id
-    pairs = lsh_candidate_pairs(uniq, n_seeds=16, rows_per_band=4)
+    # 4. near-dup clusters: LSH candidates VERIFIED by exact Jaccard
+    # (>= 0.5) -> components; keep min id. Raw band collisions alone
+    # would delete merely-similar documents.
+    pairs = ngram_jaccard_pairs_lsh(uniq, threshold_e6=500000)
     comp = connected_components(pairs.select("doc_a", "doc_b"))
     losers = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    survivors = uniq.join(losers, "doc_id", "left_anti")
+    survivors = uniq.join(losers, "doc_id", "left_anti").persist()
     n4 = survivors.count()
 
     # 5. weighted importance sample (portable hash, reproducible)

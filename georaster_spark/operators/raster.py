@@ -709,8 +709,16 @@ def resample_bilinear(
         F.col(y_col).cast("long").alias("y"),
         F.col(v_col).cast("double").alias("v"),
     )
+    # renormalize by the sum of MATCHED weights: corners that fall
+    # outside the source window (upsampling edges) or on raster holes
+    # would otherwise silently underweight the result. For interior
+    # pixels all 4 corners match and sum(w) == 1 exactly (the weights
+    # are complementary), so this is the identity there.
     return (
         corners.join(src, ["x", "y"])
         .groupBy("i", "j")
-        .agg(F.sum(F.col("w") * F.col("v")).alias("v"), F.count(F.lit(1)).alias("n_src"))
+        .agg(
+            (F.sum(F.col("w") * F.col("v")) / F.sum("w")).alias("v"),
+            F.count(F.lit(1)).alias("n_src"),
+        )
     )

@@ -575,7 +575,7 @@ def sql_resample_bilinear():
       FROM gg, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)
     )
     SELECT i, j, CAST(count(*) AS BIGINT) AS n_src,
-           CAST(round(sum(w * value) * 1000000.0, 0) AS BIGINT) AS bilinear_e6
+           CAST(round(sum(w * value) / sum(w) * 1000000.0, 0) AS BIGINT) AS bilinear_e6
     FROM corners JOIN c USING (x, y)
     GROUP BY 1, 2
     """

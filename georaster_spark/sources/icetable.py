@@ -78,7 +78,13 @@ class _commit_lock:
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(self.lock) > 60:
-                        os.unlink(self.lock)  # steal a crashed holder's lock
+                        # steal a crashed holder's lock ATOMICALLY: only
+                        # one waiter wins the rename (a check-then-unlink
+                        # here would let two waiters both "steal" and
+                        # break mutual exclusion)
+                        stale = self.lock + f".stale-{uuid.uuid4().hex[:8]}"
+                        os.rename(self.lock, stale)
+                        os.unlink(stale)
                         continue
                 except FileNotFoundError:
                     continue
@@ -346,17 +352,17 @@ def write_table(
     with open(_manifest_path(path, snapshot_id), "w") as f:
         json.dump(manifest, f)
     # atomic commit: CAS on the basis snapshot, then write-temp+rename
-    tmp = _pointer(path) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(snapshot_id)
+    # (tmp is created INSIDE the lock so a lock timeout leaks nothing)
     with _commit_lock(path):
         cur = current_snapshot(path)
         if cur != parent:
-            os.unlink(tmp)
             raise CommitConflict(
                 f"table advanced to {cur} since basis {parent}; "
                 f"re-read and retry (snapshot {snapshot_id} orphaned)"
             )
+        tmp = _pointer(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(snapshot_id)
         os.replace(tmp, _pointer(path))
     return snapshot_id
 
@@ -530,8 +536,8 @@ def rollback(path: str, snapshot_id: str) -> None:
     """Repoint ``current`` to an older snapshot (data retained)."""
     if not os.path.exists(_manifest_path(path, snapshot_id)):
         raise FileNotFoundError(f"snapshot {snapshot_id} not found in {path}")
-    tmp = _pointer(path) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(snapshot_id)
     with _commit_lock(path):
+        tmp = _pointer(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(snapshot_id)
         os.replace(tmp, _pointer(path))

@@ -437,3 +437,18 @@ class TestResampleBilinear:
             for y in range(3):
                 v, n = got[(x, y)]
                 assert v == float(x * 10 + y) and n >= 1
+
+
+    def test_upsample_edges_renormalize(self, spark):
+        """Upsampling a constant raster must stay constant at the
+        EDGES too: corners falling outside the source window drop out
+        of the weighted sum and the remaining weights renormalize."""
+        from georaster_spark.operators.raster import resample_bilinear
+
+        px = spark.createDataFrame(
+            [(x, y, 10.0) for x in range(2) for y in range(2)],
+            "x int, y int, value double",
+        )
+        out = resample_bilinear(px, 0, 0, 2, 2, 4, 4).collect()
+        assert len(out) == 16
+        assert all(r.v == 10.0 for r in out)

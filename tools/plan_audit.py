@@ -235,9 +235,10 @@ def main() -> int:
     check(
         "resample_bilinear",
         "corner gather is a hash equi-join with map-side partial_sum; "
-        "no nested-loop join; target grid from executor-side Range",
+        "no nested-loop join; BOTH the source and the target grid "
+        "generate from executor-side Range (2 Range nodes)",
         "NestedLoop" not in p and "partial_sum" in p
-        and n_nodes(p, "Range") >= 1,
+        and n_nodes(p, "Range") >= 2,
     )
 
     # cohort_retention: both shuffles keyed on user_id, partial agg
