@@ -623,3 +623,77 @@ def test_cohort_retention_matches_independent_pandas(spark):
     for cw in {c for c, _ in got}:
         later = [got[(c, k)] for c, k in got if c == cw and k > 0]
         assert all(v <= got[(cw, 0)] for v in later)
+
+
+def test_decontaminate_matches_independent_python(spark):
+    """Flagged docs and hit counts equal a plain-Python n-gram
+    overlap walk over the same parquet."""
+    import pandas as pd
+
+    from georaster_spark.queries import (
+        DECON_BENCH_DOCS,
+        DECON_MIN_HITS,
+        DECON_N,
+        q_decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text"]]
+
+    def grams(t):
+        w = t.split(" ")
+        return {
+            " ".join(w[i : i + DECON_N]) for i in range(len(w) - DECON_N + 1)
+        }
+
+    bench = set()
+    for r in docs.itertuples():
+        if r.doc_id < DECON_BENCH_DOCS:
+            bench |= grams(r.text)
+    expect = {}
+    for r in docs.itertuples():
+        if r.doc_id >= DECON_BENCH_DOCS:
+            hits = len(grams(r.text) & bench)
+            if hits >= DECON_MIN_HITS:
+                expect[r.doc_id] = hits
+    got = {r.doc_id: r.n_hits for r in q_decontaminate(spark, sf).collect()}
+    assert got == expect and len(got) > 0
+
+
+def test_idw_grid_matches_independent_numpy(spark):
+    """Every interpolated cell equals an independent NumPy IDW with
+    the same e9-quantized inverse-square weights; cells nearest a
+    sample point are dominated by that point's value."""
+    import numpy as np
+
+    from georaster_spark.queries import (
+        GRID64,
+        IDW_R2,
+        IDW_W_SCALE,
+        POIS,
+        q_idw_grid,
+    )
+
+    got = {(r.i, r.j): (r.n_pts, r.idw_e6) for r in q_idw_grid(spark, "").collect()}
+    pts = [(plon, plat, 100 + 7 * i) for i, (_p, plon, plat) in enumerate(POIS)]
+    ox, oy, px = GRID64["origin_x"], GRID64["origin_y"], GRID64["px"]
+    expect = {}
+    for i in range(64):
+        for j in range(64):
+            cx, cy = ox + (i + 0.5) * px, oy - (j + 0.5) * px
+            num = den = n = 0
+            for plon, plat, pv in pts:
+                d2 = (cx - plon) ** 2 + (cy - plat) ** 2
+                if d2 <= IDW_R2:
+                    w = int(np.round(1.0 / d2 * IDW_W_SCALE))
+                    num += w * pv
+                    den += w
+                    n += 1
+            if den > 0:
+                expect[(i, j)] = (n, int(np.round(num / den * 1e6)))
+    assert got == expect
+    # dominance: the cell center nearest POI 0 interpolates to ~its value
+    plon, plat, pv = pts[0]
+    i0 = int(round((plon - ox) / px - 0.5))
+    j0 = int(round((oy - plat) / px - 0.5))
+    assert abs(got[(i0, j0)][1] / 1e6 - pv) < 5.0

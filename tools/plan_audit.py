@@ -251,6 +251,28 @@ def main() -> int:
         "partial_" in p and "NestedLoop" not in p,
     )
 
+    # decontaminate: the benchmark gram set broadcasts; the corpus
+    # side's only shuffle is the per-doc overlap count
+    p = plans["decontaminate"] = explain_str(Q.q_decontaminate(spark, SF))
+    check(
+        "decontaminate",
+        "benchmark grams joined via BroadcastHashJoin with map-side "
+        "partial_count on the overlap aggregate",
+        n_nodes(p, "BroadcastHashJoin") >= 1 and "partial_count" in p
+        and "SortMergeJoin" not in p,
+    )
+
+    # idw_grid: pure codegen map stage — zero Exchanges, zero joins,
+    # no Python (the sample points are a literal broadcast array)
+    p = plans["idw_grid"] = explain_str(Q.q_idw_grid(spark, SF))
+    check(
+        "idw_grid",
+        "zero Exchanges and zero joins (literal-array aggregate in "
+        "a codegen map stage)",
+        n_nodes(p, "Exchange") == 0 and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
     # funnel_steps: the event_type filters reach the parquet scan and
     # every per-stage min is partially aggregated map-side
     p = plans["funnel_steps"] = explain_str(Q.q_funnel_steps(spark, SF))
