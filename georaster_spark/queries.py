@@ -401,9 +401,16 @@ def q_idw_grid(spark, sf_dir):
         return (cx - p["px"]) * (cx - p["px"]) + (cy - p["py"]) * (cy - p["py"])
 
     def w(p):
+        # greatest(d2, 1e-6): an exact point-on-center hit (d2 == 0)
+        # must stay finite — the capped weight (1e15) dominates every
+        # non-hit weight (<= ~1e13) so the cell returns ~the sample
+        # value, and both engines compute the same finite integer
+        # instead of Spark inf-casting vs DuckDB raising
         return F.when(
             d2(p) <= IDW_R2,
-            F.round(1.0 / d2(p) * IDW_W_SCALE, 0).cast("long"),
+            F.round(
+                1.0 / F.greatest(d2(p), F.lit(0.000001)) * IDW_W_SCALE, 0
+            ).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
 
     zero = F.lit(0).cast("long")
@@ -449,7 +456,7 @@ def sql_idw_grid():
     p(px, py, pv) AS (VALUES {vals}),
     w AS (
       SELECT i, j, pv,
-             CAST(round(1.0e0 / {d2} * {IDW_W_SCALE!r}, 0) AS BIGINT) AS w
+             CAST(round(1.0e0 / greatest({d2}, 0.000001e0) * {IDW_W_SCALE!r}, 0) AS BIGINT) AS w
       FROM g, p WHERE {d2} <= {IDW_R2!r}
     )
     SELECT i, j, CAST(count(*) AS BIGINT) AS n_pts,
@@ -1074,24 +1081,22 @@ def q_decontaminate(spark, sf_dir):
     synthetic corpus's ~30-word vocabulary makes longer shingles
     vanishingly rare (0 overlaps at n>=5), and a 0-row query would
     gate nothing. Scale shape: the benchmark's
-    shingle-hash set is tiny and BROADCAST; each corpus document
-    contributes its distinct 8-grams map-side and the only shuffle is
+    shingle set is tiny and BROADCAST; each corpus document
+    contributes its distinct n-grams map-side and the only shuffle is
     the per-doc overlap count — contamination checking at 100 TB is
     one broadcast semi-join, never a corpus-side blowup. Here the
     'benchmark' is the first 5 docs (deterministic stand-in for a
     real eval set); they are excluded from the scan."""
-    d = _t(spark, sf_dir, "documents")
+    from georaster_spark.operators.dedup import _shingle_array
+
+    d = _docs_spread(spark, sf_dir)
     tok = F.split(F.col("text"), " ")
-    # guard: F.sequence DESCENDS when stop < start, so docs shorter
-    # than DECON_N tokens must yield an empty gram array explicitly
+    # _shingle_array is the dedup stack's measured-faster zip_with
+    # kernel; it keeps one whole-doc shingle for short docs, so gate
+    # on size >= n to match the oracle's len(t) >= n filter
     grams = F.when(
         F.size(tok) >= DECON_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tok) - DECON_N),
-                lambda i: F.concat_ws(" ", F.slice(tok, i + 1, DECON_N)),
-            )
-        ),
+        F.array_distinct(_shingle_array("text", DECON_N)),
     ).otherwise(F.array().cast("array<string>"))
     bench = (
         d.where(F.col("doc_id") < DECON_BENCH_DOCS)

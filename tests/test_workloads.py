@@ -685,7 +685,7 @@ def test_idw_grid_matches_independent_numpy(spark):
             for plon, plat, pv in pts:
                 d2 = (cx - plon) ** 2 + (cy - plat) ** 2
                 if d2 <= IDW_R2:
-                    w = int(np.round(1.0 / d2 * IDW_W_SCALE))
+                    w = int(np.round(1.0 / max(d2, 0.000001) * IDW_W_SCALE))
                     num += w * pv
                     den += w
                     n += 1
