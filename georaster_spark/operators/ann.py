@@ -381,6 +381,25 @@ def quantize_embeddings(
     return df.withColumn("emb_q", q)
 
 
+def _pq_slices(df: DataFrame, id_col: str, id_alias: str, m: int, dsub: int) -> DataFrame:
+    """Explode a quantized-vector frame into per-subspace rows
+    (id_alias, sub, svec) — shared stage of encoding and LUT build."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("emb_q", s * dsub + 1, dsub).alias("svec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sl"),
+    ).select(id_alias, F.col("sl.sub").alias("sub"), F.col("sl.svec").alias("svec"))
+
+
 def pq_codes(
     corpus: DataFrame, codebook: DataFrame, m: int, dsub: int
 ) -> DataFrame:
@@ -396,20 +415,7 @@ def pq_codes(
     (vec_id, sub, code). Argmin ties break to the smallest code
     (struct-min ordering), matching ORDER BY dist, code LIMIT 1.
     """
-    sliced = corpus.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"),
-                        F.slice("emb_q", s * dsub + 1, dsub).alias("svec"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("sl"),
-    ).select("vec_id", F.col("sl.sub").alias("sub"), F.col("sl.svec").alias("svec"))
+    sliced = _pq_slices(corpus, "vec_id", "vec_id", m, dsub)
     d = _l2sq_int(F.col("svec"), F.col("cvec"))
     return (
         sliced.join(F.broadcast(codebook), "sub")
@@ -443,20 +449,7 @@ def pq_topk(
     The corpus vectors themselves are never touched at query time —
     the scan reads m small integers per row. Deterministic ties:
     (adc, vec_id) ordering."""
-    qsliced = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"),
-                        F.slice("emb_q", s * dsub + 1, dsub).alias("svec"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("sl"),
-    ).select("query_id", F.col("sl.sub").alias("sub"), F.col("sl.svec").alias("svec"))
+    qsliced = _pq_slices(queries, "vec_id", "query_id", m, dsub)
     lut = qsliced.join(F.broadcast(codebook), "sub").select(
         "query_id", "sub", "code", _l2sq_int(F.col("svec"), F.col("cvec")).alias("d")
     )

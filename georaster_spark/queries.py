@@ -496,6 +496,24 @@ def sql_band_math():
 FOCAL_X0, FOCAL_Y0, FOCAL_W = 2450, 2950, 200
 
 
+def _dtm_crop(spark):
+    """The shared 200×200 DTM crop every stencil/resample query runs
+    on (focal window at (2450, 2950))."""
+    return dtm_pixels_df(spark, partitions=32).where(
+        F.col("x").between(FOCAL_X0, FOCAL_X0 + FOCAL_W - 1)
+        & F.col("y").between(FOCAL_Y0, FOCAL_Y0 + FOCAL_W - 1)
+    ).select("x", "y", "value")
+
+
+def _dtm_crop_sql() -> str:
+    """The same crop as a DuckDB CTE body."""
+    x1, y1 = FOCAL_X0 + FOCAL_W - 1, FOCAL_Y0 + FOCAL_W - 1
+    return f"""
+      SELECT x, y, value FROM px
+      WHERE x BETWEEN {FOCAL_X0} AND {x1} AND y BETWEEN {FOCAL_Y0} AND {y1}
+    """
+
+
 def q_focal_stats(spark, sf_dir):
     """3×3 focal (neighborhood) statistics over a DTM crop via
     tile-halo exchange (operators/raster.py focal_stats_halo) — the
@@ -508,11 +526,7 @@ def q_focal_stats(spark, sf_dir):
     scans (src/geotiff.rs:316-318) lifted to a neighborhood op.
     Equality against the 9×-explode JVM form is asserted in
     tests/test_raster.py on sparse rasters with holes."""
-    px = dtm_pixels_df(spark, partitions=32).where(
-        F.col("x").between(FOCAL_X0, FOCAL_X0 + FOCAL_W - 1)
-        & F.col("y").between(FOCAL_Y0, FOCAL_Y0 + FOCAL_W - 1)
-    )
-    out = R.focal_stats_halo(px.select("x", "y", "value"), tile=64)
+    out = R.focal_stats_halo(_dtm_crop(spark), tile=64)
     return out.select(
         "x",
         "y",
@@ -555,11 +569,7 @@ def q_hillshade(spark, sf_dir):
     run as Column algebra with identical expression text in the
     DuckDB twin, rounded e4 to absorb cross-engine libm ulps. Edge
     pixels with incomplete 3×3 windows are skipped (GDAL default)."""
-    px = dtm_pixels_df(spark, partitions=32).where(
-        F.col("x").between(FOCAL_X0, FOCAL_X0 + FOCAL_W - 1)
-        & F.col("y").between(FOCAL_Y0, FOCAL_Y0 + FOCAL_W - 1)
-    )
-    g = R.horn_gradients_halo(px.select("x", "y", "value"), tile=64)
+    g = R.horn_gradients_halo(_dtm_crop(spark), tile=64)
     dzdx = F.col("gx_num") / 80.0  # 8 * cellsize(10 m)
     dzdy = F.col("gy_num") / 80.0
     slope = F.atan(F.sqrt(dzdx * dzdx + dzdy * dzdy))
@@ -578,7 +588,6 @@ def q_hillshade(spark, sf_dir):
 
 
 def sql_hillshade():
-    x1, y1 = FOCAL_X0 + FOCAL_W - 1, FOCAL_Y0 + FOCAL_W - 1
     slope = (
         "atan(sqrt((gx_num / 80.0e0) * (gx_num / 80.0e0)"
         " + (gy_num / 80.0e0) * (gy_num / 80.0e0)))"
@@ -591,10 +600,7 @@ def sql_hillshade():
     )
     return f"""
     WITH px AS ({dtm_pixels_sql()}),
-    c AS (
-      SELECT x, y, value FROM px
-      WHERE x BETWEEN {FOCAL_X0} AND {x1} AND y BETWEEN {FOCAL_Y0} AND {y1}
-    ),
+    c AS ({_dtm_crop_sql()}),
     g AS (
       SELECT a.x, a.y,
              sum((b.x - a.x) * (CASE WHEN b.y = a.y THEN 2 ELSE 1 END) * b.value) AS gx_num,
@@ -625,12 +631,8 @@ def q_resample_bilinear(spark, sf_dir):
     no range join, no Python. The scale ratio 200/128 = 25/16 is
     exact binary, so the fractional weights are bit-identical in both
     engines and the e6-rounded values hash exactly."""
-    px = dtm_pixels_df(spark, partitions=32).where(
-        F.col("x").between(FOCAL_X0, FOCAL_X0 + FOCAL_W - 1)
-        & F.col("y").between(FOCAL_Y0, FOCAL_Y0 + FOCAL_W - 1)
-    )
     out = R.resample_bilinear(
-        px.select("x", "y", "value"),
+        _dtm_crop(spark),
         src_x0=FOCAL_X0,
         src_y0=FOCAL_Y0,
         src_w=FOCAL_W,
@@ -647,15 +649,11 @@ def q_resample_bilinear(spark, sf_dir):
 
 
 def sql_resample_bilinear():
-    x1, y1 = FOCAL_X0 + FOCAL_W - 1, FOCAL_Y0 + FOCAL_W - 1
     scale = FOCAL_W / RS_DST
     n = RS_DST * RS_DST
     return f"""
     WITH px AS ({dtm_pixels_sql()}),
-    c AS (
-      SELECT x, y, value FROM px
-      WHERE x BETWEEN {FOCAL_X0} AND {x1} AND y BETWEEN {FOCAL_Y0} AND {y1}
-    ),
+    c AS ({_dtm_crop_sql()}),
     g AS (
       SELECT CAST(range % {RS_DST} AS BIGINT) AS i,
              CAST(range // {RS_DST} AS BIGINT) AS j,
@@ -1147,17 +1145,16 @@ def sql_decontaminate():
 CMS_D, CMS_W = 4, 512
 
 
+def _md5_60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 md5 hex chars as int64 —
+    identical in Spark conv() and DuckDB CAST('0x'||...)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _cms_bucket(j: Column, key: Column) -> Column:
     """Portable CMS bucket: md5-derived 60-bit hash of 'cms:j:key',
     reduced mod CMS_W — identical integer registers in both engines."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit("cms"), j, key)), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    return h % CMS_W
+    return _md5_60(F.concat_ws(":", F.lit("cms"), j, key)) % CMS_W
 
 
 def q_cms_topk(spark, sf_dir):
@@ -1821,7 +1818,12 @@ def q_interval_join(spark, sf_dir):
     ).select(F.col("win_id").cast("long").alias("win_id"), "s_ep", "n", "sum_value_e6", "n_users")
 
 
-def sql_interval_join():
+def _sql_interval(with_users: bool) -> str:
+    users = (
+        ",\n           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users"
+        if with_users
+        else ""
+    )
     return f"""
     WITH w AS (
       SELECT range AS win_id,
@@ -1831,13 +1833,16 @@ def sql_interval_join():
     )
     SELECT CAST(win_id AS BIGINT) AS win_id, CAST(s_ep AS BIGINT) AS s_ep,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6{users}
     FROM events, w
     WHERE CAST(floor(epoch(ts)) AS BIGINT) >= s_ep
       AND CAST(floor(epoch(ts)) AS BIGINT) < e_ep
     GROUP BY 1, 2
     """
+
+
+def sql_interval_join():
+    return _sql_interval(with_users=True)
 
 
 def q_stream_interval(spark, sf_dir):
@@ -1863,21 +1868,7 @@ def q_stream_interval(spark, sf_dir):
 def sql_stream_interval():
     # the batch interval join minus the distinct aggregate (distinct
     # aggregations are unsupported on streaming DataFrames)
-    return f"""
-    WITH w AS (
-      SELECT range AS win_id,
-             {IVJ_BASE_EP} + range * {IVJ_STEP_S} + {IVJ_OFF_S} AS s_ep,
-             {IVJ_BASE_EP} + range * {IVJ_STEP_S} + {IVJ_OFF_S} + {IVJ_LEN_S} AS e_ep
-      FROM range({IVJ_N_WINDOWS})
-    )
-    SELECT CAST(win_id AS BIGINT) AS win_id, CAST(s_ep AS BIGINT) AS s_ep,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6
-    FROM events, w
-    WHERE CAST(floor(epoch(ts)) AS BIGINT) >= s_ep
-      AND CAST(floor(epoch(ts)) AS BIGINT) < e_ep
-    GROUP BY 1, 2
-    """
+    return _sql_interval(with_users=False)
 
 
 def q_stream_stream_join(spark, sf_dir):
@@ -3844,9 +3835,7 @@ def q_weighted_sample(spark, sf_dir):
     engines, runs, and retries (unlike rand()). Pure filter
     projection: zero shuffles, trivially scalable."""
     d = _t(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    ) % 1000000
+    h = _md5_60(F.col("doc_id").cast("string")) % 1000000
     thr = F.round(
         F.least(F.lit(1.0), F.col("n_chars") / 400.0) * 300000.0, 0
     ).cast("long")
