@@ -37,3 +37,40 @@ def test_queries_run_at_smallest_sf(spark):
         df = fn(spark, SF_SMALL)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_all_oracle_sql_parses_in_duckdb():
+    """Every oracle SQL string must at least PLAN in DuckDB against
+    the registered table views — a seconds-fast syntax/semantic gate
+    that catches oracle regressions without the full value sweep."""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet')"
+        )
+    bad = []
+    for name, sql in E.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001 — collecting all failures
+            bad.append((name, str(exc).splitlines()[0]))
+    assert not bad, bad
+
+
+def test_catalog_window_tail_has_prior_driver_rows():
+    """Rotation contract: every entry OUTSIDE the driver's first-50
+    verification window must have a green row in the PREVIOUS round's
+    CORRECTNESS file, so window ∪ previous-round covers the whole
+    catalog."""
+    import json
+
+    keys = list(E.queries())
+    prev = json.load(open(os.path.join(os.path.dirname(E.__file__), "CORRECTNESS_r02.json")))
+    missing = [k for k in keys[50:] if k not in prev or not prev[k]["hash_match"]]
+    assert missing == [], missing
