@@ -440,7 +440,11 @@ def _halo_exploded(
     its own ``tile×tile`` block plus a halo copy into adjacent blocks
     when it sits on the 1-px block border (≤4 targets at corners,
     1 typically — duplication 1 + ~4/tile). Output columns:
-    ``_tx,_ty`` block key, ``_x,_y,_v`` pixel."""
+    ``_tx,_ty`` block key, ``_x,_y,_v`` pixel. NULL values (NoData)
+    are dropped here — a NoData cell behaves exactly like a missing
+    neighbor (n_nb excludes it), instead of poisoning the NumPy sums
+    with NaN."""
+    pixels = pixels.where(F.col(v_col).isNotNull())
     x, y = F.col(x_col), F.col(y_col)
     tx, ty = F.floor(x / tile), F.floor(y / tile)
     # pmod, not %: Spark's % keeps the dividend's sign, which would
@@ -703,8 +707,17 @@ def resample_bilinear(
                 ]
             )
         ).alias("c"),
-    ).select("i", "j", F.col("c.x").alias("x"), F.col("c.y").alias("y"), F.col("c.w").alias("w"))
-    src = pixels.select(
+    ).select(
+        "i", "j", F.col("c.x").alias("x"), F.col("c.y").alias("y"), F.col("c.w").alias("w")
+    ).where(
+        # a zero-weight corner contributes nothing; dropping it also
+        # guarantees every surviving group has sum(w) > 0, so the
+        # renormalizing division can never hit ANSI-mode 0/0
+        F.col("w") > 0
+    )
+    # NULL (NoData) source pixels act like absent corners: the
+    # remaining weights renormalize (same rule as the halo stencils)
+    src = pixels.where(F.col(v_col).isNotNull()).select(
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
         F.col(v_col).cast("double").alias("v"),

@@ -675,6 +675,7 @@ def sql_resample_bilinear():
     SELECT i, j, CAST(count(*) AS BIGINT) AS n_src,
            CAST(round(sum(w * value) / sum(w) * 1000000.0, 0) AS BIGINT) AS bilinear_e6
     FROM corners JOIN c USING (x, y)
+    WHERE w > 0.0e0
     GROUP BY 1, 2
     """
 

@@ -452,3 +452,28 @@ class TestResampleBilinear:
         out = resample_bilinear(px, 0, 0, 2, 2, 4, 4).collect()
         assert len(out) == 16
         assert all(r.v == 10.0 for r in out)
+
+
+def test_stencils_treat_null_as_missing_neighbor(spark):
+    """NULL (NoData) pixels behave exactly like absent neighbors in
+    every halo-stencil op — they reduce n_nb / renormalize weights
+    instead of poisoning the NumPy sums with NaN."""
+    from georaster_spark.operators.raster import (
+        focal_stats_halo,
+        horn_gradients_halo,
+        resample_bilinear,
+    )
+
+    pts = [(x, y, 2.0) for x in range(3) for y in range(3)]
+    px = spark.createDataFrame(pts, "x int, y int, value double").withColumn(
+        "value", F.when((F.col("x") == 0) & (F.col("y") == 0), None).otherwise(F.col("value"))
+    )
+    f = {(r.x, r.y): r for r in focal_stats_halo(px, tile=2).collect()}
+    assert (0, 0) not in f  # the NoData cell emits no row of its own
+    assert f[(1, 1)].n_nb == 8 and f[(1, 1)].sum_v == 16.0
+    # Horn: the (1,1) window is incomplete (8 of 9 present) -> skipped
+    assert horn_gradients_halo(px, tile=2).count() == 0
+    # resample: a corner on the NoData cell renormalizes, not NaN
+    out = {(r.i, r.j): r.v for r in resample_bilinear(px, 0, 0, 3, 3, 3, 3).collect()}
+    assert (0, 0) not in out  # only corner was the NoData pixel
+    assert all(v == 2.0 for v in out.values())
