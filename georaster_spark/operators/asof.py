@@ -69,6 +69,7 @@ def bucketized_interval_join(
     start_col: str = "s_ep",
     end_col: str = "e_ep",
     bucket_seconds: int = 7200,
+    broadcast_intervals: bool | None = None,
 ) -> DataFrame:
     """Interval (range) join without a nested-loop: rows of ``left``
     matched to every interval ``[start, end)`` that contains them.
@@ -82,22 +83,40 @@ def bucketized_interval_join(
     bucket per row and is equi-joined (hashable, broadcastable,
     AQE-optimizable); work scales with matches, not the cross
     product. ``start_col``/``end_col`` are integer epoch seconds.
+
+    ``broadcast_intervals``: True forces a broadcast hint on the
+    exploded interval side (right for dimension-sized tables — the
+    interval_join / stream_interval queries pass True); None (the
+    default) leaves the strategy to Catalyst/AQE so a caller with a
+    LARGE interval table gets a shuffled hash join instead of a
+    driver-collected broadcast OOM.
     """
     b_left = left.withColumn(
         "_bucket", F.expr(f"unix_timestamp({ts_col}) div {bucket_seconds}")
     )
-    b_iv = intervals.withColumn(
-        "_buckets",
-        # every bucket the interval overlaps (end exclusive) — an
-        # interval of length <= bucket_seconds yields at most 2
-        F.sequence(
-            F.expr(f"{start_col} div {bucket_seconds}"),
-            F.expr(f"({end_col} - 1) div {bucket_seconds}"),
-        ),
-    ).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
+    b_iv = (
+        # empty/inverted intervals ([s, e) with e <= s) match nothing;
+        # dropping them here also keeps F.sequence ascending (an
+        # unguarded e <= s would emit a DESCENDING bucket list whose
+        # junk rows only the residual predicate would remove)
+        intervals.where(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "_buckets",
+            # every bucket the interval overlaps (end exclusive) — an
+            # interval of length <= bucket_seconds yields at most 2
+            F.sequence(
+                F.expr(f"{start_col} div {bucket_seconds}"),
+                F.expr(f"({end_col} - 1) div {bucket_seconds}"),
+            ),
+        )
+        .withColumn("_bucket", F.explode("_buckets"))
+        .drop("_buckets")
+    )
+    if broadcast_intervals:
+        b_iv = F.broadcast(b_iv)
     ep = F.unix_timestamp(F.col(ts_col))
     return (
-        b_left.join(F.broadcast(b_iv), "_bucket")
+        b_left.join(b_iv, "_bucket")
         .where((ep >= F.col(start_col)) & (ep < F.col(end_col)))
         .drop("_bucket")
     )

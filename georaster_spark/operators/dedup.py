@@ -389,7 +389,9 @@ def simhash64(sh: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, bucket_cap: int = 4096
+) -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole multi-block LSH.
 
     The 63 fingerprint bits split into ``max_hamming + 1`` blocks —
@@ -397,6 +399,22 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     block (pigeonhole), so recall is 100%, no probabilistic miss.
     Candidate generation is an equi-join on (block_idx, block_val);
     the exact bit_count(xor) check filters false positives JVM-side.
+
+    **Hot-bucket cap** (``bucket_cap``): a degenerate corpus — many
+    near-identical docs — concentrates one (block, value) bucket, and
+    an unsalted equi self-join would put that whole bucket's n² work
+    in ONE reducer task. Buckets over the cap are chunked (chunk =
+    doc_id mod m, m = ceil(n/cap)) and the self-join becomes the
+    blocked **triangle join**: the left side replicates each row to
+    every target chunk ≥ its own, the right side to every source
+    chunk ≤ its own, and the equi-key grows to (block, value,
+    src_chunk, dst_chunk) — every task now reads ≤ 2·cap rows and the
+    n² work spreads across m·(m+1)/2 tasks. Cold buckets (m = 1)
+    take the identical single-cell path, so the common case pays only
+    a broadcast left-join against the (tiny) hot-bucket list. Output
+    is identical either way: each unordered pair lands in exactly one
+    (src, dst) cell — both orders only on the diagonal, where the
+    doc_id ordering filter keeps one.
     """
     n_blocks = max_hamming + 1
     sig = simhash64(shingles(docs)).persist()
@@ -410,19 +428,53 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     blocked = sig.select(
         "doc_id", "simhash", F.explode(F.array(*entries)).alias("blk")
     ).select("doc_id", "simhash", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
-    a, b = blocked.alias("a"), blocked.alias("b")
+    # hot-bucket census: ONLY over-cap buckets are kept (a degenerate
+    # corpus has few hot buckets by definition), so the list is tiny
+    # and broadcastable; cold rows join to NULL and stay single-chunk
+    hot = (
+        blocked.groupBy("bi", "bv")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > bucket_cap)
+        .select("bi", "bv", F.ceil(F.col("_n") / bucket_cap).cast("int").alias("m"))
+    )
+    chunked = (
+        blocked.join(F.broadcast(hot), ["bi", "bv"], "left")
+        .withColumn("m", F.coalesce(F.col("m"), F.lit(1)))
+        .withColumn("ci", F.pmod(F.col("doc_id"), F.col("m")).cast("int"))
+    )
+    a = (
+        chunked.withColumn(
+            "ct", F.explode(F.sequence(F.col("ci"), F.col("m") - F.lit(1)))
+        )
+        .select("doc_id", "simhash", "bi", "bv", F.col("ci").alias("ca"), "ct")
+        .alias("a")
+    )
+    b = (
+        chunked.withColumn("cs", F.explode(F.sequence(F.lit(0), F.col("ci"))))
+        .select("doc_id", "simhash", "bi", "bv", "cs", F.col("ci").alias("cb"))
+        .alias("b")
+    )
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    same_chunk = F.col("a.ca") == F.col("b.cb")
     return (
         a.join(
             b,
             (F.col("a.bi") == F.col("b.bi"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.ca") == F.col("b.cs"))
+            & (F.col("a.ct") == F.col("b.cb"))
+            # diagonal cells see both orders of a pair — keep one;
+            # off-diagonal cells see each pair exactly once
+            & (~same_chunk | (F.col("a.doc_id") < F.col("b.doc_id"))),
         )
         .where(ham <= max_hamming)
         .select(
-            F.col("a.doc_id").cast("long").alias("doc_a"),
-            F.col("b.doc_id").cast("long").alias("doc_b"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id"))
+            .cast("long")
+            .alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id"))
+            .cast("long")
+            .alias("doc_b"),
             ham.cast("long").alias("hamming"),
         )
         .distinct()

@@ -908,23 +908,27 @@ def q_embedding_centroids(spark, sf_dir):
     cluster summaries for a training pipeline): posexplode to
     (label, dim) and ONE partial-aggregated groupBy on label x 64
     dims — constant-size aggregate state, no vector ever collected.
-    Output long-form (label, pos, n, mean_e6) so the oracle needs no
-    array reassembly."""
+    Output long-form (label, pos, n, sum_e6): each dim is quantized
+    to an e6 INTEGER before the sum, so the aggregate is
+    summation-ORDER-INDEPENDENT (Spark's partial/merge tree vs
+    DuckDB's sequential scan give bit-identical results — a float
+    avg() could flip the value hash on a .5 rounding boundary). The
+    centroid mean is sum_e6 / (n * 1e6), derivable by any reader."""
     e = _t(spark, sf_dir, "embeddings")
     flat = e.select("label", F.posexplode("embedding").alias("pos", "v"))
     return (
         flat.groupBy("label", "pos")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.avg(F.col("v").cast("double")) * 1000000.0, 0)
-            .cast("long")
-            .alias("mean_e6"),
+            F.sum(
+                F.round(F.col("v").cast("double") * 1000000.0, 0).cast("long")
+            ).alias("sum_e6"),
         )
         .select(
             F.col("label").cast("long").alias("label"),
             F.col("pos").cast("long").alias("pos"),
             "n",
-            "mean_e6",
+            "sum_e6",
         )
     )
 
@@ -938,7 +942,7 @@ def sql_embedding_centroids():
     )
     SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(avg(v) * 1000000.0, 0) AS BIGINT) AS mean_e6
+           CAST(sum(CAST(round(v * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_e6
     FROM flat GROUP BY 1, 2
     """
 
@@ -1810,7 +1814,8 @@ def q_interval_join(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     joined = bucketized_interval_join(
-        ev, _interval_windows(spark), bucket_seconds=IVJ_LEN_S
+        ev, _interval_windows(spark), bucket_seconds=IVJ_LEN_S,
+        broadcast_intervals=True,
     )
     return joined.groupBy("win_id", "s_ep").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -62,18 +62,30 @@ def _manifest_path(path: str, snapshot_id: str) -> str:
 class _commit_lock:
     """Tiny advisory lock (O_CREAT|O_EXCL) serializing the
     check-pointer-then-swap critical section. A lock older than 60 s
-    is presumed crashed and stolen."""
+    is presumed crashed and stolen.
+
+    The lock file carries the holder's token: a holder that was
+    paused past the steal horizon (GC / suspend / slow NFS) and had
+    its lock stolen must NOT unlink the *stealer's* lock on exit —
+    that would re-open the critical section to a third committer.
+    ``__exit__`` therefore unlinks only if the on-disk token is still
+    its own (the pointer CAS after the lock still catches the paused
+    holder's own commit as a conflict)."""
 
     def __init__(self, path: str, timeout_s: float = 30.0):
         self.lock = _pointer(path) + ".lock"
         self.timeout_s = timeout_s
+        self.token = uuid.uuid4().hex
 
     def __enter__(self):
         deadline = time.time() + self.timeout_s
         while True:
             try:
                 fd = os.open(self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+                try:
+                    os.write(fd, self.token.encode())
+                finally:
+                    os.close(fd)
                 return self
             except FileExistsError:
                 try:
@@ -94,6 +106,9 @@ class _commit_lock:
 
     def __exit__(self, *exc):
         try:
+            with open(self.lock) as f:
+                if f.read() != self.token:
+                    return  # stolen while we were paused — not ours
             os.unlink(self.lock)
         except FileNotFoundError:
             pass

@@ -23,7 +23,7 @@ Design:
 
 from __future__ import annotations
 
-import time
+import uuid
 from typing import Iterator
 
 import pandas as pd
@@ -94,9 +94,7 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-state variant (dedup horizon = watermark delay)."""
     docs = stream_table(spark, sf_dir, "documents")
     uniq = docs.select(F.md5("text").alias("fp")).dropDuplicates(["fp"])
-    name = f"stream_dedup_{int(time.time() * 1000) % 10_000_000}"
-    _run_to_memory(uniq, name, "append")
-    return spark.table(name)
+    return _run_to_memory(uniq, "stream_dedup", "append")
 
 
 def interval_counts_stream(
@@ -115,7 +113,9 @@ def interval_counts_stream(
     from georaster_spark.operators.asof import bucketized_interval_join
 
     ev = stream_events(spark, sf_dir)
-    joined = bucketized_interval_join(ev, wins, bucket_seconds=bucket_seconds)
+    joined = bucketized_interval_join(
+        ev, wins, bucket_seconds=bucket_seconds, broadcast_intervals=True
+    )
     # no countDistinct here: distinct aggregates are unsupported on
     # streams (state would be unbounded per group) — the batch twin
     # keeps it; approx_count_distinct is the streaming alternative
@@ -125,9 +125,7 @@ def interval_counts_stream(
             "sum_value_e6"
         ),
     )
-    name = f"stream_interval_{int(time.time() * 1000) % 10_000_000}"
-    _run_to_memory(agg, name, "complete")
-    return spark.table(name)
+    return _run_to_memory(agg, "stream_interval", "complete")
 
 
 def view_click_join_stream(
@@ -168,9 +166,7 @@ def view_click_join_stream(
         & (F.col("click_ts") >= F.col("view_ts"))
         & (F.col("click_ts") < F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
     ).select("view_id", "click_id", "user_id")
-    name = f"stream_ssjoin_{int(time.time() * 1000) % 10_000_000}"
-    _run_to_memory(joined, name, "append")
-    return spark.table(name)
+    return _run_to_memory(joined, "stream_ssjoin", "append")
 
 
 class _capped_shuffle_partitions:
@@ -191,7 +187,16 @@ class _capped_shuffle_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
-def _run_to_memory(stream: DataFrame, name: str, output_mode: str) -> None:
+def _run_to_memory(stream: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+    """Drain ``stream`` into a memory sink and return its table.
+
+    The query name (= the sink's temp-view name) is uuid-suffixed so
+    two invocations in the same session can never collide and clobber
+    each other's in-memory table (a timestamp-derived name could,
+    within one millisecond). One view accumulates per streaming-query
+    run — bounded by catalog size per session, and each is tiny (the
+    drained result, already driver-visible by design of the sink)."""
+    name = f"{prefix}_{uuid.uuid4().hex[:12]}"
     with _capped_shuffle_partitions(stream.sparkSession):
         q = (
             stream.writeStream.format("memory")
@@ -204,6 +209,7 @@ def _run_to_memory(stream: DataFrame, name: str, output_mode: str) -> None:
     if q.isActive:  # pragma: no cover - defensive
         q.stop()
         raise TimeoutError(f"stream {name} did not drain in 300s")
+    return stream.sparkSession.table(name)
 
 
 def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,9 +227,7 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
-    name = f"win_counts_{int(time.time() * 1000) % 10_000_000}"
-    _run_to_memory(agg, name, "complete")
-    return spark.table(name).select(
+    return _run_to_memory(agg, "win_counts", "complete").select(
         F.col("w.start").alias("hour"), "event_type", "sum_value_e6", "n"
     )
 
@@ -476,6 +480,4 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scheduling drain batches under availableNow).
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"sessions_{int(time.time() * 1000) % 10_000_000}"
-    _run_to_memory(sess, name, "append")
-    return spark.table(name)
+    return _run_to_memory(sess, "sessions", "append")

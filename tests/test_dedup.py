@@ -209,3 +209,59 @@ def test_connected_components_random_graphs_match_transitive_closure(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_simhash_hot_bucket_cap_equivalence(spark):
+    """The capped (chunked triangle) self-join must emit the SAME
+    pair set as the unchunked path on a corpus that actually trips
+    the cap: 200 identical docs (one hot (block, value) bucket per
+    block) + 60 distinct docs."""
+    base = " ".join(f"w{k % 53}" for k in range(40))
+    rows = [(i, base) for i in range(200)] + [
+        (1000 + i, " ".join(f"x{(i * 11 + k) % 89}" for k in range(40)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(docs, max_hamming=6, bucket_cap=32).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(docs, max_hamming=6, bucket_cap=10**9).collect()
+    }
+    assert capped == uncapped
+    assert len({(a, b) for a, b, _ in capped if a < 200 and b < 200}) == 200 * 199 // 2
+
+
+def test_simhash_hot_bucket_degenerate_bounded(spark):
+    """Adversarial skew (the r3 VERDICT watch item): 1500 copies of
+    one doc concentrate every LSH block in a single (block, value)
+    bucket. With the cap the self-join key carries the chunk pair —
+    no task reads more than ~2·cap bucket rows — and the result is
+    still the full C(1500,2) pair set."""
+    n, cap = 1500, 100
+    base = " ".join(f"w{k % 53}" for k in range(40))
+    rows = [(i, base) for i in range(n)] + [
+        (10_000 + i, " ".join(f"y{(i * 13 + k) % 97}" for k in range(40)))
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    out = simhash_near_pairs(docs, max_hamming=3, bucket_cap=cap)
+    # plan invariant: the self-join is NOT on the bare (block, value)
+    # key — the chunk columns (ca/cs, ct/cb) are part of the equi-key,
+    # so a hot bucket's work spreads over m·(m+1)/2 tasks
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ca" in plan and "ct" in plan and "cs" in plan and "cb" in plan
+    hot_pairs = (
+        out.where((F.col("doc_a") < n) & (F.col("doc_b") < n)).count()
+    )
+    assert hot_pairs == n * (n - 1) // 2
+    # chunk balance: ids are assigned chunk doc_id % m, so with
+    # sequential ids every chunk holds ceil(n/m) == cap rows exactly
+    import math
+
+    m = math.ceil(n / cap)
+    assert max(
+        sum(1 for i in range(n) if i % m == c) for c in range(m)
+    ) <= cap

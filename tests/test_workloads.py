@@ -499,13 +499,16 @@ def test_embedding_centroids_match_numpy(spark):
 
     sf = "/root/testdata/sf0.001"
     emb = pd.read_parquet(f"{sf}/embeddings.parquet")
-    got = {(r.label, r.pos): (r.n, r.mean_e6) for r in q_embedding_centroids(spark, sf).collect()}
+    got = {(r.label, r.pos): (r.n, r.sum_e6) for r in q_embedding_centroids(spark, sf).collect()}
     for label, grp in emb.groupby("label"):
         mat = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
         for pos in range(mat.shape[1]):
-            n, mean_e6 = got[(label, pos)]
+            n, sum_e6 = got[(label, pos)]
             assert n == len(grp)
-            assert abs(mean_e6 - mat[:, pos].mean() * 1e6) < 1.0, (label, pos)
+            # sum of per-value e6 quantizations; the implied mean must
+            # still sit within quantization error of the NumPy mean
+            assert sum_e6 == np.round(mat[:, pos] * 1e6).astype(np.int64).sum()
+            assert abs(sum_e6 / n - mat[:, pos].mean() * 1e6) < 1.0, (label, pos)
     assert len(got) == emb["label"].nunique() * 64
 
 
