@@ -9,12 +9,13 @@ resize / frame-sample implemented as Arrow-batched ``mapInPandas``
 kernels so the Spark-side plumbing (schema, partitioning, batch
 shape) is real and tested at scale.
 
-The codec step is REAL for PNG blobs: ``sources/png.py`` (the
-stdlib codec that also decodes PMTiles tiles) parses the bytes inside
-the kernel. Non-PNG blobs (the ``IMG0`` synthetic format, and any
-JPEG/WebP a real lake would add) still fall back to a deterministic
-digest-derived fake — disclosed, one branch, same plan shape — until
-a real codec for those formats is wired in.
+The codec step is REAL for image blobs: ``sources/png.py`` (the
+stdlib codec that also decodes PMTiles tiles) and ``sources/jpeg.py``
+(baseline JFIF, huffman + DCT) parse the bytes inside the kernel.
+Only non-image blobs (the ``IMG0`` synthetic format standing in for
+audio/video containers) fall back to a deterministic digest-derived
+fake — disclosed, one branch, same plan shape — since no
+audio/video codec exists in this container.
 
 Scale notes:
 - media bytes never pass through a shuffle — all kernels are narrow
@@ -37,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SIG = b"\xff\xd8\xff"
 
 # deterministic PNG-media geometry/content formulas (shared with the
 # DuckDB oracle via png_media_*_sql below): greyscale w×h where
@@ -44,6 +46,17 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #   v(px, py) = (px * 5 + py * 11 + doc_id) % 256
 PNG_W_MOD, PNG_W_OFF = 24, 8
 PNG_H_MOD, PNG_H_OFF = 16, 8
+
+# deterministic JPEG-media formulas: greyscale w×h, BLOCK-constant —
+# every 8×8 tile holds one value
+#   w = doc_id % 21 + 12,  h = (doc_id * 7) % 19 + 12,
+#   v(px, py) = ((px // 8) * 5 + (py // 8) * 11 + doc_id) % 256
+# encoded at quality=100 (all-ones quant): a constant block's DC is
+# the integral 8*(v-128) and every AC is 0, so the decode is
+# BIT-EXACT and the DuckDB oracle re-derives it in closed form
+# (sources/jpeg.py module docstring spells out the argument).
+JPEG_W_MOD, JPEG_W_OFF = 21, 12
+JPEG_H_MOD, JPEG_H_OFF = 19, 12
 
 
 def with_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -69,18 +82,31 @@ def _digest_features(digest: "pd.Series") -> dict[str, "pd.Series"]:
     }
 
 
-def _decode_bytes(media: bytes) -> tuple[int, int, int]:
-    """Decode media bytes → (width, height, mean_luma).
-
-    PNG blobs decode for real (stdlib codec, ``sources/png.py``):
-    mean_luma is the integer mean of all samples. Any other format
-    falls back to the deterministic digest fake (disclosed stub —
-    this container ships no JPEG/WebP codec).
-    """
+def _decode_image(media: bytes):
+    """Decode PNG or JPEG bytes → uint8 ndarray, or None if the blob
+    is not an image this engine decodes (audio/video containers)."""
     if media[:8] == _PNG_SIG:
         from georaster_spark.sources.png import decode_png
 
-        arr = decode_png(media)
+        return decode_png(media)
+    if media[:3] == _JPEG_SIG:
+        from georaster_spark.sources.jpeg import decode_jpeg
+
+        return decode_jpeg(media)
+    return None
+
+
+def _decode_bytes(media: bytes) -> tuple[int, int, int]:
+    """Decode media bytes → (width, height, mean_luma).
+
+    PNG and JPEG blobs decode for real (stdlib codecs,
+    ``sources/png.py`` / ``sources/jpeg.py``): mean_luma is the
+    integer mean of all samples. Any other format falls back to the
+    deterministic digest fake (disclosed stub — this container ships
+    no audio/video codec).
+    """
+    arr = _decode_image(bytes(media))
+    if arr is not None:
         return int(arr.shape[1]), int(arr.shape[0]), int(arr.sum() // arr.size)
     h = hashlib.md5(media).hexdigest()
     f = _digest_features(pd.Series([h]))
@@ -116,38 +142,85 @@ def with_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.withColumn("media", png_media_col(id_col))
 
 
+def jpeg_media_col(id_col: str = "doc_id"):
+    """Arrow-batched generator of REAL baseline-JPEG blobs: greyscale
+    block-constant images at quality 100, so decode output is exact
+    and closed-form (constants documented at the top of the module)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from georaster_spark.sources.jpeg import encode_jpeg
+
+    @F.pandas_udf(T.BinaryType())
+    def _gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w = i % JPEG_W_MOD + JPEG_W_OFF
+            h = (i * 7) % JPEG_H_MOD + JPEG_H_OFF
+            py, px = np.mgrid[0:h, 0:w]
+            img = ((px // 8) * 5 + (py // 8) * 11 + i) % 256
+            out.append(encode_jpeg(img.astype(np.uint8), quality=100))
+        return pd.Series(out)
+
+    return _gen(F.col(id_col))
+
+
+def with_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real JPEG ``media BINARY`` column."""
+    return docs.withColumn("media", jpeg_media_col(id_col))
+
+
+def with_mixed_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a format-heterogeneous media column the way a real lake
+    would carry one: even ids get PNG blobs, odd ids get JPEG blobs.
+    The decode kernels dispatch on magic bytes, never on the id."""
+    return docs.withColumn(
+        "media",
+        F.when(F.col(id_col) % 2 == 0, png_media_col(id_col)).otherwise(
+            jpeg_media_col(id_col)
+        ),
+    )
+
+
 def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, n_bytes, width, height, mean_luma, digest) via an
+    """(id, kind, n_bytes, width, height, mean_luma, digest) via an
     Arrow-batched ``mapInPandas`` kernel — the heavy media column is
-    consumed inside the partition and never shuffled."""
+    consumed inside the partition and never shuffled. ``kind`` is
+    dispatched from magic bytes: png/jpeg rows carry a REAL decode,
+    other formats the disclosed digest fake (kind='other')."""
     schema = (
-        f"{id_col} long, n_bytes long, width long, height long, "
-        "mean_luma long, digest string"
+        f"{id_col} long, kind string, n_bytes long, width long, "
+        "height long, mean_luma long, digest string"
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from georaster_spark.sources.png import decode_png
-
         for pdf in batches:
             # the digest is per-item (as a real codec would be), but
-            # everything derived from it is pandas-vectorized; PNG
+            # everything derived from it is pandas-vectorized; image
             # rows then overwrite the fake with a REAL decode
             blobs = pdf["media"].map(bytes)
             digest = blobs.map(lambda b: hashlib.md5(b).hexdigest())
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
+                    "kind": "other",
                     "n_bytes": blobs.str.len().astype("int64"),
                     **_digest_features(digest),
                     "digest": digest,
                 }
             )
-            is_png = blobs.map(lambda b: b[:8] == _PNG_SIG).to_numpy()
-            if is_png.any():
-                decoded = [decode_png(b) for b in blobs[is_png]]
-                out.loc[is_png, "width"] = [a.shape[1] for a in decoded]
-                out.loc[is_png, "height"] = [a.shape[0] for a in decoded]
-                out.loc[is_png, "mean_luma"] = [
+            is_img = blobs.map(
+                lambda b: b[:8] == _PNG_SIG or b[:3] == _JPEG_SIG
+            ).to_numpy()
+            if is_img.any():
+                decoded = [_decode_image(b) for b in blobs[is_img]]
+                out.loc[is_img, "kind"] = [
+                    "png" if b[:8] == _PNG_SIG else "jpeg" for b in blobs[is_img]
+                ]
+                out.loc[is_img, "width"] = [a.shape[1] for a in decoded]
+                out.loc[is_img, "height"] = [a.shape[0] for a in decoded]
+                out.loc[is_img, "mean_luma"] = [
                     int(a.sum() // a.size) for a in decoded
                 ]
             yield out
@@ -155,17 +228,39 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "media").mapInPandas(kernel, schema=schema)
 
 
-def resize_image(df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id") -> DataFrame:
-    """Resize stub: emits the output geometry + a deterministic digest
-    of what the resized bytes would hash to (md5(digest ++ "WxH")).
-    Real path = PIL ``resize`` inside the same kernel."""
-    feats = decode_image_features(df, id_col)
-    return feats.select(
-        id_col,
-        F.lit(out_w).cast("long").alias("width"),
-        F.lit(out_h).cast("long").alias("height"),
-        F.md5(F.concat_ws("x", "digest", F.lit(out_w), F.lit(out_h))).alias("digest"),
-    )
+def downsample_image(df: DataFrame, factor: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """REAL image resize: decode (PNG/JPEG), 2×2 integer box-average
+    downsample (crop to even dims first — keeps the arithmetic
+    closed-form for the oracle: out[oy, ox] = (a+b+c+d) // 4 over
+    exact uint8 sums), emit (id, width, height, mean_luma) of the
+    RESIZED pixels. One narrow Arrow kernel; blobs never shuffle.
+    Non-image blobs are passed through the digest fake (disclosed)."""
+    if factor != 2:
+        raise ValueError("only factor-2 box downsample implemented")
+    schema = f"{id_col} long, width long, height long, mean_luma long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, media in zip(pdf[id_col], pdf["media"]):
+                arr = _decode_image(bytes(media))
+                if arr is None:  # disclosed fallback, same as decode
+                    w, h, m = _decode_bytes(bytes(media))
+                    rows.append((int(i), w // 2, h // 2, m))
+                    continue
+                h2, w2 = arr.shape[0] // 2, arr.shape[1] // 2
+                a = arr[: h2 * 2, : w2 * 2].astype(np.int64)
+                small = (
+                    a[0::2, 0::2] + a[1::2, 0::2] + a[0::2, 1::2] + a[1::2, 1::2]
+                ) // 4
+                rows.append(
+                    (int(i), w2, h2, int(small.sum() // max(small.size, 1)))
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mean_luma"])
+
+    return df.select(id_col, "media").mapInPandas(kernel, schema=schema)
 
 
 def frame_sample(

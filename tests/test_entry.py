@@ -66,11 +66,14 @@ def test_all_oracle_sql_parses_in_duckdb():
 def test_catalog_window_tail_has_prior_driver_rows():
     """Rotation contract: every entry OUTSIDE the driver's first-50
     verification window must have a green row in the PREVIOUS round's
-    CORRECTNESS file, so window ∪ previous-round covers the whole
-    catalog."""
+    CORRECTNESS file (the highest-numbered one on disk), so
+    window ∪ previous-round covers the whole catalog."""
+    import glob
     import json
 
     keys = list(E.queries())
-    prev = json.load(open(os.path.join(os.path.dirname(E.__file__), "CORRECTNESS_r02.json")))
+    repo = os.path.dirname(E.__file__)
+    latest = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))[-1]
+    prev = json.load(open(latest))
     missing = [k for k in keys[50:] if k not in prev or not prev[k]["hash_match"]]
-    assert missing == [], missing
+    assert missing == [], (latest, missing)

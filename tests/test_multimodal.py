@@ -11,8 +11,8 @@ from pyspark.sql import functions as F
 from georaster_spark.operators.multimodal import (
     audio_meta,
     decode_image_features,
+    downsample_image,
     frame_sample,
-    resize_image,
     with_media,
 )
 
@@ -40,6 +40,7 @@ def test_decode_image_features_matches_local_stub(media_docs):
         b = bytes(r["media"])
         h = hashlib.md5(b).hexdigest()
         got = out[r["doc_id"]]
+        assert got["kind"] == "other"  # IMG0 is not a decodable image
         assert got["n_bytes"] == len(b)
         assert got["width"] == 1 + int(h[0:4], 16) % 1024
         assert got["height"] == 1 + int(h[4:8], 16) % 1024
@@ -77,13 +78,50 @@ def test_audio_meta_is_column_algebra(media_docs):
     assert r["duration_ms"] == (n // 2) * 1000 // 16000
 
 
-def test_resize_is_deterministic_and_geometry_correct(media_docs):
-    out = resize_image(media_docs, 224, 224).collect()
-    assert all(r["width"] == 224 and r["height"] == 224 for r in out)
-    digests = {r["doc_id"]: r["digest"] for r in out}
-    again = {r["doc_id"]: r["digest"] for r in resize_image(media_docs, 224, 224).collect()}
-    assert digests == again
-    assert len(set(digests.values())) == len(digests)  # distinct inputs → distinct outputs
+def test_downsample_is_a_real_box_average(spark):
+    """4x4 PNG with known values → the 2x2 output must hold the exact
+    integer box means, verified against numpy."""
+    import numpy as np
+
+    from georaster_spark.sources.png import encode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+    a = img.astype(np.int64)
+    small = (a[0::2, 0::2] + a[1::2, 0::2] + a[0::2, 1::2] + a[1::2, 1::2]) // 4
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)))], "doc_id long, media binary"
+    )
+    r = downsample_image(df).collect()[0]
+    assert (r["width"], r["height"]) == (4, 3)
+    assert r["mean_luma"] == int(small.sum() // small.size)
+
+
+def test_downsample_mixed_formats_and_fallback(spark):
+    """PNG and JPEG rows downsample from real decodes; a non-image
+    blob takes the disclosed digest fallback with halved geometry."""
+    import numpy as np
+
+    from georaster_spark.operators.multimodal import _decode_bytes
+    from georaster_spark.sources.jpeg import encode_jpeg
+    from georaster_spark.sources.png import encode_png
+
+    png = encode_png(np.full((8, 10), 50, np.uint8))
+    jpg = encode_jpeg(np.full((16, 24), 77, np.uint8), quality=100)
+    fake = b"IMG0opaque"
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpg)), (3, bytearray(fake))],
+        "doc_id long, media binary",
+    )
+    rows = {r["doc_id"]: r for r in downsample_image(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["mean_luma"]) == (5, 4, 50)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["mean_luma"]) == (12, 8, 77)
+    w, h, m = _decode_bytes(fake)
+    assert (rows[3]["width"], rows[3]["height"], rows[3]["mean_luma"]) == (
+        w // 2,
+        h // 2,
+        m,
+    )
 
 
 def test_decode_bytes_png_is_a_real_decode():
@@ -99,26 +137,52 @@ def test_decode_bytes_png_is_a_real_decode():
 
 
 def test_decode_image_features_mixes_real_and_fake(spark):
-    """PNG rows decode for real; non-PNG rows keep the disclosed
-    digest fake — in the same kernel pass."""
+    """PNG and JPEG rows decode for real (magic-byte dispatch);
+    non-image rows keep the disclosed digest fake — all in the same
+    kernel pass."""
     import hashlib
 
     import numpy as np
 
     from georaster_spark.operators.multimodal import decode_image_features
+    from georaster_spark.sources.jpeg import encode_jpeg
     from georaster_spark.sources.png import encode_png
 
     png = encode_png(np.full((4, 7), 9, np.uint8))
+    jpg = encode_jpeg(np.full((8, 16), 33, np.uint8), quality=100)
     fake = b"IMG0hello"
     df = spark.createDataFrame(
-        [(1, bytearray(png)), (2, bytearray(fake))], "doc_id long, media binary"
+        [(1, bytearray(png)), (2, bytearray(fake)), (3, bytearray(jpg))],
+        "doc_id long, media binary",
     )
     rows = {r["doc_id"]: r for r in decode_image_features(df).collect()}
+    assert rows[1]["kind"] == "png"
     assert (rows[1]["width"], rows[1]["height"], rows[1]["mean_luma"]) == (7, 4, 9)
     assert rows[1]["digest"] == hashlib.md5(png).hexdigest()
+    assert rows[2]["kind"] == "other"
     h = hashlib.md5(fake).hexdigest()
     assert rows[2]["width"] == int(h[0:4], 16) % 1024 + 1
     assert rows[2]["mean_luma"] == int(h[8:10], 16)
+    assert rows[3]["kind"] == "jpeg"
+    assert (rows[3]["width"], rows[3]["height"], rows[3]["mean_luma"]) == (16, 8, 33)
+
+
+def test_with_jpeg_media_formula_roundtrip(spark):
+    """Generated JPEG geometry/content matches the shared formula for
+    a hand-picked id: doc_id=25 → w = 25 % 21 + 12 = 16, h = 175 % 19
+    + 12 = 16; tile (bx=1, by=0) = (1*5 + 0*11 + 25) % 256 = 30 — and
+    the quality-100 block-constant decode is BIT-exact."""
+    import numpy as np
+
+    from georaster_spark.operators.multimodal import with_jpeg_media
+    from georaster_spark.sources.jpeg import decode_jpeg
+
+    df = with_jpeg_media(spark.createDataFrame([(25,)], "doc_id long"))
+    arr = decode_jpeg(bytes(df.collect()[0]["media"]))
+    assert arr.shape == (16, 16)
+    assert arr[0, 8] == 30  # pixel in tile (1, 0)
+    py, px = np.mgrid[0:16, 0:16]
+    assert np.array_equal(arr, ((px // 8) * 5 + (py // 8) * 11 + 25) % 256)
 
 
 def test_with_png_media_formula_roundtrip(spark):
