@@ -381,23 +381,35 @@ def quantize_embeddings(
     return df.withColumn("emb_q", q)
 
 
-def _pq_slices(df: DataFrame, id_col: str, id_alias: str, m: int, dsub: int) -> DataFrame:
+def _pq_slices(
+    df: DataFrame,
+    id_col: str,
+    id_alias: str,
+    m: int,
+    dsub: int,
+    vec_col: str = "emb_q",
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
     """Explode a quantized-vector frame into per-subspace rows
-    (id_alias, sub, svec) — shared stage of encoding and LUT build."""
+    (id_alias, *extra, sub, svec) — shared stage of encoding and LUT
+    build."""
     return df.select(
         F.col(id_col).alias(id_alias),
+        *extra,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(s).alias("sub"),
-                        F.slice("emb_q", s * dsub + 1, dsub).alias("svec"),
+                        F.slice(vec_col, s * dsub + 1, dsub).alias("svec"),
                     )
                     for s in range(m)
                 ]
             )
         ).alias("sl"),
-    ).select(id_alias, F.col("sl.sub").alias("sub"), F.col("sl.svec").alias("svec"))
+    ).select(
+        id_alias, *extra, F.col("sl.sub").alias("sub"), F.col("sl.svec").alias("svec")
+    )
 
 
 def pq_codes(
@@ -463,6 +475,155 @@ def pq_topk(
         adc.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "adc")
+    )
+
+
+# ------------------------------------------------- IVF+PQ (residual)
+
+def ivfpq_cells_row(spark, coarse: list[tuple[int, list[int]]]) -> DataFrame:
+    """1-row DataFrame holding the pinned integer coarse centroids as
+    a sorted ``ARRAY<STRUCT<cell,cvec>>`` — broadcast onto corpus and
+    queries so assignment/probing stays a narrow per-row array scan
+    (the centroids_row pattern, integer flavor)."""
+    rows = [(int(c), [int(x) for x in v]) for c, v in sorted(coarse)]
+    return spark.createDataFrame(rows, "cell int, cvec array<bigint>").agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("cells")
+    )
+
+
+def _cell_dists(vec_col: str) -> Column:
+    """ARRAY<STRUCT<dist,cell>> of exact integer L2 against every
+    coarse centroid in the broadcast ``cells`` column — array_min
+    gives the argmin with ties to the smallest cell id."""
+    return F.transform(
+        F.col("cells"),
+        lambda c: F.struct(
+            _l2sq_int(F.col(vec_col), c["cvec"]).alias("dist"),
+            c["cell"].alias("cell"),
+        ),
+    )
+
+
+def ivfpq_assign_residual(
+    df: DataFrame, cells_row: DataFrame, vec_col: str = "emb_q"
+) -> DataFrame:
+    """Assign each integer vector to its nearest coarse cell and
+    attach the integer residual v - c(v) (Jégou et al. 2011, §IV:
+    residuals have far smaller spread than raw vectors, so the same
+    PQ code bytes quantize them more finely). Narrow: broadcast
+    1-row centroid array, per-row argmin, zip_with subtraction —
+    shuffle-free; at ingest ``cell`` becomes a partition column."""
+    assigned = df.crossJoin(F.broadcast(cells_row)).withColumn(
+        "cell", F.array_min(_cell_dists(vec_col))["cell"]
+    )
+    # cells are pinned as exactly 0..n-1, so element_at(cell+1) is the
+    # assigned centroid
+    cvec = F.element_at(F.col("cells"), F.col("cell") + 1)["cvec"]
+    return assigned.withColumn(
+        "resid", F.zip_with(F.col(vec_col), cvec, lambda x, y: x - y)
+    ).drop("cells")
+
+
+def ivfpq_codes(
+    corpus: DataFrame, cells_row: DataFrame, codebook: DataFrame, m: int, dsub: int
+) -> DataFrame:
+    """(vec_id, cell, sub, code): residual-PQ encoding. Same shape as
+    ``pq_codes`` plus the cell — at scale this (1 + m)-byte row set
+    REPLACES the stored vectors."""
+    corp = ivfpq_assign_residual(corpus, cells_row)
+    sliced = _pq_slices(
+        corp, "vec_id", "vec_id", m, dsub, vec_col="resid", extra=("cell",)
+    )
+    d = _l2sq_int(F.col("svec"), F.col("cvec"))
+    return (
+        sliced.join(F.broadcast(codebook), "sub")
+        .groupBy("vec_id", "cell", "sub")
+        .agg(F.min(F.struct(d.alias("dist"), F.col("code").alias("code"))).alias("m"))
+        .select("vec_id", "cell", "sub", F.col("m.code").alias("code"))
+    )
+
+
+def ivfpq_topk_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cells_row: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dsub: int,
+    k: int = 5,
+    nprobe: int = 4,
+    n_candidates: int = 100,
+) -> DataFrame:
+    """IVF+PQ-residual two-stage retrieval: per query probe the
+    ``nprobe`` nearest coarse cells; per probed cell build the m×K
+    LUT of exact integer distances between the QUERY RESIDUAL (wrt
+    that cell's centroid) and the residual codebook; ADC = m lookups
+    summed per corpus row, comparable ACROSS cells because each
+    approximates the same ||q - v||²; exact integer-L2 re-rank of the
+    top ``n_candidates``. The probe join on (cell, sub, code) prunes
+    to nprobe/n_cells of the codes table — the IVF pruning arrives as
+    an equi-join, no filter pass over the corpus."""
+    codes = ivfpq_codes(corpus, cells_row, codebook, m, dsub)
+    qf = queries.select(F.col("vec_id").alias("query_id"), "emb_q")
+    probes = (
+        qf.crossJoin(F.broadcast(cells_row))
+        .select(
+            "query_id",
+            "emb_q",
+            "cells",
+            F.explode(F.slice(F.array_sort(_cell_dists("emb_q")), 1, nprobe)).alias(
+                "p"
+            ),
+        )
+        .withColumn("cell", F.col("p.cell"))
+        .withColumn(
+            "q_resid",
+            F.zip_with(
+                F.col("emb_q"),
+                F.element_at(F.col("cells"), F.col("cell") + 1)["cvec"],
+                lambda x, y: x - y,
+            ),
+        )
+        .select("query_id", "cell", "q_resid")
+    )
+    qsliced = _pq_slices(
+        probes, "query_id", "query_id", m, dsub, vec_col="q_resid", extra=("cell",)
+    )
+    lut = qsliced.join(F.broadcast(codebook), "sub").select(
+        "query_id",
+        "cell",
+        "sub",
+        "code",
+        _l2sq_int(F.col("svec"), F.col("cvec")).alias("d"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    wc = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= n_candidates)
+        .select("query_id", "vec_id", "adc")
+    )
+    qv = qf.select("query_id", F.col("emb_q").alias("q_emb"))
+    cv = corpus.select("vec_id", F.col("emb_q").alias("c_emb"))
+    rer = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "adc",
+            _l2sq_int(F.col("q_emb"), F.col("c_emb")).alias("exact_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_d", "vec_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "exact_d", "adc")
     )
 
 

@@ -948,6 +948,7 @@ def sql_embedding_centroids():
 
 
 PQ_M, PQ_DSUB, PQ_NSEEDS = 8, 8, 16  # 64 dims -> 8 subspaces of 8
+PQ_NPROBE = 4  # IVF cells probed per query (of the 8 pinned cells)
 PQ_Q_LO, PQ_Q_HI = 16, 20  # query vec_ids (disjoint from seeds+corpus)
 
 
@@ -955,38 +956,48 @@ PQ_NCAND = 100  # ADC candidates per query before the exact re-rank
 
 
 def q_ann_pq(spark, sf_dir):
-    """Product-quantization ANN, the full production two-stage shape
-    (operators/ann.py pq_codes/pq_topk_rerank): vectors are encoded
-    as m=8 one-byte codes (32× smaller than the float vectors); at
-    query time ADC scores the whole corpus with m integer lookups per
-    row to retrieve 100 candidates, then ONLY those candidates' full
-    vectors are fetched for an exact-L2 re-rank to top-5 — at 100 TB
-    the embedding column is never scanned at query time. All
-    arithmetic is EXACT integer math on e3-quantized dims, so code
-    assignments and both rank stages hash identically in the DuckDB
-    oracle. The codebook is per-subspace Lloyd k-means trained
-    offline and PINNED with integer centroids
-    (georaster_spark/pq_codebook.py, tools/pin_pq_codebook.py —
-    deterministic, reproducible byte-for-byte); the oracle carries it
-    as a long-form VALUES table. Recall-vs-exact (and why isotropic
-    synthetic embeddings are PQ's worst case) characterized in
-    BENCH/ANN_RECALL.md."""
+    """IVF+PQ **residual** ANN (Jégou et al., TPAMI 2011), the full
+    production two-stage shape (operators/ann.py ivfpq_*): each
+    vector is assigned to its nearest of 8 coarse cells and the
+    RESIDUAL v - c(v) is encoded as m=8 one-byte codes — residuals
+    have far smaller spread than raw vectors, so the same code bytes
+    quantize finer (recall@5 0.88 → 1.00 at sf0.01 vs round-3 flat
+    PQ at equal code bytes; BENCH/ANN_RECALL.md). At query time the
+    nprobe=4 nearest cells are probed, a per-(query, cell) LUT of
+    exact integer residual distances scores the codes via one
+    equi-join (the IVF pruning IS the join — unprobed cells' codes
+    never join), and only the top-100 candidates' full vectors are
+    fetched for the exact re-rank to top-5. All arithmetic EXACT
+    integer on e3-quantized dims; the coarse centroids and residual
+    codebook are Lloyd-trained offline and PINNED as integers
+    (georaster_spark/ivfpq_codebook.py, tools/pin_ivfpq.py); the
+    oracle carries both as long-form VALUES tables."""
     from georaster_spark.operators.ann import (
-        pq_codes,
-        pq_topk_rerank,
+        ivfpq_cells_row,
+        ivfpq_topk_rerank,
         quantize_embeddings,
     )
-    from georaster_spark.pq_codebook import PQ_CODEBOOK
+    from georaster_spark.ivfpq_codebook import IVFPQ_CODEBOOK, IVFPQ_COARSE
 
     qe = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    cells = ivfpq_cells_row(spark, IVFPQ_COARSE)
     codebook = spark.createDataFrame(
-        PQ_CODEBOOK, "sub int, code long, cvec array<bigint>"
+        IVFPQ_CODEBOOK, "sub int, code long, cvec array<bigint>"
     )
-    corpus = qe.where(F.col("vec_id") > PQ_Q_HI)
-    queries = qe.where(F.col("vec_id").between(PQ_Q_LO, PQ_Q_HI))
-    codes = pq_codes(corpus, codebook, PQ_M, PQ_DSUB)
-    out = pq_topk_rerank(
-        queries, corpus, codes, codebook, PQ_M, PQ_DSUB, k=5, n_candidates=PQ_NCAND
+    corpus = qe.where(F.col("vec_id") > PQ_Q_HI).select("vec_id", "emb_q")
+    queries = qe.where(F.col("vec_id").between(PQ_Q_LO, PQ_Q_HI)).select(
+        "vec_id", "emb_q"
+    )
+    out = ivfpq_topk_rerank(
+        queries,
+        corpus,
+        cells,
+        codebook,
+        PQ_M,
+        PQ_DSUB,
+        k=5,
+        nprobe=PQ_NPROBE,
+        n_candidates=PQ_NCAND,
     )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -998,14 +1009,17 @@ def q_ann_pq(spark, sf_dir):
 
 
 def sql_ann_pq():
-    from georaster_spark.pq_codebook import PQ_CODEBOOK
+    from georaster_spark.ivfpq_codebook import IVFPQ_CODEBOOK, IVFPQ_COARSE
 
-    # long-form pinned codebook: (sub, code, dim, val) — the per-
-    # (vector, sub, code) distance is then a SUM over 8 integer rows,
-    # exact and order-independent
-    vals = ", ".join(
+    # long-form pinned tables: cells (cell, dim, val) and codebook
+    # (sub, code, dim, val) — every distance is a SUM over integer
+    # rows, exact and order-independent
+    cell_vals = ", ".join(
+        f"({c}, {d + 1}, {v})" for c, vec in IVFPQ_COARSE for d, v in enumerate(vec)
+    )
+    cb_vals = ", ".join(
         f"({s}, {c}, {d + 1}, {v})"
-        for s, c, vec in PQ_CODEBOOK
+        for s, c, vec in IVFPQ_CODEBOOK
         for d, v in enumerate(vec)
     )
     return f"""
@@ -1015,34 +1029,62 @@ def sql_ann_pq():
                v -> CAST(round(CAST(v AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS emb
       FROM embeddings
     ),
-    subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub),
-    cbd(sub, code, d, val) AS (VALUES {vals}),
+    cells(cell, d, val) AS (VALUES {cell_vals}),
+    cbd(sub, code, d, val) AS (VALUES {cb_vals}),
+    cdist AS (
+      SELECT q.vec_id, c.cell,
+             sum((q.emb[c.d] - c.val) * (q.emb[c.d] - c.val)) AS dist
+      FROM qe q, cells c
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM cdist WHERE vec_id > {PQ_Q_HI}
+      ) WHERE rn = 1
+    ),
+    rq AS (
+      SELECT a.vec_id, c.d, q.emb[c.d] - c.val AS rv
+      FROM assign a JOIN cells c USING (cell) JOIN qe q USING (vec_id)
+    ),
     enc AS (
-      SELECT a.vec_id, a.sub, c.code,
-             sum((a.emb[a.sub * {PQ_DSUB} + c.d] - c.val)
-                 * (a.emb[a.sub * {PQ_DSUB} + c.d] - c.val)) AS dist
-      FROM (SELECT vec_id, sub, emb FROM qe, subs WHERE vec_id > {PQ_Q_HI}) a
-      JOIN cbd c USING (sub)
+      SELECT r.vec_id, cb.sub, cb.code,
+             sum((r.rv - cb.val) * (r.rv - cb.val)) AS dist
+      FROM rq r JOIN cbd cb
+        ON cb.sub = (r.d - 1) // {PQ_DSUB} AND cb.d = (r.d - 1) % {PQ_DSUB} + 1
       GROUP BY 1, 2, 3
     ),
     codes AS (
-      SELECT vec_id, sub, code FROM (
+      SELECT e.vec_id, a.cell, e.sub, e.code
+      FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
         FROM enc
-      ) WHERE rn = 1
+      ) e JOIN assign a USING (vec_id)
+      WHERE e.rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM cdist WHERE vec_id BETWEEN {PQ_Q_LO} AND {PQ_Q_HI}
+      ) WHERE rn <= {PQ_NPROBE}
+    ),
+    qr AS (
+      SELECT p.query_id, p.cell, c.d, q.emb[c.d] - c.val AS rv
+      FROM probes p JOIN cells c USING (cell) JOIN qe q ON q.vec_id = p.query_id
     ),
     lut AS (
-      SELECT q.vec_id AS query_id, q.sub, c.code,
-             sum((q.emb[q.sub * {PQ_DSUB} + c.d] - c.val)
-                 * (q.emb[q.sub * {PQ_DSUB} + c.d] - c.val)) AS d
-      FROM (SELECT vec_id, sub, emb FROM qe, subs
-            WHERE vec_id BETWEEN {PQ_Q_LO} AND {PQ_Q_HI}) q
-      JOIN cbd c USING (sub)
-      GROUP BY 1, 2, 3
+      SELECT r.query_id, r.cell, cb.sub, cb.code,
+             sum((r.rv - cb.val) * (r.rv - cb.val)) AS d
+      FROM qr r JOIN cbd cb
+        ON cb.sub = (r.d - 1) // {PQ_DSUB} AND cb.d = (r.d - 1) % {PQ_DSUB} + 1
+      GROUP BY 1, 2, 3, 4
     ),
     adc AS (
-      SELECT query_id, vec_id, sum(d) AS adc
-      FROM codes JOIN lut USING (sub, code)
+      SELECT l.query_id, k.vec_id, sum(l.d) AS adc
+      FROM codes k JOIN lut l
+        ON l.cell = k.cell AND l.sub = k.sub AND l.code = k.code
       GROUP BY 1, 2
     ),
     cand AS (

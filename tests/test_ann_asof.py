@@ -316,18 +316,19 @@ def test_interval_join_matches_brute_force(spark):
 
 
 def test_pq_matches_independent_numpy(spark):
-    """PQ codes and ADC top-5 equal an independently written NumPy
-    product quantizer over the same parquet (own slicing, own argmin,
-    own lookup-table scoring) — exact equality because all distance
-    arithmetic is integer."""
+    """IVF+PQ-residual codes, probing, ADC, and re-rank equal an
+    independently written NumPy quantizer over the same parquet (own
+    cell argmin, own residuals, own lookup-table scoring) — exact
+    equality because all distance arithmetic is integer."""
     import numpy as np
     import pandas as pd
 
-    from georaster_spark.pq_codebook import PQ_CODEBOOK
+    from georaster_spark.ivfpq_codebook import IVFPQ_CODEBOOK, IVFPQ_COARSE
     from georaster_spark.queries import (
         PQ_DSUB,
         PQ_M,
         PQ_NCAND,
+        PQ_NPROBE,
         PQ_Q_HI,
         PQ_Q_LO,
         q_ann_pq,
@@ -337,30 +338,44 @@ def test_pq_matches_independent_numpy(spark):
     emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
     ids = emb["vec_id"].to_numpy()
     X = np.round(np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1000.0).astype(np.int64)
-    sub = lambda M, s: M[:, s * PQ_DSUB : (s + 1) * PQ_DSUB]  # noqa: E731
-    k = max(c for _, c, _ in PQ_CODEBOOK) + 1
+    coarse = np.array([v for _, v in IVFPQ_COARSE], dtype=np.int64)
+    k = max(c for _, c, _ in IVFPQ_CODEBOOK) + 1
     cb = np.zeros((PQ_M, k, PQ_DSUB), dtype=np.int64)
-    for s, c, vec in PQ_CODEBOOK:
+    for s, c, vec in IVFPQ_CODEBOOK:
         cb[s, c] = vec
     corpus_mask = ids > PQ_Q_HI
     C, cids = X[corpus_mask], ids[corpus_mask]
+    # coarse assignment + residual codes (argmin ties -> lowest id,
+    # same as the engine's struct-min)
+    cd = ((C[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    cells = cd.argmin(axis=1)
+    R = C - coarse[cells]
     codes = np.zeros((len(C), PQ_M), dtype=np.int64)
     for s in range(PQ_M):
-        d = ((sub(C, s)[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
-        codes[:, s] = d.argmin(axis=1)  # ties -> lowest code, same as engine
+        d = ((R[:, None, s * PQ_DSUB : (s + 1) * PQ_DSUB] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d.argmin(axis=1)
     expect = {}
     for q in range(PQ_Q_LO, PQ_Q_HI + 1):
         qv = X[ids == q][0]
-        lut = np.zeros((PQ_M, k), dtype=np.int64)
-        for s in range(PQ_M):
-            lut[s] = ((cb[s] - qv[s * PQ_DSUB : (s + 1) * PQ_DSUB]) ** 2).sum(axis=1)
-        adc = lut[np.arange(PQ_M)[:, None], codes.T].sum(axis=0)
-        cand = np.lexsort((cids, adc))[:PQ_NCAND]
-        exact = ((C[cand] - qv) ** 2).sum(axis=1)
-        order = cand[np.lexsort((cids[cand], exact))[:5]]
+        qd = ((coarse - qv) ** 2).sum(axis=1)
+        probed = np.argsort(qd, kind="stable")[:PQ_NPROBE]
+        sel = np.isin(cells, probed)
+        scid, scell, scode, SC = cids[sel], cells[sel], codes[sel], C[sel]
+        adc = np.zeros(sel.sum(), dtype=np.int64)
+        for cell in probed:
+            m2 = scell == cell
+            if not m2.any():
+                continue
+            qr = qv - coarse[cell]
+            for s in range(PQ_M):
+                lut = ((cb[s] - qr[s * PQ_DSUB : (s + 1) * PQ_DSUB]) ** 2).sum(axis=1)
+                adc[m2] += lut[scode[m2, s]]
+        cand = np.lexsort((scid, adc))[:PQ_NCAND]
+        exact = ((SC[cand] - qv) ** 2).sum(axis=1)
+        order = cand[np.lexsort((scid[cand], exact))[:5]]
         exact_by_idx = dict(zip(cand.tolist(), exact.tolist()))
         for r, i in enumerate(order, start=1):
-            expect[(q, int(cids[i]))] = (r, int(exact_by_idx[int(i)]), int(adc[i]))
+            expect[(q, int(scid[i]))] = (r, int(exact_by_idx[int(i)]), int(adc[i]))
     got = {
         (r.query_id, r.vec_id): (r.rank, r.exact_d, r.adc)
         for r in q_ann_pq(spark, sf).collect()
