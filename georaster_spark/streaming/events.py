@@ -128,44 +128,54 @@ def interval_counts_stream(
     return _run_to_memory(agg, "stream_interval", "complete")
 
 
-def view_click_join_stream(
-    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+def view_click_join(
+    ev: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
-    """STREAM-STREAM inner join — the hardest streaming join class:
-    each user's view events matched to their click events within
-    ``horizon`` after the view. Both sides are unbounded, so BOTH
-    carry watermarks and the join condition includes the time bound —
-    that pair is what lets the state store EVICT: a buffered view can
-    be dropped once the click-side watermark passes view_ts + horizon
-    (without the time bound the state grows forever). Append-mode
-    output; on an availableNow replay the emitted pairs equal the
-    batch self-join — the oracle's equivalence."""
+    """STREAM-STREAM inner join graph — the hardest streaming join
+    class: each user's view events matched to their click events
+    within ``horizon`` after the view. Both sides are unbounded, so
+    BOTH carry watermarks and the join condition includes the time
+    bound — that pair is what lets the state store EVICT: a buffered
+    view can be dropped once the click-side watermark passes
+    view_ts + horizon (without the time bound the state grows
+    forever). Buffered-but-unmatched rows live in the CHECKPOINTED
+    state store, so a kill/restart between microbatches loses nothing
+    (tests/test_streaming.py kill-and-resume). ``ev`` is a streaming
+    events frame (ts, event_id, user_id, event_type); the self-join
+    reads it twice."""
     v = (
-        stream_events(spark, sf_dir)
-        .where(F.col("event_type") == "view")
+        ev.where(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("view_id"),
             F.col("user_id"),
             F.col("ts").alias("view_ts"),
         )
-        .withWatermark("view_ts", "2 hours")
+        .withWatermark("view_ts", watermark)
     )
     c = (
-        stream_events(spark, sf_dir)
-        .where(F.col("event_type") == "click")
+        ev.where(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user_id"),
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "2 hours")
+        .withWatermark("click_ts", watermark)
     )
-    joined = v.join(
+    return v.join(
         c,
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("click_ts") >= F.col("view_ts"))
         & (F.col("click_ts") < F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
     ).select("view_id", "click_id", "user_id")
+
+
+def view_click_join_stream(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Append-mode drain of ``view_click_join`` over the events
+    table; on an availableNow replay the emitted pairs equal the
+    batch self-join — the oracle's equivalence."""
+    joined = view_click_join(stream_events(spark, sf_dir), horizon)
     return _run_to_memory(joined, "stream_ssjoin", "append")
 
 

@@ -168,8 +168,18 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
     )
-    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    out = connected_components(pairs)
+    got = {r["node"]: r["component"] for r in out.collect()}
     assert got == {i: 0 for i in range(101)}
+    # lineage-truncation invariant: the per-round localCheckpoint must
+    # keep the FINAL plan depth independent of how many star rounds
+    # ran — the label plan hangs off one checkpointed RDD scan, not a
+    # tower of per-round Union/Except operators (which would make
+    # Catalyst analysis, not data, the bottleneck at true scale)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, plan
+    assert plan.count("Union") == 1, plan  # the node-set union only
+    assert "Except" not in plan, plan
 
 
 def test_connected_components_random_graphs_match_transitive_closure(spark):

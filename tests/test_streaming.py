@@ -349,6 +349,103 @@ def test_sessionize_live_kill_and_resume(spark, tmp_path):
     assert u2 and u2[0][3] == 2
 
 
+def test_stream_stream_join_kill_and_resume(spark, tmp_path):
+    """Restart-consistency of the stream-stream join's state store:
+    drain part A with a checkpoint (views buffered, some unmatched),
+    'kill' the query, add part B holding the matching clicks, restart
+    from the SAME checkpoint — the union of emitted pairs must equal
+    a one-shot run AND the batch self-join. Proves the buffered join
+    state (a part-A view whose click only arrives in part B) survives
+    the restart rather than being recomputed or lost."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georaster_spark.streaming.events import view_click_join
+
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    mins = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+
+    def write_file(d, name, rows, mtime):
+        p = str(d / name)
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([t for t, *_ in rows], type=pa.timestamp("us")),
+                    "event_id": pa.array([e for _, e, _, _ in rows], type=pa.int64()),
+                    "user_id": pa.array([u for _, _, u, _ in rows], type=pa.int64()),
+                    "event_type": pa.array([y for *_, y in rows]),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (mtime, mtime))
+
+    # part A: u1 view+click both in A (matches within A); u2 view in A
+    # whose click arrives only in B (the state-survival case); u3 view
+    # whose click lands OUTSIDE the 1h horizon (must never match)
+    part_a = [
+        (mins(0), 1, 1, "view"), (mins(10), 2, 1, "click"),
+        (mins(20), 3, 2, "view"),
+        (mins(30), 4, 3, "view"),
+    ]
+    part_b = [
+        (mins(50), 5, 2, "click"),    # matches u2's buffered A view
+        (mins(200), 6, 3, "click"),   # > 1h after u3's view: no match
+        (mins(60), 7, 1, "view"), (mins(70), 8, 1, "click"),  # B-only pair
+    ]
+    expect = {(1, 2, 1), (3, 5, 2), (7, 8, 1)}
+
+    def run(indir, ckpt, outdir, phases):
+        out = []
+        for files in phases:
+            for name, rows, mtime in files:
+                write_file(indir, name, rows, mtime)
+            ev = (
+                spark.readStream.schema(
+                    "ts timestamp, event_id long, user_id long, event_type string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(indir))
+            )
+            q = (
+                view_click_join(ev, horizon="1 hour")
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", str(outdir))
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            rows = [
+                tuple(r)
+                for r in spark.read.parquet(str(outdir))
+                .select("view_id", "click_id", "user_id")
+                .collect()
+            ]
+            assert len(rows) == len(set(rows)), "duplicate pair emitted"
+            out.append(set(rows))
+        return out
+
+    a_dir = tmp_path / "split"; a_dir.mkdir()
+    phased = run(
+        a_dir, tmp_path / "ck_split", tmp_path / "out_split",
+        [[("a.parquet", part_a, 1000)], [("b.parquet", part_b, 2000)]],
+    )
+    o_dir = tmp_path / "oneshot"; o_dir.mkdir()
+    oneshot = run(
+        o_dir, tmp_path / "ck_one", tmp_path / "out_one",
+        [[("a.parquet", part_a, 1000), ("b.parquet", part_b, 2000)]],
+    )
+    assert phased[0] <= phased[1]
+    assert phased[1] == oneshot[0] == expect
+    # the cross-restart pair (view buffered in A, click in B) emitted
+    assert (3, 5, 2) in phased[1] and (3, 5, 2) not in phased[0]
+
+
 def test_stream_static_interval_join_equals_batch(spark):
     """Stream-static join: the availableNow replay of the streaming
     interval enrichment equals the batch bucketized interval join,
