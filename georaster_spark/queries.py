@@ -3824,11 +3824,13 @@ def q_ice_prune(spark, sf_dir):
     committed as a snapshot CLUSTERED on order date (disjoint
     per-file date ranges, Iceberg write.sort-order), then a one-year
     range read plans its scan from the manifest's footer stats. The
-    function RAISES unless pruning actually dropped files, so a green
-    driver row is also evidence the skip happened — results stay
-    exact because the filter is re-applied as a residual predicate.
-    At 100 TB this is the difference between listing ~one manifest
-    and scanning every file of the table."""
+    function RAISES unless pruning actually dropped files AND (r4)
+    unless the TWO-LEVEL manifest skipped whole stat groups — the
+    snapshot is written with manifest_group_size=2, so planning reads
+    rollup stats for 4 groups and opens only the surviving ones, the
+    Iceberg manifest-list behavior that keeps planning itself
+    sub-scan at 10^12 rows. Results stay exact because the filter is
+    re-applied as a residual predicate."""
     import datetime
     import hashlib
     import os
@@ -3838,9 +3840,12 @@ def q_ice_prune(spark, sf_dir):
     from georaster_spark.sources import icetable
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # layout key in the cache name: the r4 two-level-manifest rewrite
+    # must rebuild, not reuse a flat-manifest table from an older run
     tbl = os.path.join(
         tempfile.gettempdir(),
-        "georaster_ice_prune_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        "georaster_ice_prune_"
+        + hashlib.md5(f"{sf_dir}|groups2".encode()).hexdigest()[:10],
     )
     if not os.path.exists(tbl):
         # write-once + atomic rename, same rule as _synth_ingest_paths:
@@ -3858,6 +3863,7 @@ def q_ice_prune(spark, sf_dir):
             tmp,
             cluster_by=["o_date"],
             n_files=8,
+            manifest_group_size=2,
         )
         try:
             os.replace(tmp, tbl)
@@ -3872,6 +3878,11 @@ def q_ice_prune(spark, sf_dir):
         raise RuntimeError(
             f"file skipping did not engage: kept {len(plan['kept'])}"
             f" of {plan['total']} files"
+        )
+    if not 0 < plan["groups_read"] < plan["groups_total"]:
+        raise RuntimeError(
+            "manifest-group skipping did not engage: read "
+            f"{plan['groups_read']} of {plan['groups_total']} groups"
         )
     df = icetable.read_table(spark, tbl, filters=filters)
     return df.groupBy(F.date_format("o_date", "yyyy-MM").alias("month")).agg(

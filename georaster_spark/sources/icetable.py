@@ -59,6 +59,12 @@ def _manifest_path(path: str, snapshot_id: str) -> str:
     return os.path.join(_meta_dir(path), f"manifest-{snapshot_id}.json")
 
 
+def _filegroup_path(path: str, snapshot_id: str, k: int) -> str:
+    # distinct prefix: snapshots() globs manifest-*; group files are
+    # NOT manifests
+    return os.path.join(_meta_dir(path), f"filegroup-{snapshot_id}-g{k:05d}.json")
+
+
 class _commit_lock:
     """Tiny advisory lock (O_CREAT|O_EXCL) serializing the
     check-pointer-then-swap critical section. A lock older than 60 s
@@ -283,15 +289,78 @@ def file_matches(f: dict, filters: list[tuple]) -> bool:
     return True
 
 
+def _rollup_stats(files: list[dict]) -> dict[str, dict]:
+    """Group-level column stats: min of member mins / max of maxes /
+    summed nulls; a column unknown in ANY member is unknown for the
+    group (min/max None => the group is never pruned on it)."""
+    out: dict[str, dict] = {}
+    names = {n for f in files for n in (f.get("stats") or {})}
+    for name in names:
+        mins, maxs, nulls, ok = [], [], 0, True
+        for f in files:
+            cs = (f.get("stats") or {}).get(name)
+            if not cs or cs.get("min") is None or cs.get("max") is None:
+                ok = False
+            else:
+                mins.append(cs["min"])
+                maxs.append(cs["max"])
+            if cs:
+                nulls += cs.get("nulls") or 0
+        out[name] = {
+            "min": min(mins) if ok and mins else None,
+            "max": max(maxs) if ok and maxs else None,
+            "nulls": nulls,
+        }
+    return out
+
+
+def manifest_files(
+    path: str,
+    m: dict[str, Any],
+    filters: list[tuple] | None = None,
+) -> tuple[list[dict], int, int, int]:
+    """The snapshot's candidate file entries after GROUP-level
+    pruning: ``(files, total_files, groups_read, groups_total)``.
+
+    Flat manifests (the ``files`` key) return everything with
+    groups_read = groups_total = 0; two-level manifests
+    (``file_groups``) open ONLY the groups whose rollup stats can
+    satisfy ``filters`` — at 10^12 rows the flat list is itself a
+    scan problem, and this is Iceberg's manifest-list level: planning
+    reads O(surviving groups), not O(files). Per-FILE pruning stays
+    with the caller (``file_matches``) so exactness never depends on
+    the rollups."""
+    if "files" in m:
+        return list(m["files"]), len(m["files"]), 0, 0
+    groups = m["file_groups"]
+    files: list[dict] = []
+    opened = 0
+    for g in groups:
+        if filters and not file_matches(g, filters):
+            continue
+        opened += 1
+        with open(os.path.join(_meta_dir(path), g["group"])) as f:
+            files.extend(json.load(f)["files"])
+    return files, m["n_files"], opened, len(groups)
+
+
 def plan_files(
     path: str, filters: list[tuple] | None = None, snapshot_id: str | None = None
 ) -> dict[str, Any]:
     """Scan planning without reading data: which manifest files
-    survive stat pruning. Returns {kept: [...], total: n} — the
-    audit surface for 'did file skipping actually skip'."""
+    survive stat pruning. Returns {kept, total, groups_read,
+    groups_total} — the audit surface for 'did file skipping actually
+    skip' (and, two-level, 'did group skipping skip the stat reads
+    themselves')."""
     m = read_manifest(path, snapshot_id)
-    kept = [f for f in m["files"] if not filters or file_matches(f, filters)]
-    return {"kept": kept, "total": len(m["files"])}
+    cand, total, groups_read, groups_total = manifest_files(path, m, filters)
+    kept = [f for f in cand if not filters or file_matches(f, filters)]
+    return {
+        "kept": kept,
+        "total": total,
+        "groups_read": groups_read,
+        "groups_total": groups_total,
+    }
 
 
 def write_table(
@@ -303,6 +372,7 @@ def write_table(
     cluster_by: list[str] | None = None,
     n_files: int | None = None,
     expected_parent: str | None = "auto",
+    manifest_group_size: int | None = None,
 ) -> str:
     """Write a new snapshot and atomically commit it. Returns the
     snapshot id. ``mode='append'`` keeps prior snapshot's files live
@@ -323,7 +393,16 @@ def write_table(
     stats prune point and range reads to ~one file — e.g. cluster on
     ``morton_key_cols(cell)`` for spatial locality. ``n_files``
     bounds the file count (defaults to Spark's range-partition
-    choice)."""
+    choice).
+
+    ``manifest_group_size`` switches to a TWO-LEVEL manifest
+    (Iceberg's manifest-list): file entries split into groups of that
+    size, each group a side file with a rollup of its members' column
+    stats in the top manifest — scan planning then reads
+    O(surviving groups), not O(files), which is what keeps planning
+    itself sub-scan at 10^12 rows. Clustered writes group files in
+    key order (part file order == range order), so group rollups stay
+    as selective as the per-file stats one level down."""
     if mode not in ("overwrite", "append"):
         raise ValueError(mode)
     parent = current_snapshot(path) if expected_parent == "auto" else expected_parent
@@ -347,11 +426,13 @@ def write_table(
             if n.endswith(".parquet"):
                 p = os.path.join(root, n)
                 files.append({"path": os.path.relpath(p, path), "bytes": os.path.getsize(p)})
+    files.sort(key=lambda f: f["path"])  # part order == range order
     stats = collect_file_stats(df.sparkSession, path, files)
     for f in files:
         f["stats"] = stats.get(f["path"], {})
     if mode == "append" and parent is not None:
-        files = read_manifest(path, parent)["files"] + files
+        pm = read_manifest(path, parent)
+        files = manifest_files(path, pm)[0] + files
 
     manifest = {
         "snapshot_id": snapshot_id,
@@ -360,10 +441,30 @@ def write_table(
         "schema": df.schema.jsonValue(),
         "partition_by": partition_by or [],
         "mode": mode,
-        "files": files,
         "extra": extra or {},
     }
     os.makedirs(_meta_dir(path), exist_ok=True)
+    if manifest_group_size:
+        groups = []
+        for k in range(0, len(files), manifest_group_size):
+            member = files[k : k + manifest_group_size]
+            gname = os.path.basename(
+                _filegroup_path(path, snapshot_id, k // manifest_group_size)
+            )
+            with open(os.path.join(_meta_dir(path), gname), "w") as f:
+                json.dump({"files": member}, f)
+            groups.append(
+                {
+                    "group": gname,
+                    "n_files": len(member),
+                    "bytes": sum(x["bytes"] for x in member),
+                    "stats": _rollup_stats(member),
+                }
+            )
+        manifest["file_groups"] = groups
+        manifest["n_files"] = len(files)
+    else:
+        manifest["files"] = files
     with open(_manifest_path(path, snapshot_id), "w") as f:
         json.dump(manifest, f)
     # atomic commit: CAS on the basis snapshot, then write-temp+rename
@@ -394,9 +495,8 @@ def read_table(
     applied as a normal residual predicate (so results are exact
     whatever the stats say; the stats only shrink the scan)."""
     m = read_manifest(path, snapshot_id)
-    use_files = [
-        f for f in m["files"] if not filters or file_matches(f, filters)
-    ]
+    cand = manifest_files(path, m, filters)[0]
+    use_files = [f for f in cand if not filters or file_matches(f, filters)]
     if not use_files:
         from pyspark.sql.types import StructType
 
@@ -516,7 +616,11 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict[str, int]:
     chain = committed_chain(path)
     keep = chain[-keep_last:]
     keep_ids = {m["snapshot_id"] for m in keep}
-    keep_files = {os.path.normpath(f["path"]) for m in keep for f in m["files"]}
+    keep_files = {
+        os.path.normpath(f["path"])
+        for m in keep
+        for f in manifest_files(path, m)[0]
+    }
 
     # cut the parent link of the oldest kept manifest
     oldest = keep[0]
@@ -530,6 +634,11 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict[str, int]:
     removed_manifests = 0
     for m in snapshots(path):
         if m["snapshot_id"] not in keep_ids:
+            for g in m.get("file_groups") or []:
+                try:
+                    os.remove(os.path.join(_meta_dir(path), g["group"]))
+                except FileNotFoundError:
+                    pass
             os.remove(_manifest_path(path, m["snapshot_id"]))
             removed_manifests += 1
 

@@ -132,6 +132,80 @@ class TestFileSkipping:
         assert len(plan["kept"]) == 1
 
 
+class TestTwoLevelManifest:
+    def test_group_pruning_skips_stat_reads(self, spark, docs, tmp_path):
+        """manifest_group_size=2 over 8 clustered files → 4 groups
+        with rollup stats; a narrow range read must open only the
+        surviving groups (planning reads O(groups), not O(files)) and
+        then still prune per-file inside them."""
+        path = str(tmp_path / "tl1")
+        icetable.write_table(
+            docs.select("doc_seq", "url"), path,
+            cluster_by=["doc_seq"], n_files=8, manifest_group_size=2,
+        )
+        m = icetable.read_manifest(path)
+        assert "files" not in m and m["n_files"] == 8
+        assert len(m["file_groups"]) == 4
+        for g in m["file_groups"]:
+            st = g["stats"]["doc_seq"]
+            assert st["min"] is not None and st["min"] <= st["max"]
+        plan = icetable.plan_files(path, [("doc_seq", "=", 123)])
+        assert plan["groups_total"] == 4 and plan["groups_read"] == 1
+        assert plan["total"] == 8 and len(plan["kept"]) == 1
+        got = icetable.read_table(spark, path, filters=[("doc_seq", "=", 123)])
+        assert [r["doc_seq"] for r in got.collect()] == [123]
+
+    def test_grouped_results_equal_flat(self, spark, docs, tmp_path):
+        flat, grouped = str(tmp_path / "flat"), str(tmp_path / "grp")
+        for p, gs in ((flat, None), (grouped, 3)):
+            icetable.write_table(
+                docs.select("doc_seq", "url", "lang"), p,
+                cluster_by=["doc_seq"], n_files=8, manifest_group_size=gs,
+            )
+        filters = [("doc_seq", ">=", 90), ("doc_seq", "<", 210)]
+        a = sorted(
+            r["doc_seq"]
+            for r in icetable.read_table(spark, flat, filters=filters).collect()
+        )
+        b = sorted(
+            r["doc_seq"]
+            for r in icetable.read_table(spark, grouped, filters=filters).collect()
+        )
+        assert a == b and len(a) == 120
+
+    def test_append_and_expire_with_groups(self, spark, docs, tmp_path):
+        """Append reads the grouped parent's full file list; expiring
+        the parent removes its group side files and keeps every file
+        the live grouped manifest references."""
+        import glob
+        import os
+
+        path = str(tmp_path / "tl3")
+        icetable.write_table(
+            docs.where(F.col("doc_seq") < 200).select("doc_seq", "url"),
+            path, cluster_by=["doc_seq"], n_files=4, manifest_group_size=2,
+        )
+        icetable.write_table(
+            docs.where(F.col("doc_seq") >= 200).select("doc_seq", "url"),
+            path, cluster_by=["doc_seq"], n_files=4, mode="append",
+            manifest_group_size=2,
+        )
+        m = icetable.read_manifest(path)
+        assert m["n_files"] == 8 and len(m["file_groups"]) == 4
+        assert icetable.read_table(spark, path).count() == 400
+        out = icetable.expire_snapshots(path, keep_last=1)
+        assert out["removed_manifests"] == 1 and out["removed_files"] == 0
+        # the expired parent's filegroup side files are gone, the
+        # live snapshot's remain readable
+        live = icetable.current_snapshot(path)
+        leftover = [
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(path, "metadata", "filegroup-*.json"))
+        ]
+        assert leftover and all(live in n for n in leftover)
+        assert icetable.read_table(spark, path).count() == 400
+
+
 class TestLineageResume:
     @staticmethod
     def _xform(df):
