@@ -298,14 +298,19 @@ def main() -> int:
         len(re.findall(r"partial_sum", p)) >= 3,
     )
 
-    # ann_pq: the tiny codebook/LUT sides broadcast at every stage —
-    # the corpus is never on the build side of a nested loop
+    # ann_pq (IVF+PQ residual): the codebook/LUT/probe joins are all
+    # broadcast hash joins — the IVF pruning is the (cell, sub, code)
+    # equi-join. The ONLY nested loops are the two 1-row pinned-
+    # centroid crossJoins (corpus assign + query probe), the same
+    # constant-row broadcast pattern as centroids_row.
     p = plans["ann_pq"] = explain_str(Q.q_ann_pq(spark, SF))
     check(
         "ann_pq",
-        "codebook + LUT + query-vector joins all hash joins with "
-        "broadcasts present; no nested-loop join",
-        n_nodes(p, "BroadcastHashJoin") >= 2 and "NestedLoop" not in p,
+        "codebook + LUT + probe joins are hash joins; nested loops "
+        "are exactly the two 1-row centroid-array broadcasts",
+        n_nodes(p, "BroadcastHashJoin") >= 4
+        and n_nodes(p, "SortMergeJoin") == 0
+        and n_nodes(p, "BroadcastNestedLoopJoin") == 2,
     )
 
     # zonal stats: zone index broadcast; exactly one aggregate shuffle
@@ -332,7 +337,7 @@ def main() -> int:
 
     _tbl = os.path.join(
         _tf.gettempdir(),
-        "georaster_ice_prune_" + _hl.md5(SF.encode()).hexdigest()[:10],
+        "georaster_ice_prune_" + _hl.md5(f"{SF}|groups2".encode()).hexdigest()[:10],
     )
     _plan = _ice.plan_files(
         _tbl,
@@ -343,6 +348,12 @@ def main() -> int:
         f"manifest stats pruned the scan to {len(_plan['kept'])} of "
         f"{_plan['total']} files before Spark listed any",
         0 < len(_plan["kept"]) < _plan["total"],
+    )
+    check(
+        "ice_prune",
+        f"two-level manifest read only {_plan['groups_read']} of "
+        f"{_plan['groups_total']} stat groups (planning is O(groups))",
+        0 < _plan["groups_read"] < _plan["groups_total"],
     )
     check(
         "ice_prune",
