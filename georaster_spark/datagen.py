@@ -583,3 +583,103 @@ def pmtiles_tile_stats_sql() -> str:
            NULL, NULL, NULL
     FROM (VALUES {cvals}) AS t(x, y)
     """
+
+
+# -------------------------------------------- WebP-tiled PMTiles fixture
+# The reference decodes tile blobs via image::with_guessed_format
+# (src/pmtiles.rs:30-32) — PNG *or* WebP, per tile, ignoring the
+# archive's tile_type byte. This fixture is a MIXED archive: the same
+# closed-form _xyz_rgb fill as the PNG fixture, but even-(x+y) tiles
+# are PNG while odd tiles are lossless-WebP, rotating through the
+# VP8L transforms (subtract-green / predictor / literal), plus a
+# palette-coded constant tile pair (identical bytes -> dedup run) and
+# a subtract-green z0 overview. Every aggregate is re-derived by the
+# DuckDB oracle from the formula — nothing is pinned from the decode.
+WEBP_TILE_SIZE = 128
+WEBP_Z0_SIZE = 64
+WEBP_ANCHOR_PX, WEBP_ANCHOR_PY = 101, 67
+_WEBP_METHODS = ("subtract-green", "predictor", "literal")
+
+
+def fixture_webp_pmtiles_tiles() -> dict[tuple[int, int, int], bytes]:
+    from georaster_spark.sources.png import encode_png
+    from georaster_spark.sources.webp import encode_webp_lossless
+
+    x0, x1, y0, y1 = PMTILES_FORMULA_RANGE
+    tiles: dict[tuple[int, int, int], bytes] = {}
+    k = 0
+    for xt in range(x0, x1 + 1):
+        for yt in range(y0, y1 + 1):
+            arr = _pmtiles_tile_array(xt, yt, WEBP_TILE_SIZE)
+            if (xt + yt) % 2 == 0:
+                tiles[(12, xt, yt)] = encode_png(arr)
+            else:
+                tiles[(12, xt, yt)] = encode_webp_lossless(
+                    arr, method=_WEBP_METHODS[k % len(_WEBP_METHODS)]
+                )
+                k += 1
+    tiles[(0, 0, 0)] = encode_webp_lossless(
+        _pmtiles_tile_array(0, 0, WEBP_Z0_SIZE), method="subtract-green"
+    )
+    const = np.full(
+        (WEBP_TILE_SIZE, WEBP_TILE_SIZE, 3), PMTILES_CONST_RGB, np.uint8
+    )
+    const_webp = encode_webp_lossless(const, method="palette")
+    for xt, yt in PMTILES_CONST_TILES:
+        tiles[(12, xt, yt)] = const_webp
+    return tiles
+
+
+def fixture_webp_pmtiles_path() -> str:
+    """Write (idempotently, atomically) the mixed PNG/WebP archive."""
+    import os
+    import tempfile
+
+    from georaster_spark.sources.pmtiles import write_pmtiles
+
+    d = os.path.join(tempfile.gettempdir(), "georaster_synth_ingest")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "chnw_synth_webp.pmtiles")
+    if not os.path.exists(p):
+        tmp = f"{p}.tmp.{os.getpid()}"
+        write_pmtiles(tmp, fixture_webp_pmtiles_tiles())
+        os.replace(tmp, p)
+    return p
+
+
+def pmtiles_webp_tile_stats_sql() -> str:
+    """DuckDB derivation of the WebP-archive per-tile decode stats
+    from the same closed-form fill — independent of the VP8L/PNG
+    decoders entirely."""
+    x0, x1, y0, y1 = PMTILES_FORMULA_RANGE
+    ts = WEBP_TILE_SIZE
+    z0s = WEBP_Z0_SIZE
+    apx, apy = WEBP_ANCHOR_PX, WEBP_ANCHOR_PY
+    cr, cg, cb = PMTILES_CONST_RGB
+    fr, fg, fb = _xyz_rgb_sql("t.x", "t.y", "p.px", "p.py")
+    a_r, a_g, a_b = _xyz_rgb_sql("t.x", "t.y", str(apx), str(apy))
+    tvals = ", ".join(
+        f"({xt}, {yt})" for xt in range(x0, x1 + 1) for yt in range(y0, y1 + 1)
+    )
+    cvals = ", ".join(f"({xt}, {yt})" for xt, yt in PMTILES_CONST_TILES)
+    return f"""
+    SELECT 12 AS z, t.x AS x, t.y AS y, {ts} AS width, {ts} AS height,
+           {ts * ts} AS n_px,
+           sum({fr}) AS sum_r, sum({fg}) AS sum_g, sum({fb}) AS sum_b,
+           max({a_r}) AS anchor_r, max({a_g}) AS anchor_g, max({a_b}) AS anchor_b
+    FROM (VALUES {tvals}) AS t(x, y)
+    CROSS JOIN (SELECT range % {ts} AS px, range // {ts} AS py
+                FROM range({ts * ts})) AS p
+    GROUP BY t.x, t.y
+    UNION ALL
+    SELECT 0, 0, 0, {z0s}, {z0s}, {z0s * z0s},
+           sum({fr}), sum({fg}), sum({fb}), NULL, NULL, NULL
+    FROM (VALUES (0, 0)) AS t(x, y)
+    CROSS JOIN (SELECT range % {z0s} AS px, range // {z0s} AS py
+                FROM range({z0s * z0s})) AS p
+    UNION ALL
+    SELECT 12, t.x, t.y, {ts}, {ts}, {ts * ts},
+           {ts * ts} * {cr}, {ts * ts} * {cg}, {ts * ts} * {cb},
+           {cr}, {cg}, {cb}
+    FROM (VALUES {cvals}) AS t(x, y)
+    """

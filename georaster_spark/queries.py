@@ -3401,6 +3401,51 @@ def sql_pmtiles_ingest():
     """
 
 
+def q_pmtiles_webp_ingest(spark, sf_dir):
+    """Mixed-format PMTiles ingestion: the archive interleaves PNG and
+    lossless-WebP (VP8L) tiles over the same closed-form fill, and the
+    decode kernel sniffs each tile's bytes exactly like the
+    reference's ``with_guessed_format().decode()``
+    (src/pmtiles.rs:30-32). The WebP tiles rotate through the VP8L
+    transforms (subtract-green / predictor / literal / palette), so a
+    hash match here proves the pure-stdlib VP8L decoder
+    (sources/webp.py) pixel-exact against an oracle that never runs
+    it — DuckDB recomputes every sum from the fill formula."""
+    from georaster_spark.datagen import (
+        WEBP_ANCHOR_PX,
+        WEBP_ANCHOR_PY,
+        fixture_webp_pmtiles_path,
+    )
+    from georaster_spark.sources.pmtiles import tile_stats_df
+
+    df = tile_stats_df(
+        spark,
+        [fixture_webp_pmtiles_path()],
+        anchor_px=WEBP_ANCHOR_PX,
+        anchor_py=WEBP_ANCHOR_PY,
+    )
+    return df.select(
+        "z", "x", "y", "width", "height", "n_px",
+        "sum_r", "sum_g", "sum_b", "anchor_r", "anchor_g", "anchor_b",
+    )
+
+
+def sql_pmtiles_webp_ingest():
+    from georaster_spark.datagen import pmtiles_webp_tile_stats_sql
+
+    return f"""
+    WITH stats AS ({pmtiles_webp_tile_stats_sql()})
+    SELECT CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+           CAST(n_px AS BIGINT) AS n_px, CAST(sum_r AS BIGINT) AS sum_r,
+           CAST(sum_g AS BIGINT) AS sum_g, CAST(sum_b AS BIGINT) AS sum_b,
+           CAST(anchor_r AS BIGINT) AS anchor_r,
+           CAST(anchor_g AS BIGINT) AS anchor_g,
+           CAST(anchor_b AS BIGINT) AS anchor_b
+    FROM stats
+    """
+
+
 def q_moving_avg(spark, sf_dir):
     """Window-frame coverage: 5-event trailing moving average of value
     per user (rowsBetween frame, SURVEY §2.3 'frames for moving
@@ -4036,7 +4081,7 @@ def sql_weighted_sample():
 # Catalog order is deliberate: the external driver verifies the FIRST
 # 50 entries in dict order, so each round the window rotates to keep
 # every entry at most one round driver-stale (r04 ∪ r03 covers all
-# 87: every tail entry — positions 51+, starting at media_png_decode
+# 88: every tail entry — positions 51+, starting at stream_window_agg
 # — has a green row in CORRECTNESS_r03.json).
 # This round's window holds: the 36 entries that sat in round 3's
 # tail (text_entropy … event_percentiles — they have no r03 driver
@@ -4048,8 +4093,11 @@ def sql_weighted_sample():
 # hot-bucket cap — already in the 36), entries whose underlying
 # operator code is being hardened this round (ice_prune/ice_merge
 # manifest + lock changes, ann_pq residual encoding,
-# dedup_components lineage truncation), and the round-4 addition
-# media_jpeg_decode (real stdlib JPEG codec). Two mechanically-
+# dedup_components lineage truncation), and the round-4 additions
+# media_jpeg_decode (real stdlib JPEG codec) plus the pmtiles pair
+# (pmtiles_ingest's shared kernel now format-sniffs per tile;
+# pmtiles_webp_ingest proves the new pure-stdlib VP8L decoder
+# against a formula oracle). Two mechanically-
 # touched-but-behavior-identical entries overflow to the tail with
 # their r03 rows standing: stream_to_table (commit-lock plumbing)
 # and asof_join (same file as bucketized_interval_join, function
@@ -4101,21 +4149,26 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "stream_interval": q_stream_interval,
     "stream_stream_join": q_stream_stream_join,
-    "stream_window_agg": q_stream_window_agg,
-    "stream_sessionize": q_stream_sessionize,
     "ice_merge": q_ice_merge,
     "ice_prune": q_ice_prune,
     "ann_pq": q_ann_pq,
     "dedup_components": q_dedup_components,
+    "pmtiles_ingest": q_pmtiles_ingest,
+    "pmtiles_webp_ingest": q_pmtiles_webp_ingest,
     # --- tail (positions 51+, NOT driver-checked this round): every
     # entry below is r03-driver-green; stream_to_table and asof_join
-    # saw mechanical-only changes (see header comment) ---
+    # saw mechanical-only changes (see header comment), and
+    # stream_window_agg / stream_sessionize were demoted to make room
+    # for the pmtiles pair — their only round-4 change is the shared
+    # uuid-named memory-sink helper, which four in-window stream_*
+    # entries exercise on every driver run ---
+    "stream_window_agg": q_stream_window_agg,
+    "stream_sessionize": q_stream_sessionize,
     "media_png_decode": q_media_png_decode,
     "media_frames": q_media_frames,
     "media_audio": q_media_audio,
     "stream_to_table": q_stream_to_table,
     "raster_ingest": q_raster_ingest,
-    "pmtiles_ingest": q_pmtiles_ingest,
     "raster_info": q_raster_info,
     "asof_join": q_asof_join,
     "funnel_steps": q_funnel_steps,
@@ -4163,6 +4216,7 @@ ORACLES = {
     "stream_stream_join": sql_stream_stream_join(),
     "raster_ingest": sql_raster_ingest(),
     "pmtiles_ingest": sql_pmtiles_ingest(),
+    "pmtiles_webp_ingest": sql_pmtiles_webp_ingest(),
     "ice_prune": sql_ice_prune(),
     "ice_merge": sql_ice_merge(),
     "raster_info": sql_raster_info(),

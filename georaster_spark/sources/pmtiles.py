@@ -477,6 +477,29 @@ class PmtilesReader:
 
 
 # ----------------------------------------------------- scalar parity API
+def decode_tile(blob: bytes):
+    """Per-tile format sniff + decode — the engine twin of the
+    reference's ``ImageReader::with_guessed_format().decode()``
+    (``src/pmtiles.rs:30-32``), which trusts tile BYTES, not the
+    archive's ``tile_type`` header field. PNG decodes through
+    ``sources/png.py``; WebP (lossless VP8L) through
+    ``sources/webp.py``. Anything else raises ``PmtilesError`` like
+    the reference's ``ImageError`` surface."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        from georaster_spark.sources.png import decode_png
+
+        return decode_png(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from georaster_spark.sources.webp import decode_webp
+
+        return decode_webp(blob)
+    raise PmtilesError(
+        "unsupported tile format (PNG and lossless-WebP tile bytes are "
+        "decodable; the reference guesses per tile the same way, "
+        "src/pmtiles.rs:30-32)"
+    )
+
+
 def _round_half_away(x: float) -> int:
     """Rust ``f64::round()``: half away from zero (Python ``round``
     is half-to-even and disagrees at exact .5)."""
@@ -493,13 +516,12 @@ def get_pixel_at(reader: PmtilesReader, z: int, lon: float, lat: float):
     snapping (``coord_to_pixel``, ``:53-69``). ``None`` for a missing
     tile (the reference raises ``InvalidEntry``)."""
     from georaster_spark import cells
-    from georaster_spark.sources.png import decode_png
 
     x, y = cells.tile_xy(lon, lat, z)
     blob = reader.get_tile(z, x, y)
     if blob is None:
         return None
-    arr = decode_png(blob)
+    arr = decode_tile(blob)
     h, w = arr.shape[:2]
     lon0, lat0, lon1, lat1 = cells.cell_bounds(cells.zxy_to_cell(z, x, y))
     psx = (lon1 - lon0) / w
@@ -579,7 +601,13 @@ def pmtiles_entries_df(spark, paths):
     return paths_df.mapInPandas(kernel, schema=_ENTRY_SCHEMA)
 
 
-def tile_stats_df(spark, paths, tile_partitions: int | None = None):
+def tile_stats_df(
+    spark,
+    paths,
+    tile_partitions: int | None = None,
+    anchor_px: int = ANCHOR_PX,
+    anchor_py: int = ANCHOR_PY,
+):
     """Stage 2: entry table → per-tile decode stats. Each tile decodes
     independently (ranged read + inflate + numpy); only small typed
     rows leave the kernel — tile bytes never shuffle. Repartitioning
@@ -591,8 +619,6 @@ def tile_stats_df(spark, paths, tile_partitions: int | None = None):
         entries = entries.repartition(tile_partitions)
 
     def kernel(batches):
-        from georaster_spark.sources.png import decode_png
-
         handles: dict[str, object] = {}  # one open per archive per task
 
         def pread(path, offset, length):
@@ -614,7 +640,7 @@ def tile_stats_df(spark, paths, tile_partitions: int | None = None):
                     pread(row.archive, row.abs_offset, row.length),
                     int(row.tile_compression),
                 )
-                arr = decode_png(blob)
+                arr = decode_tile(blob)
                 h, w = arr.shape[:2]
                 if arr.ndim == 2:
                     rch = gch = bch = arr.astype("int64")
@@ -623,10 +649,10 @@ def tile_stats_df(spark, paths, tile_partitions: int | None = None):
                     gch = arr[:, :, 1].astype("int64")
                     bch = arr[:, :, 2].astype("int64")
                 anchor = (
-                    (int(rch[ANCHOR_PY, ANCHOR_PX]),
-                     int(gch[ANCHOR_PY, ANCHOR_PX]),
-                     int(bch[ANCHOR_PY, ANCHOR_PX]))
-                    if (w > ANCHOR_PX and h > ANCHOR_PY)
+                    (int(rch[anchor_py, anchor_px]),
+                     int(gch[anchor_py, anchor_px]),
+                     int(bch[anchor_py, anchor_px]))
+                    if (w > anchor_px and h > anchor_py)
                     else (None, None, None)
                 )
                 vals = (
