@@ -359,3 +359,47 @@ def salted_repartition(df: DataFrame, key: str, salt_k: int, n_partitions: int) 
         .repartition(n_partitions, F.col(key), F.col("_salt"))
         .drop("_salt")
     )
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_key: str,
+    salt_k: int = 16,
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Explicit skew-salted INNER equi-join on ``key`` (E5's join
+    counterpart): the skewed LEFT side gets a deterministic salt in
+    [0, salt_k) hashed from ``salt_key``; the RIGHT side is
+    replicated ``salt_k`` ways, and the join key becomes
+    (key, salt) — a hot key's probe rows land in ``salt_k`` separate
+    shuffle partitions instead of one straggler task. The result is
+    IDENTICAL to ``left.join(right, key)``: every left row meets each
+    matching right row exactly once, through its own salt replica.
+
+    ``hot_keys=None`` salts EVERY key — simple, but it multiplies the
+    whole build side's shuffle volume by ``salt_k``; BENCH/SF1_STRESS.md
+    measures that cost dominating when the build side is large, with
+    AQE's runtime skew-split beating it. Pass ``hot_keys`` (from a
+    cheap count pre-pass, or known a priori as in pip_join_hot's hot
+    cells) to salt ONLY those keys: the cold partition joins plain,
+    the hot partition joins salted, and only the hot keys' build rows
+    replicate — the form that wins at 100 TB and that also covers
+    stages AQE cannot re-plan (stateful/custom kernels).
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_key)), F.lit(salt_k)).cast("int")
+    if hot_keys is None:
+        l_s = left.withColumn("_salt", salt)
+        r_s = right.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1)))
+        )
+        return l_s.join(r_s, [key, "_salt"]).drop("_salt")
+    is_hot = F.col(key).isin(list(hot_keys))
+    cold = left.where(~is_hot).join(right.where(~is_hot), key)
+    l_hot = left.where(is_hot).withColumn("_salt", salt)
+    r_hot = right.where(is_hot).withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1)))
+    )
+    hot = l_hot.join(r_hot, [key, "_salt"]).drop("_salt")
+    return cold.unionByName(hot)

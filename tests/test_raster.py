@@ -92,6 +92,26 @@ class TestDecode:
         geom, arr, tiles = world400
         assert window_from_tiles(tiles, geom, 0, 0, 0, 0).count() == 0
 
+    def test_empty_window_divergence_holds_for_catalog_crop(self, spark, world400):
+        """The DIVERGENCE ON RECORD, pinned at the operator the
+        catalog's `crop` entry calls (SURVEY §7.6): the reference's
+        pixels(0,0,0,0) yields the ORIGIN PIXEL once
+        (/root/reference/tests/geotiff.rs:53-55 — `Some((0, 0))`);
+        this engine's crop of a zero-size window yields ZERO rows.
+        A refactor that silently adopts the reference quirk (or grows
+        any other w=0/h=0 behavior) fails here, not in an oracle."""
+        from georaster_spark.operators.raster import crop
+
+        geom, arr, tiles = world400
+        px = window_from_tiles(tiles, geom, 0, 0, 8, 8)
+        assert crop(px, 0, 0, 0, 0).count() == 0
+        # and the divergence is ONLY about the degenerate window — a
+        # 1x1 window at the same origin yields exactly the origin
+        # pixel (once per band), agreeing with the reference
+        one = crop(px, 0, 0, 1, 1)
+        assert one.count() == px.where("x = 0 and y = 0").count() > 0
+        assert one.select("x", "y").distinct().collect()[0][:2] == (0, 0)
+
     def test_sat200_chunky_rgb(self, spark):
         """sat.tif: chunky spp=3 single padded 512x512 tile; RGB
         tuples at both corners (tests/geotiff.rs:437-466)."""

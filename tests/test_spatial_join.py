@@ -154,3 +154,34 @@ def test_auto_res_for_distance(spark):
     assert {tuple(r) for r in auto.select("key_a", "key_b").collect()} == {
         tuple(r) for r in explicit.select("key_a", "key_b").collect()
     }
+
+
+def test_salted_equi_join_equals_plain_join(spark):
+    """salted_equi_join == plain inner join on a degenerately skewed
+    key (60% of left rows on one key), including duplicate right-side
+    keys and left keys with no match."""
+    from pyspark.sql import functions as F
+
+    from georaster_spark.operators.spatial_join import salted_equi_join
+
+    left = spark.range(1000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 5 < 3, F.lit(7)).otherwise(F.col("id") % 40).alias("k"),
+    )
+    right = spark.createDataFrame(
+        [(k, f"v{k}-{j}") for k in list(range(0, 40, 2)) + [7] for j in range(3)],
+        "k long, payload string",
+    )
+    plain = {(r.row_id, r.k, r.payload) for r in left.join(right, "k").collect()}
+    salted = {
+        (r.row_id, r.k, r.payload)
+        for r in salted_equi_join(left, right, "k", salt_key="row_id", salt_k=8).collect()
+    }
+    assert salted == plain and len(plain) > 1000
+    targeted = {
+        (r.row_id, r.k, r.payload)
+        for r in salted_equi_join(
+            left, right, "k", salt_key="row_id", salt_k=8, hot_keys=[7]
+        ).collect()
+    }
+    assert targeted == plain
