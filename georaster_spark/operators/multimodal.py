@@ -58,6 +58,14 @@ PNG_H_MOD, PNG_H_OFF = 16, 8
 JPEG_W_MOD, JPEG_W_OFF = 21, 12
 JPEG_H_MOD, JPEG_H_OFF = 19, 12
 
+# deterministic WebP-media formulas: greyscale w×h,
+#   w = doc_id % 19 + 9,  h = (doc_id * 7) % 17 + 9,
+#   v(px, py) = (px * 3 + py * 7 + doc_id) % 256
+# encoded as lossless VP8L (sources/webp.py) — decode is bit-exact by
+# construction, so the oracle re-derives it in closed form
+WEBP_W_MOD, WEBP_W_OFF = 19, 9
+WEBP_H_MOD, WEBP_H_OFF = 17, 9
+
 
 def with_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Attach a deterministic synthetic ``media BINARY`` column (a
@@ -82,9 +90,14 @@ def _digest_features(digest: "pd.Series") -> dict[str, "pd.Series"]:
     }
 
 
+def _is_webp(media: bytes) -> bool:
+    return media[:4] == b"RIFF" and media[8:12] == b"WEBP"
+
+
 def _decode_image(media: bytes):
-    """Decode PNG or JPEG bytes → uint8 ndarray, or None if the blob
-    is not an image this engine decodes (audio/video containers)."""
+    """Decode PNG, JPEG, or WebP bytes → uint8 ndarray, or None if
+    the blob is not an image this engine decodes (audio/video
+    containers)."""
     if media[:8] == _PNG_SIG:
         from georaster_spark.sources.png import decode_png
 
@@ -93,6 +106,10 @@ def _decode_image(media: bytes):
         from georaster_spark.sources.jpeg import decode_jpeg
 
         return decode_jpeg(media)
+    if _is_webp(media):
+        from georaster_spark.sources.webp import decode_webp
+
+        return decode_webp(media)
     return None
 
 
@@ -171,15 +188,47 @@ def with_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.withColumn("media", jpeg_media_col(id_col))
 
 
+def webp_media_col(id_col: str = "doc_id"):
+    """Arrow-batched generator of REAL lossless-WebP (VP8L) blobs
+    from the deterministic formula above — exact by construction."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from georaster_spark.sources.webp import encode_webp_lossless
+
+    @F.pandas_udf(T.BinaryType())
+    def _gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w = i % WEBP_W_MOD + WEBP_W_OFF
+            h = (i * 7) % WEBP_H_MOD + WEBP_H_OFF
+            py, px = np.mgrid[0:h, 0:w]
+            out.append(
+                encode_webp_lossless(
+                    ((px * 3 + py * 7 + i) % 256).astype(np.uint8),
+                    method="subtract-green",
+                )
+            )
+        return pd.Series(out)
+
+    return _gen(F.col(id_col))
+
+
+def with_webp_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real lossless-WebP ``media BINARY`` column."""
+    return docs.withColumn("media", webp_media_col(id_col))
+
+
 def with_mixed_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a format-heterogeneous media column the way a real lake
-    would carry one: even ids get PNG blobs, odd ids get JPEG blobs.
-    The decode kernels dispatch on magic bytes, never on the id."""
+    would carry one: ids cycle PNG / JPEG / WebP by ``id % 3``. The
+    decode kernels dispatch on magic bytes, never on the id."""
     return docs.withColumn(
         "media",
-        F.when(F.col(id_col) % 2 == 0, png_media_col(id_col)).otherwise(
-            jpeg_media_col(id_col)
-        ),
+        F.when(F.col(id_col) % 3 == 0, png_media_col(id_col))
+        .when(F.col(id_col) % 3 == 1, jpeg_media_col(id_col))
+        .otherwise(webp_media_col(id_col)),
     )
 
 
@@ -211,12 +260,15 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
             is_img = blobs.map(
-                lambda b: b[:8] == _PNG_SIG or b[:3] == _JPEG_SIG
+                lambda b: b[:8] == _PNG_SIG or b[:3] == _JPEG_SIG or _is_webp(b)
             ).to_numpy()
             if is_img.any():
                 decoded = [_decode_image(b) for b in blobs[is_img]]
                 out.loc[is_img, "kind"] = [
-                    "png" if b[:8] == _PNG_SIG else "jpeg" for b in blobs[is_img]
+                    "png"
+                    if b[:8] == _PNG_SIG
+                    else ("jpeg" if b[:3] == _JPEG_SIG else "webp")
+                    for b in blobs[is_img]
                 ]
                 out.loc[is_img, "width"] = [a.shape[1] for a in decoded]
                 out.loc[is_img, "height"] = [a.shape[0] for a in decoded]

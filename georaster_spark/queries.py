@@ -3488,8 +3488,9 @@ def _docs_media(spark, sf_dir):
 
 def _media_dims_sql() -> str:
     """Shared oracle CTE: per-doc media kind + generated image dims
-    (even ids carry PNG, odd ids JPEG — mirrors with_mixed_media,
-    whose kernels dispatch on magic bytes, not on the id)."""
+    (ids cycle PNG / JPEG / WebP by id % 3 — mirrors
+    with_mixed_media, whose kernels dispatch on magic bytes, not on
+    the id)."""
     from georaster_spark.operators.multimodal import (
         JPEG_H_MOD,
         JPEG_H_OFF,
@@ -3499,28 +3500,38 @@ def _media_dims_sql() -> str:
         PNG_H_OFF,
         PNG_W_MOD,
         PNG_W_OFF,
+        WEBP_H_MOD,
+        WEBP_H_OFF,
+        WEBP_W_MOD,
+        WEBP_W_OFF,
     )
 
     return f"""
     dims AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
-             CASE WHEN doc_id % 2 = 0 THEN doc_id % {PNG_W_MOD} + {PNG_W_OFF}
-                  ELSE doc_id % {JPEG_W_MOD} + {JPEG_W_OFF} END AS w,
-             CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % {PNG_H_MOD} + {PNG_H_OFF}
-                  ELSE (doc_id * 7) % {JPEG_H_MOD} + {JPEG_H_OFF} END AS h
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  ELSE 'webp' END AS kind,
+             CASE doc_id % 3
+                  WHEN 0 THEN doc_id % {PNG_W_MOD} + {PNG_W_OFF}
+                  WHEN 1 THEN doc_id % {JPEG_W_MOD} + {JPEG_W_OFF}
+                  ELSE doc_id % {WEBP_W_MOD} + {WEBP_W_OFF} END AS w,
+             CASE doc_id % 3
+                  WHEN 0 THEN (doc_id * 7) % {PNG_H_MOD} + {PNG_H_OFF}
+                  WHEN 1 THEN (doc_id * 7) % {JPEG_H_MOD} + {JPEG_H_OFF}
+                  ELSE (doc_id * 7) % {WEBP_H_MOD} + {WEBP_H_OFF} END AS h
       FROM documents
     )"""
 
 
 def q_media_features(spark, sf_dir):
     """Image decode / feature extraction over a format-heterogeneous
-    BINARY media column (PNG and JPEG blobs mixed in one column, the
-    way a real lake carries them): the Arrow kernel dispatches on
-    magic bytes and decodes BOTH formats for real (stdlib codecs,
-    sources/png.py + sources/jpeg.py). Output columns are all
-    decode-derived, so the oracle re-derives them in closed form from
-    the generation formulas — never from the engine's own decode."""
+    BINARY media column (PNG, JPEG, and WebP blobs mixed in one
+    column, the way a real lake carries them): the Arrow kernel
+    dispatches on magic bytes and decodes ALL THREE formats for real
+    (stdlib codecs, sources/png.py + sources/jpeg.py +
+    sources/webp.py). Output columns are all decode-derived, so the
+    oracle re-derives them in closed form from the generation
+    formulas — never from the engine's own decode."""
     from georaster_spark.operators.multimodal import (
         decode_image_features,
         with_mixed_media,
@@ -3538,9 +3549,12 @@ def sql_media_features():
     WITH {_media_dims_sql()},
     px AS (
       SELECT d.doc_id, d.kind, d.w, d.h,
-             CASE WHEN d.kind = 'png'
-                  THEN ((r.range % d.w) * 5 + (r.range // d.w) * 11 + d.doc_id) % 256
-                  ELSE (((r.range % d.w) // 8) * 5 + ((r.range // d.w) // 8) * 11 + d.doc_id) % 256
+             CASE d.kind
+               WHEN 'png'
+                 THEN ((r.range % d.w) * 5 + (r.range // d.w) * 11 + d.doc_id) % 256
+               WHEN 'webp'
+                 THEN ((r.range % d.w) * 3 + (r.range // d.w) * 7 + d.doc_id) % 256
+               ELSE (((r.range % d.w) // 8) * 5 + ((r.range // d.w) // 8) * 11 + d.doc_id) % 256
              END AS v
       FROM dims d CROSS JOIN range(960) r
       WHERE r.range < d.w * d.h
@@ -3628,12 +3642,12 @@ def sql_media_frames():
 
 
 def q_media_resize(spark, sf_dir):
-    """REAL image resize over the mixed PNG/JPEG media column: decode
-    in the Arrow kernel, 2x2 integer box-average downsample, emit the
-    resized geometry + mean. Closed-form oracle: a PNG output pixel
-    is the exact 4-term mean; a JPEG 2x2 box never straddles an 8x8
-    tile (boundaries are even, the second sample is odd), so the
-    output pixel equals the tile constant."""
+    """REAL image resize over the mixed PNG/JPEG/WebP media column:
+    decode in the Arrow kernel, 2x2 integer box-average downsample,
+    emit the resized geometry + mean. Closed-form oracle: a PNG or
+    WebP output pixel is the exact 4-term mean; a JPEG 2x2 box never
+    straddles an 8x8 tile (boundaries are even, the second sample is
+    odd), so the output pixel equals the tile constant."""
     from georaster_spark.operators.multimodal import (
         downsample_image,
         with_mixed_media,
@@ -3652,11 +3666,18 @@ def sql_media_resize():
     ),
     px AS (
       SELECT o.doc_id, o.w2, o.h2,
-             CASE WHEN o.kind = 'png' THEN
+             CASE o.kind
+             WHEN 'png' THEN
                ( ((r.range % o.w2) * 10      + (r.range // o.w2) * 22      + o.doc_id) % 256
                + ((r.range % o.w2) * 10 + 5  + (r.range // o.w2) * 22      + o.doc_id) % 256
                + ((r.range % o.w2) * 10      + (r.range // o.w2) * 22 + 11 + o.doc_id) % 256
                + ((r.range % o.w2) * 10 + 5  + (r.range // o.w2) * 22 + 11 + o.doc_id) % 256
+               ) // 4
+             WHEN 'webp' THEN
+               ( ((r.range % o.w2) * 6      + (r.range // o.w2) * 14     + o.doc_id) % 256
+               + ((r.range % o.w2) * 6 + 3  + (r.range // o.w2) * 14     + o.doc_id) % 256
+               + ((r.range % o.w2) * 6      + (r.range // o.w2) * 14 + 7 + o.doc_id) % 256
+               + ((r.range % o.w2) * 6 + 3  + (r.range // o.w2) * 14 + 7 + o.doc_id) % 256
                ) // 4
              ELSE ((r.range % o.w2) // 4 * 5 + (r.range // o.w2) // 4 * 11 + o.doc_id) % 256
              END AS v

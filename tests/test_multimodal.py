@@ -197,3 +197,44 @@ def test_with_png_media_formula_roundtrip(spark):
     arr = decode_png(blob)
     assert arr.shape == (23, 9)
     assert arr[3, 2] == 68
+
+
+def test_mixed_media_includes_webp(spark):
+    """The id%3==2 rows carry real VP8L blobs; the feature kernel
+    sniffs them by RIFF magic and decodes them exactly (hand-checked
+    doc_id=5: w = 5 % 19 + 9 = 14, h = 35 % 17 + 9 = 10,
+    mean = sum((px*3 + py*7 + 5) % 256) // 140)."""
+    import numpy as np
+
+    from georaster_spark.operators.multimodal import (
+        decode_image_features,
+        with_mixed_media,
+    )
+
+    df = spark.createDataFrame([(3,), (4,), (5,)], "doc_id long")
+    rows = {r["doc_id"]: r for r in decode_image_features(with_mixed_media(df)).collect()}
+    assert rows[3]["kind"] == "png"
+    assert rows[4]["kind"] == "jpeg"
+    assert rows[5]["kind"] == "webp"
+    py, px = np.mgrid[0:10, 0:14]
+    v = (px * 3 + py * 7 + 5) % 256
+    assert (rows[5]["width"], rows[5]["height"]) == (14, 10)
+    assert rows[5]["mean_luma"] == int(v.sum() // v.size)
+
+
+def test_downsample_webp_is_exact(spark):
+    """Lossless WebP resize: 2x2 box means recomputed from the array."""
+    import numpy as np
+
+    from georaster_spark.operators.multimodal import downsample_image
+    from georaster_spark.sources.webp import encode_webp_lossless
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    blob = encode_webp_lossless(img, method="predictor")
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, media binary")
+    r = downsample_image(df).collect()[0]
+    a = np.stack([img] * 3, -1)[:8, :12].astype(np.int64)
+    small = (a[0::2, 0::2] + a[1::2, 0::2] + a[0::2, 1::2] + a[1::2, 1::2]) // 4
+    assert (r["width"], r["height"]) == (6, 4)
+    assert r["mean_luma"] == int(small.sum() // small.size)
