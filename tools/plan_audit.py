@@ -138,6 +138,27 @@ def main() -> int:
         n_nodes(p, "Exchange") == 1,
     )
 
+    # pmtiles_webp_ingest: identical shape over the mixed PNG/WebP
+    # archive — format sniffing happens inside the decode kernel, so
+    # adding a codec must not add a stage or shuffle
+    p = plans["pmtiles_webp_ingest"] = explain_str(
+        Q.q_pmtiles_webp_ingest(spark, SF)
+    )
+    webp_kernels = sorted(
+        int(m.group(1)) for m in re.finditer(r"^\((\d+)\) MapInPandas", p, re.M)
+    )
+    check(
+        "pmtiles_webp_ingest",
+        "entry and decode kernels ADJACENT (tile bytes never shuffle; "
+        "per-tile PNG/WebP dispatch is inside the kernel)",
+        len(webp_kernels) == 2 and webp_kernels[1] - webp_kernels[0] == 1,
+    )
+    check(
+        "pmtiles_webp_ingest",
+        "single Exchange (the tiny path-string spread)",
+        n_nodes(p, "Exchange") == 1,
+    )
+
     # window_topk: exactly one shuffle (hash by o_custkey)
     p = plans["window_topk"] = explain_str(Q.q_window_topk(spark, SF))
     check("window_topk", "single Exchange for the window partition key", n_nodes(p, "Exchange") == 1)
