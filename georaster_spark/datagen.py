@@ -598,7 +598,7 @@ def pmtiles_tile_stats_sql() -> str:
 WEBP_TILE_SIZE = 128
 WEBP_Z0_SIZE = 64
 WEBP_ANCHOR_PX, WEBP_ANCHOR_PY = 101, 67
-_WEBP_METHODS = ("subtract-green", "predictor", "literal")
+_WEBP_METHODS = ("subtract-green", "predictor", "literal", "color")
 
 
 def fixture_webp_pmtiles_tiles() -> dict[tuple[int, int, int], bytes]:

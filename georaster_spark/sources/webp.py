@@ -872,6 +872,37 @@ def encode_webp_lossless(arr: np.ndarray, method: str = "subtract-green") -> byt
         _encode_image_stream(bw, modes, False)
         bw.write(1, 0)  # no more transforms
         _encode_image_stream(bw, res.reshape(-1), True)
+    elif method == "color":
+        # one global ColorTransformElement (block covers the image):
+        # green_to_red=37, green_to_blue=-20 (0xec), red_to_blue=15.
+        # Encoder applies the exact inverse of the decode rule:
+        # stored_red = red - (g2r*int8(g))>>5, stored_blue =
+        # blue - (g2b*int8(g))>>5 - (r2b*int8(red))>>5 (mod 256).
+        bits = 9  # 512-px blocks; tw = th = 1 for tile-sized images
+        g2r, g2b, r2b = 37, -20, 15
+        bw.write(1, 1)
+        bw.write(2, _T_COLOR)
+        bw.write(3, bits - 2)
+        tw, th = _subsample(w, bits), _subsample(h, bits)
+        cte_pix = (0xFF << 24) | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
+        _encode_image_stream(bw, np.full(tw * th, cte_pix, np.uint32), False)
+        bw.write(1, 0)  # no more transforms
+        green = ((flat >> 8) & 0xFF).astype(np.int16)
+        green -= (green & 0x80) << 1
+        red = ((flat >> 16) & 0xFF).astype(np.int32)
+        blue = (flat & 0xFF).astype(np.int32)
+        red8 = ((flat >> 16) & 0xFF).astype(np.int16)
+        red8 -= (red8 & 0x80) << 1
+        s_red = (red - ((g2r * green.astype(np.int32)) >> 5)) & 0xFF
+        s_blue = (
+            blue
+            - ((g2b * green.astype(np.int32)) >> 5)
+            - ((r2b * red8.astype(np.int32)) >> 5)
+        ) & 0xFF
+        res = (flat & np.uint32(0xFF00FF00)) | (
+            s_red.astype(np.uint32) << 16
+        ) | s_blue.astype(np.uint32)
+        _encode_image_stream(bw, res, True)
     elif method == "palette":
         colors, inverse = np.unique(flat, return_inverse=True)
         if len(colors) > 256:

@@ -83,7 +83,7 @@ def _literal(r, g, b, a=255):
 
 
 class TestRoundTrip:
-    @pytest.mark.parametrize("method", ["literal", "subtract-green", "predictor"])
+    @pytest.mark.parametrize("method", ["literal", "subtract-green", "predictor", "color"])
     @pytest.mark.parametrize("shape", [(1, 1, 3), (7, 1, 4), (1, 40, 3), (33, 50, 3), (16, 16, 4)])
     def test_random_images(self, method, shape):
         rng = np.random.default_rng(hash((method, shape)) % 2**32)
