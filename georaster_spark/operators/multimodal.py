@@ -343,6 +343,84 @@ def frame_sample(
     return df.select(id_col, "media").mapInPandas(kernel, schema=schema)
 
 
+# deterministic WAV-media formulas (shared with the DuckDB oracle):
+# mono int16 PCM, n = doc_id % 400 + 100 samples,
+# rate = 8000 (even ids) | 16000 (odd),
+# s(i) = ((i * 37 + doc_id * 11) % 65536) - 32768
+WAV_N_MOD, WAV_N_OFF = 400, 100
+
+
+def wav_media_col(id_col: str = "doc_id"):
+    """Arrow-batched generator of REAL RIFF/WAVE PCM16 blobs from the
+    deterministic formula above."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from georaster_spark.sources.wav import encode_wav
+
+    @F.pandas_udf(T.BinaryType())
+    def _gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            n = i % WAV_N_MOD + WAV_N_OFF
+            rate = 8000 if i % 2 == 0 else 16000
+            s = ((np.arange(n, dtype=np.int64) * 37 + i * 11) % 65536) - 32768
+            out.append(encode_wav(s.astype(np.int16), rate))
+        return pd.Series(out)
+
+    return _gen(F.col(id_col))
+
+
+def with_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real WAV ``media BINARY`` column."""
+    return docs.withColumn("media", wav_media_col(id_col))
+
+
+def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, kind, n_samples, sample_rate, duration_ms, mean_abs) via
+    an Arrow-batched kernel. RIFF/WAVE PCM blobs decode for REAL
+    (``sources/wav.py``); anything else (compressed audio) keeps the
+    disclosed digest fake with kind='other' — no MP3/AAC codec exists
+    in this container."""
+    schema = (
+        f"{id_col} long, kind string, n_samples long, sample_rate long, "
+        "duration_ms long, mean_abs long"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from georaster_spark.sources.wav import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for i, media in zip(pdf[id_col], pdf["media"]):
+                b = bytes(media)
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    samples, rate = decode_wav(b)
+                    n = samples.shape[0]
+                    mean_abs = int(
+                        np.abs(samples.astype(np.int64)).sum() // max(samples.size, 1)
+                    )
+                    rows.append((int(i), "wav", n, rate, n * 1000 // rate, mean_abs))
+                else:
+                    h = hashlib.md5(b).hexdigest()
+                    f = _digest_features(pd.Series([h]))
+                    n = len(b) // 2
+                    rows.append(
+                        (int(i), "other", n, 16000, n * 1000 // 16000,
+                         int(f["mean_luma"][0]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "kind", "n_samples", "sample_rate",
+                         "duration_ms", "mean_abs"],
+            )
+
+    return df.select(id_col, "media").mapInPandas(kernel, schema=schema)
+
+
 def audio_meta(
     df: DataFrame,
     sample_rate: int = 16000,

@@ -3754,6 +3754,45 @@ def sql_media_audio():
     """
 
 
+def q_media_wav_decode(spark, sf_dir):
+    """REAL audio decode (new in round 4): engine-written RIFF/WAVE
+    PCM16 blobs attached per doc, parsed back inside the Arrow kernel
+    by the stdlib WAV codec (sources/wav.py) — sample count, rate,
+    duration, and mean |amplitude| all come from the actual bytes;
+    the oracle re-derives them in closed form from the generation
+    formula. Compressed audio keeps the disclosed digest stub."""
+    from georaster_spark.operators.multimodal import (
+        decode_audio_features,
+        with_wav_media,
+    )
+
+    d = with_wav_media(_docs_spread(spark, sf_dir).select("doc_id"))
+    return decode_audio_features(d)
+
+
+def sql_media_wav_decode():
+    from georaster_spark.operators.multimodal import WAV_N_MOD, WAV_N_OFF
+
+    return f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % {WAV_N_MOD} + {WAV_N_OFF} AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate
+      FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, d.n, d.rate,
+             abs((r.range * 37 + d.doc_id * 11) % 65536 - 32768) AS a
+      FROM dims d CROSS JOIN range({WAV_N_MOD + WAV_N_OFF - 1}) r
+      WHERE r.range < d.n
+    )
+    SELECT doc_id, 'wav' AS kind, CAST(n AS BIGINT) AS n_samples,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(sum(a) // n AS BIGINT) AS mean_abs
+    FROM s GROUP BY doc_id, n, rate
+    """
+
+
 # =====================================================================
 # streaming (georaster_spark/streaming — availableNow == batch gate)
 # =====================================================================
@@ -4123,8 +4162,15 @@ def sql_weighted_sample():
 # their r03 rows standing: stream_to_table (commit-lock plumbing)
 # and asof_join (same file as bucketized_interval_join, function
 # untouched) — both pytest-covered.
-# Every entry keeps its oracle; tools/check_oracle.py verifies all 87
-# regardless of order.
+# Every entry keeps its oracle; tools/check_oracle.py verifies all
+# entries regardless of order.
+#
+# DRIVER_UNCHECKED_NEW: entries added AFTER this round's 50-slot
+# window was already full of stale/changed entries. They have no
+# driver row in ANY round yet — the next rotation MUST promote them
+# into the window (tests/test_entry.py enforces both sides).
+DRIVER_UNCHECKED_NEW = {"media_wav_decode"}
+
 QUERIES = {
     "text_entropy": q_text_entropy,
     "moving_avg": q_moving_avg,
@@ -4188,6 +4234,10 @@ QUERIES = {
     "media_png_decode": q_media_png_decode,
     "media_frames": q_media_frames,
     "media_audio": q_media_audio,
+    # new in r4, tail-positioned (window is full with stale/changed
+    # entries): NO driver row yet — verify via
+    # `python tools/check_oracle.py /root/testdata/sf0.01 media_wav_decode`
+    "media_wav_decode": q_media_wav_decode,
     "stream_to_table": q_stream_to_table,
     "raster_ingest": q_raster_ingest,
     "raster_info": q_raster_info,
@@ -4229,6 +4279,7 @@ ORACLES = {
     "media_frames": sql_media_frames(),
     "media_resize": sql_media_resize(),
     "media_audio": sql_media_audio(),
+    "media_wav_decode": sql_media_wav_decode(),
     "stream_window_agg": sql_stream_window_agg(),
     "stream_sessionize": sql_stream_sessionize(),
     "stream_to_table": sql_stream_to_table(),

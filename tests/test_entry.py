@@ -71,9 +71,23 @@ def test_catalog_window_tail_has_prior_driver_rows():
     import glob
     import json
 
+    from georaster_spark.queries import DRIVER_UNCHECKED_NEW
+
     keys = list(E.queries())
     repo = os.path.dirname(E.__file__)
     latest = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))[-1]
     prev = json.load(open(latest))
-    missing = [k for k in keys[50:] if k not in prev or not prev[k]["hash_match"]]
+    missing = [
+        k
+        for k in keys[50:]
+        if (k not in prev or not prev[k]["hash_match"])
+        and k not in DRIVER_UNCHECKED_NEW
+    ]
     assert missing == [], (latest, missing)
+    # the exception list may only name entries that truly have no
+    # prior row (it must not mask a stale demotion), and entries it
+    # names must not already be driver-covered
+    assert all(k not in prev for k in DRIVER_UNCHECKED_NEW), (
+        "DRIVER_UNCHECKED_NEW names an entry with a driver row — "
+        "remove it from the exception list"
+    )
