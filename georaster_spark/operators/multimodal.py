@@ -9,13 +9,15 @@ resize / frame-sample implemented as Arrow-batched ``mapInPandas``
 kernels so the Spark-side plumbing (schema, partitioning, batch
 shape) is real and tested at scale.
 
-The codec step is REAL for image blobs: ``sources/png.py`` (the
-stdlib codec that also decodes PMTiles tiles) and ``sources/jpeg.py``
-(baseline JFIF, huffman + DCT) parse the bytes inside the kernel.
-Only non-image blobs (the ``IMG0`` synthetic format standing in for
-audio/video containers) fall back to a deterministic digest-derived
-fake — disclosed, one branch, same plan shape — since no
-audio/video codec exists in this container.
+The codec step is REAL for every format a stdlib implementation can
+honestly cover: images via ``sources/png.py`` (the codec that also
+decodes PMTiles tiles), ``sources/jpeg.py`` (baseline JFIF, huffman
++ DCT) and ``sources/webp.py`` (lossless VP8L); audio via
+``sources/wav.py`` (RIFF/WAVE PCM); video via ``sources/avi.py``
+(MJPEG AVI — per-frame JPEG decode). Only entropy-coded audio
+(MP3/AAC) and inter-frame video codecs (H.264/VP9) fall back to the
+deterministic digest-derived fake — disclosed, one branch, same plan
+shape — since no codec library exists in this container.
 
 Scale notes:
 - media bytes never pass through a shuffle — all kernels are narrow
@@ -416,6 +418,97 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows,
                 columns=[id_col, "kind", "n_samples", "sample_rate",
                          "duration_ms", "mean_abs"],
+            )
+
+    return df.select(id_col, "media").mapInPandas(kernel, schema=schema)
+
+
+# deterministic MJPEG-AVI media formulas (shared with the oracle):
+# n_frames = id % 6 + 3, w = (id % 3 + 2)*8, h = ((id*7) % 3 + 2)*8,
+# usec/frame = (id % 10 + 5) * 1000; frame f is 8x8-block-constant
+# with tile value (bx*5 + by*11 + id + f*17) % 256 — q100 JPEG frames
+# decode bit-exactly (same argument as the JPEG media pairs)
+AVI_F_MOD, AVI_F_OFF = 6, 3
+
+
+def avi_media_col(id_col: str = "doc_id"):
+    """Arrow-batched generator of REAL MJPEG AVI blobs from the
+    deterministic formula above."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from georaster_spark.sources.avi import encode_avi_mjpeg
+
+    @F.pandas_udf(T.BinaryType())
+    def _gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            n = i % AVI_F_MOD + AVI_F_OFF
+            w = (i % 3 + 2) * 8
+            h = ((i * 7) % 3 + 2) * 8
+            py, px = np.mgrid[0:h, 0:w]
+            frames = [
+                (((px // 8) * 5 + (py // 8) * 11 + i + f * 17) % 256).astype(
+                    np.uint8
+                )
+                for f in range(n)
+            ]
+            out.append(encode_avi_mjpeg(frames, usec_per_frame=(i % 10 + 5) * 1000))
+        return pd.Series(out)
+
+    return _gen(F.col(id_col))
+
+
+def with_avi_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real MJPEG-AVI ``media BINARY`` column."""
+    return docs.withColumn("media", avi_media_col(id_col))
+
+
+def decode_video_features(
+    df: DataFrame, stride: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, kind, n_frames, n_sampled, width, height, usec_per_frame,
+    mean_luma) via an Arrow-batched kernel: MJPEG AVIs decode for
+    REAL (container walk + per-frame stdlib JPEG decode, sampling
+    every ``stride``-th frame); anything else keeps the disclosed
+    digest fake with kind='other' (no inter-frame codec in this
+    container)."""
+    schema = (
+        f"{id_col} long, kind string, n_frames long, n_sampled long, "
+        "width long, height long, usec_per_frame long, mean_luma long"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from georaster_spark.sources.avi import decode_avi_mjpeg
+
+        for pdf in batches:
+            rows = []
+            for i, media in zip(pdf[id_col], pdf["media"]):
+                b = bytes(media)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    frames, usec = decode_avi_mjpeg(b)
+                    sampled = frames[::stride]
+                    tot = sum(int(f.astype(np.int64).sum()) for f in sampled)
+                    npx = sum(f.size for f in sampled)
+                    rows.append(
+                        (int(i), "mjpeg", len(frames), len(sampled),
+                         int(frames[0].shape[1]), int(frames[0].shape[0]),
+                         usec, tot // max(npx, 1))
+                    )
+                else:
+                    h = hashlib.md5(b).hexdigest()
+                    f = _digest_features(pd.Series([h]))
+                    rows.append(
+                        (int(i), "other", 0, 0, int(f["width"][0]),
+                         int(f["height"][0]), 0, int(f["mean_luma"][0]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "kind", "n_frames", "n_sampled", "width",
+                         "height", "usec_per_frame", "mean_luma"],
             )
 
     return df.select(id_col, "media").mapInPandas(kernel, schema=schema)

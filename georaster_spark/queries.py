@@ -3798,6 +3798,52 @@ def sql_media_wav_decode():
 # =====================================================================
 
 
+def q_media_video_decode(spark, sf_dir):
+    """REAL video decode (new in round 4): engine-written MJPEG AVI
+    blobs (RIFF container + per-frame q100 baseline JPEG,
+    sources/avi.py) attached per doc; the Arrow kernel walks the
+    container, samples every 2nd frame, and decodes each sampled
+    frame through the stdlib JPEG codec. All outputs come from the
+    actual bytes; the oracle re-derives them in closed form from the
+    generation formulas. Inter-frame codecs keep the disclosed
+    digest stub."""
+    from georaster_spark.operators.multimodal import (
+        decode_video_features,
+        with_avi_media,
+    )
+
+    d = with_avi_media(_docs_spread(spark, sf_dir).select("doc_id"))
+    return decode_video_features(d, stride=2)
+
+
+def sql_media_video_decode():
+    from georaster_spark.operators.multimodal import AVI_F_MOD, AVI_F_OFF
+
+    return f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % {AVI_F_MOD} + {AVI_F_OFF} AS n,
+             (doc_id % 3 + 2) * 8 AS w, ((doc_id * 7) % 3 + 2) * 8 AS h,
+             (doc_id % 10 + 5) * 1000 AS usec
+      FROM documents
+    ),
+    tiles AS (
+      SELECT d.doc_id, d.n, d.w, d.h, d.usec,
+             (bx.range * 5 + by.range * 11 + d.doc_id + f.range * 17) % 256 AS v
+      FROM dims d
+      CROSS JOIN range({AVI_F_MOD + AVI_F_OFF - 1}) f
+      CROSS JOIN range(4) bx CROSS JOIN range(4) by
+      WHERE f.range < d.n AND f.range % 2 = 0
+        AND bx.range < d.w // 8 AND by.range < d.h // 8
+    )
+    SELECT doc_id, 'mjpeg' AS kind, CAST(n AS BIGINT) AS n_frames,
+           CAST((n + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(usec AS BIGINT) AS usec_per_frame,
+           CAST(sum(v * 64) // ((n + 1) // 2 * w * h) AS BIGINT) AS mean_luma
+    FROM tiles GROUP BY doc_id, n, w, h, usec
+    """
+
+
 def q_stream_window_agg(spark, sf_dir):
     """Watermarked tumbling-window streaming aggregate; on a static
     input the availableNow replay must equal the batch group-by."""
@@ -4169,7 +4215,7 @@ def sql_weighted_sample():
 # window was already full of stale/changed entries. They have no
 # driver row in ANY round yet — the next rotation MUST promote them
 # into the window (tests/test_entry.py enforces both sides).
-DRIVER_UNCHECKED_NEW = {"media_wav_decode"}
+DRIVER_UNCHECKED_NEW = {"media_wav_decode", "media_video_decode"}
 
 QUERIES = {
     "text_entropy": q_text_entropy,
@@ -4238,6 +4284,7 @@ QUERIES = {
     # entries): NO driver row yet — verify via
     # `python tools/check_oracle.py /root/testdata/sf0.01 media_wav_decode`
     "media_wav_decode": q_media_wav_decode,
+    "media_video_decode": q_media_video_decode,
     "stream_to_table": q_stream_to_table,
     "raster_ingest": q_raster_ingest,
     "raster_info": q_raster_info,
@@ -4280,6 +4327,7 @@ ORACLES = {
     "media_resize": sql_media_resize(),
     "media_audio": sql_media_audio(),
     "media_wav_decode": sql_media_wav_decode(),
+    "media_video_decode": sql_media_video_decode(),
     "stream_window_agg": sql_stream_window_agg(),
     "stream_sessionize": sql_stream_sessionize(),
     "stream_to_table": sql_stream_to_table(),

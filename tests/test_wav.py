@@ -87,3 +87,55 @@ def test_audio_feature_kernel_real_and_fallback(spark):
     assert (rows[1]["n_samples"], rows[1]["sample_rate"]) == (4, 8000)
     assert rows[1]["mean_abs"] == 250
     assert rows[2]["kind"] == "other"
+
+
+class TestAviMjpeg:
+    def test_round_trip_exact(self):
+        from georaster_spark.sources.avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+        frames = []
+        for f in range(5):
+            py, px = np.mgrid[0:16, 0:24]
+            frames.append(
+                (((px // 8) * 5 + (py // 8) * 11 + f * 17) % 256).astype(np.uint8)
+            )
+        out, usec = decode_avi_mjpeg(encode_avi_mjpeg(frames, usec_per_frame=50000))
+        assert usec == 50000 and len(out) == 5
+        for a, b in zip(frames, out):
+            assert (a == b).all()
+
+    def test_not_avi_and_non_jpeg_frame(self):
+        from georaster_spark.sources.avi import (
+            AviError,
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        with pytest.raises(AviError, match="RIFF/AVI"):
+            decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+        blob = encode_avi_mjpeg([np.zeros((8, 8), np.uint8)])
+        # corrupt the frame bytes so they are no longer JPEG
+        i = blob.find(b"\xff\xd8\xff")
+        bad = blob[:i] + b"H264" + blob[i + 4 :]
+        with pytest.raises(AviError, match="non-JPEG frame"):
+            decode_avi_mjpeg(bad)
+
+    def test_video_feature_kernel_real_and_fallback(self, spark):
+        """Hand-checked: 3 constant 8x8 frames [10, 27, 44] at stride 2
+        sample frames 0 and 2 -> mean (10+44)//2 = 27."""
+        from georaster_spark.operators.multimodal import decode_video_features
+        from georaster_spark.sources.avi import encode_avi_mjpeg
+
+        frames = [np.full((8, 8), 10 + 17 * f, np.uint8) for f in range(3)]
+        blob = encode_avi_mjpeg(frames, usec_per_frame=7000)
+        df = spark.createDataFrame(
+            [(1, bytearray(blob)), (2, bytearray(b"notavideo"))],
+            "doc_id long, media binary",
+        )
+        rows = {r["doc_id"]: r for r in decode_video_features(df, stride=2).collect()}
+        r = rows[1]
+        assert r["kind"] == "mjpeg"
+        assert (r["n_frames"], r["n_sampled"]) == (3, 2)
+        assert (r["width"], r["height"], r["usec_per_frame"]) == (8, 8, 7000)
+        assert r["mean_luma"] == 27
+        assert rows[2]["kind"] == "other"
