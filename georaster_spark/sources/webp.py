@@ -104,6 +104,33 @@ class _BitW:
             self.cur >>= 8
             self.n -= 8
 
+    def write_many(self, vals: "np.ndarray", lens: "np.ndarray") -> None:
+        """Bulk LSB-first append of variable-length codes (values
+        already bit-reversed for the stream), fully vectorized:
+        expand each code to its bits, flatten in stream order,
+        packbits, then splice at the current bit offset. Byte-
+        identical to calling write() per symbol."""
+        if len(vals) == 0:
+            return
+        maxlen = int(lens.max())
+        bits = ((vals[:, None] >> np.arange(maxlen)[None, :]) & 1).astype(np.uint8)
+        stream = bits[np.arange(maxlen)[None, :] < lens[:, None]]
+        nbits = int(stream.size)
+        packed = np.packbits(stream, bitorder="little")
+        if self.n:
+            # shift the packed stream left by the pending bit count
+            shifted = packed.astype(np.uint16) << self.n
+            y = np.zeros(len(packed) + 1, np.uint8)
+            y[:-1] = (shifted & 0xFF).astype(np.uint8)
+            y[1:] |= (shifted >> 8).astype(np.uint8)
+            y[0] |= self.cur
+        else:
+            y = packed
+        total = self.n + nbits
+        self.out.extend(y[: total // 8].tobytes())
+        self.n = total % 8
+        self.cur = int(y[total // 8]) if self.n else 0
+
     def bytes(self) -> bytes:
         if self.n:
             self.out.append(self.cur & 0xFF)
@@ -788,18 +815,22 @@ def _encode_image_stream(bw: _BitW, flat: np.ndarray, level0: bool) -> None:
         _Writer(bw, np.bincount(a, minlength=256).tolist()),
         _Writer(bw, [1] + [0] * 39),  # distance code: unused, 1 symbol
     ]
-    wg, wr, wb, wa, _ = writers
-    gc, rc, bc, ac = wg.codes, wr.codes, wb.codes, wa.codes
-    write = bw.write
-    for i in range(len(flat)):
-        c, n = gc[int(g[i])]
-        write(n, _rev(c, n))
-        c, n = rc[int(r[i])]
-        write(n, _rev(c, n))
-        c, n = bc[int(b[i])]
-        write(n, _rev(c, n))
-        c, n = ac[int(a[i])]
-        write(n, _rev(c, n))
+    # emit all pixels in one vectorized pass: per-channel lookup
+    # tables of (bit-reversed code, length), interleaved in stream
+    # order g,r,b,a, then a single bulk bit append
+    n_px = len(flat)
+    vals = np.zeros(4 * n_px, np.int64)
+    lens = np.zeros(4 * n_px, np.int64)
+    for k, (writer, ch) in enumerate(zip(writers[:4], (g, r, b, a))):
+        size = max(writer.codes) + 1
+        tv = np.zeros(size, np.int64)
+        tl = np.zeros(size, np.int64)
+        for sym, (c, n) in writer.codes.items():
+            tv[sym] = _rev(c, n)
+            tl[sym] = n
+        vals[k::4] = tv[ch]
+        lens[k::4] = tl[ch]
+    bw.write_many(vals, lens)
 
 
 def _to_argb(arr: np.ndarray) -> tuple[np.ndarray, int, int, bool]:
