@@ -37,3 +37,9 @@ def test_curation_pipeline_runs_and_funnels(spark):
 def test_geospatial_pipeline_runs(spark):
     stdout = _run("geospatial_pipeline.py")
     assert "docs per polygon" in stdout and "committed snapshot" in stdout
+
+
+def test_multimodal_pipeline_runs(spark):
+    stdout = _run("multimodal_pipeline.py")
+    assert "MULTIMODAL_PIPELINE_OK" in stdout
+    assert "'webp': 166" in stdout and "kept>=12px=379" in stdout
