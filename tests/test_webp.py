@@ -316,3 +316,46 @@ class TestTileDispatch:
         py = math.floor((lat1 - lat) / ((lat1 - lat0) / 128) + 0.5)
         exp = _xyz_rgb(x, y, np.array([px]), np.array([py]))
         assert got == tuple(int(c[0]) for c in exp)
+
+
+class TestPropertyRoundTrip:
+    """Hypothesis: ANY uint8 image round-trips bit-exactly through
+    every encoder method (palette only when it can apply)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        ch=st.sampled_from([2, 3, 4]),  # 2 = greyscale
+        seed=st.integers(0, 2**31),
+        method=st.sampled_from(["literal", "subtract-green", "predictor", "color"]),
+    )
+    def test_any_image_any_method(self, w, h, ch, seed, method):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 2 else (h, w, ch)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_webp(encode_webp_lossless(img, method=method))
+        if ch == 2:
+            exp = np.stack([img] * 3, axis=-1)
+        elif ch == 4 and (img[:, :, 3] != 255).any():
+            exp = img
+        else:
+            exp = img[..., :3]
+        assert out.shape == exp.shape and (out == exp).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        n_colors=st.integers(1, 256),
+        seed=st.integers(0, 2**31),
+    )
+    def test_any_palette(self, w, h, n_colors, seed):
+        rng = np.random.default_rng(seed)
+        cols = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        img = cols[rng.integers(0, n_colors, (h, w))]
+        out = decode_webp(encode_webp_lossless(img, method="palette"))
+        assert (out == img).all()
