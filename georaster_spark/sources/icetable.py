@@ -432,6 +432,23 @@ def write_table(
         f["stats"] = stats.get(f["path"], {})
     if mode == "append" and parent is not None:
         pm = read_manifest(path, parent)
+        # schema evolution (Iceberg add/drop-column semantics): the
+        # APPEND's schema becomes the table schema; columns shared
+        # with the parent must keep their types (a type change would
+        # silently corrupt old-file reads), added columns read as
+        # NULL from pre-evolution files, dropped columns disappear
+        # from the live view (time-travel still sees them via the old
+        # snapshot's manifest schema)
+        from pyspark.sql.types import StructType
+
+        old = {f.name: f.dataType for f in StructType.fromJson(pm["schema"])}
+        for fld in df.schema:
+            if fld.name in old and old[fld.name] != fld.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change column type: "
+                    f"{fld.name} {old[fld.name].simpleString()} -> "
+                    f"{fld.dataType.simpleString()}"
+                )
         files = manifest_files(path, pm)[0] + files
 
     manifest = {
@@ -510,8 +527,26 @@ def read_table(
         parts = rel.split(os.sep)
         base = os.path.join(path, *parts[:2])
         by_snap.setdefault(base, []).append(os.path.join(path, rel))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(m["schema"])
+
+    def _align(d: DataFrame) -> DataFrame:
+        # schema evolution: pre-evolution files lack added columns
+        # (NULL of the declared type); post-drop reads ignore columns
+        # the live schema no longer carries
+        have = set(d.columns)
+        return d.select(
+            *[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
     dfs = [
-        spark.read.option("basePath", base).parquet(*files)
+        _align(spark.read.option("basePath", base).parquet(*files))
         for base, files in sorted(by_snap.items())
     ]
     out = dfs[0]

@@ -494,3 +494,68 @@ class TestOptimisticCommit:
         # and a fresh auto-basis commit still succeeds afterwards
         s = icetable.write_table(docs.limit(1), path)
         assert icetable.current_snapshot(path) == s
+
+
+class TestSchemaEvolution:
+    """Iceberg-style add/drop-column semantics: the append's schema
+    becomes the live schema; pre-evolution files read the added
+    column as NULL; time travel sees each snapshot's own schema;
+    type changes are refused."""
+
+    def test_add_column_reads_null_for_old_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from georaster_spark.sources import icetable
+
+        path = str(tmp_path / "tbl")
+        base = spark.range(10).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).alias("lang_id")
+        )
+        snap1 = icetable.write_table(base, path)
+        evolved = spark.range(10, 15).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).alias("lang_id"),
+            (F.col("id") / 100.0).alias("conf"),
+        )
+        icetable.write_table(evolved, path, mode="append")
+        live = icetable.read_table(spark, path)
+        assert set(live.columns) == {"doc_id", "lang_id", "conf"}
+        assert live.count() == 15
+        assert live.where(F.col("conf").isNull()).count() == 10
+        assert live.where("doc_id = 12").collect()[0]["conf"] == 0.12
+        # filters on the added column keep (not prune) old files
+        assert icetable.read_table(spark, path, filters=[("conf", ">=", 0.0)]).count() == 5
+        # time travel: the parent snapshot keeps its own schema
+        old = icetable.read_table(spark, path, snapshot_id=snap1)
+        assert set(old.columns) == {"doc_id", "lang_id"} and old.count() == 10
+
+    def test_drop_column_and_time_travel(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from georaster_spark.sources import icetable
+
+        path = str(tmp_path / "tbl")
+        base = spark.range(6).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("legacy")
+        )
+        snap1 = icetable.write_table(base, path)
+        slim = spark.range(6, 9).select(F.col("id").alias("doc_id"))
+        icetable.write_table(slim, path, mode="append")
+        live = icetable.read_table(spark, path)
+        assert live.columns == ["doc_id"] and live.count() == 9
+        old = icetable.read_table(spark, path, snapshot_id=snap1)
+        assert set(old.columns) == {"doc_id", "legacy"}
+
+    def test_type_change_refused(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from georaster_spark.sources import icetable
+
+        path = str(tmp_path / "tbl")
+        icetable.write_table(
+            spark.range(3).select(F.col("id").alias("doc_id")), path
+        )
+        bad = spark.range(3).select(F.col("id").cast("string").alias("doc_id"))
+        with pytest.raises(ValueError, match="cannot change column type"):
+            icetable.write_table(bad, path, mode="append")
