@@ -823,10 +823,20 @@ def _encode_image_stream(bw: _BitW, flat: np.ndarray, level0: bool) -> None:
         _Writer(bw, np.bincount(a, minlength=256).tolist()),
         _Writer(bw, [1] + [0] * 39),  # distance code: unused, 1 symbol
     ]
+    n_px = len(flat)
+    if n_px < 2048:
+        # tiny images (media thumbnails): the per-call numpy setup of
+        # the bulk path costs more than it saves — plain loop
+        write = bw.write
+        chans = [(w_.codes, ch) for w_, ch in zip(writers[:4], (g, r, b, a))]
+        for i in range(n_px):
+            for codes, ch in chans:
+                c, n = codes[int(ch[i])]
+                write(n, _rev(c, n))
+        return
     # emit all pixels in one vectorized pass: per-channel lookup
     # tables of (bit-reversed code, length), interleaved in stream
     # order g,r,b,a, then a single bulk bit append
-    n_px = len(flat)
     vals = np.zeros(4 * n_px, np.int64)
     lens = np.zeros(4 * n_px, np.int64)
     for k, (writer, ch) in enumerate(zip(writers[:4], (g, r, b, a))):
