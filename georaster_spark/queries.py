@@ -4211,11 +4211,15 @@ def sql_weighted_sample():
 # Every entry keeps its oracle; tools/check_oracle.py verifies all
 # entries regardless of order.
 #
-# DRIVER_UNCHECKED_NEW: entries added AFTER this round's 50-slot
-# window was already full of stale/changed entries. They have no
+# DRIVER_UNCHECKED_NEW: entries added AFTER the current round's
+# 50-slot window was already full of stale/changed entries, with no
 # driver row in ANY round yet — the next rotation MUST promote them
-# into the window (tests/test_entry.py enforces both sides).
-DRIVER_UNCHECKED_NEW = {"media_wav_decode", "media_video_decode"}
+# into the window (tests/test_entry.py enforces both sides). Empty
+# right now: media_wav_decode / media_video_decode were promoted
+# into the r4 window late in round 4 (stream_dedup and
+# dedup_components — both r03-green with behavior-identical r4
+# changes — made room).
+DRIVER_UNCHECKED_NEW = set()
 
 QUERIES = {
     "text_entropy": q_text_entropy,
@@ -4259,15 +4263,17 @@ QUERIES = {
     "media_jpeg_decode": q_media_jpeg_decode,
     "embedding_centroids": q_embedding_centroids,
     "interval_join": q_interval_join,
-    "stream_dedup": q_stream_dedup,
     "stream_interval": q_stream_interval,
     "stream_stream_join": q_stream_stream_join,
     "ice_merge": q_ice_merge,
     "ice_prune": q_ice_prune,
     "ann_pq": q_ann_pq,
-    "dedup_components": q_dedup_components,
     "pmtiles_ingest": q_pmtiles_ingest,
     "pmtiles_webp_ingest": q_pmtiles_webp_ingest,
+    # promoted late in round 4 so they pick up their FIRST driver
+    # rows this round (they were added after the window filled):
+    "media_wav_decode": q_media_wav_decode,
+    "media_video_decode": q_media_video_decode,
     # --- tail (positions 51+, NOT driver-checked this round): every
     # entry below is r03-driver-green; stream_to_table and asof_join
     # saw mechanical-only changes (see header comment), and
@@ -4280,11 +4286,12 @@ QUERIES = {
     "media_png_decode": q_media_png_decode,
     "media_frames": q_media_frames,
     "media_audio": q_media_audio,
-    # new in r4, tail-positioned (window is full with stale/changed
-    # entries): NO driver row yet — verify via
-    # `python tools/check_oracle.py /root/testdata/sf0.01 media_wav_decode`
-    "media_wav_decode": q_media_wav_decode,
-    "media_video_decode": q_media_video_decode,
+    # demoted late in round 4 to make room for the wav/video pairs:
+    # both r03-green; their only r4 changes are behavior-identical
+    # (uuid memory-sink names / localCheckpoint lineage truncation),
+    # and both stay pytest- and check_oracle-covered
+    "stream_dedup": q_stream_dedup,
+    "dedup_components": q_dedup_components,
     "stream_to_table": q_stream_to_table,
     "raster_ingest": q_raster_ingest,
     "raster_info": q_raster_info,
