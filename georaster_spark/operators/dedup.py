@@ -242,6 +242,72 @@ def winnow_fingerprints(
     return fp.select("doc_id", "fp").distinct()
 
 
+def exact_substring_spans(
+    docs: DataFrame, gram_len: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document exact-substring duplication spans — the
+    distributed form of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    which the original computes with a single-machine suffix array.
+
+    Semantics: every word ``gram_len``-gram of every document is
+    hashed; a gram occurring in ≥2 DISTINCT documents marks all its
+    occurrences (in every holder) as duplicated; per document,
+    OVERLAPPING marked windows merge into maximal spans (adjacent but
+    non-overlapping windows stay separate spans — they are distinct
+    duplicated substrings). Output: one row per document that has at
+    least one cross-document duplicated span, with the span count,
+    total duplicated word positions, and the e6 duplication ratio.
+    Documents shorter than ``gram_len`` words carry no full gram and
+    are skipped.
+
+    Scale shape (the reason this is NOT a suffix array): three
+    shuffles, each linear in corpus tokens —
+      1. groupBy gram hash with map-side partial min/max(doc_id);
+         min≠max ⟺ ≥2 distinct holders, so the dup flag needs no
+         countDistinct state;
+      2. equi-join of positioned grams against the dup-flagged hash
+         set: each position row meets exactly ONE flag row, so a
+         boilerplate gram shared by M documents costs M join rows,
+         never M²;
+      3. the per-document window sort that merges overlapping
+         windows (same-length intervals sorted by position merge via
+         one lag(): new span ⟺ pos - lag(pos) ≥ gram_len).
+    The driver holds nothing; no broadcast is required (AQE may pick
+    one for the flag side when it is small).
+    """
+    tok = F.split(F.col(text_col), " ")
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).where(
+        F.size(tok) >= gram_len
+    )
+    g = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        F.posexplode(_shingle_array("text", gram_len)).alias("pos", "sh"),
+    ).select("doc_id", "n_words", "pos", shingle_hash().alias("h"))
+    dup = g.groupBy("h").agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+    dup = dup.where(F.col("_mn") != F.col("_mx")).select("h")
+    marked = g.join(dup, "h").select("doc_id", "n_words", "pos")
+
+    from pyspark.sql import Window as W
+
+    by_pos = W.partitionBy("doc_id").orderBy("pos")
+    run = by_pos.rowsBetween(W.unboundedPreceding, W.currentRow)
+    spans = (
+        marked.withColumn(
+            "brk",
+            (F.col("pos") - F.lag("pos", 1, -gram_len).over(by_pos) >= gram_len).cast("int"),
+        )
+        .withColumn("island", F.sum("brk").over(run))
+        .groupBy("doc_id", "n_words", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + gram_len - 1).alias("e"))
+    )
+    return spans.groupBy("doc_id", "n_words").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_words"),
+    )
+
+
 def _symmetric(e: DataFrame) -> DataFrame:
     """Both directions of every edge, self-loops dropped."""
     return (

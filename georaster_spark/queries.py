@@ -12,7 +12,7 @@ Rules that keep the value-hash comparison honest:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from georaster_spark import cells
@@ -614,6 +614,67 @@ def sql_hillshade():
            CAST(round(gx_num, 0) AS BIGINT) AS gx_num,
            CAST(round(gy_num, 0) AS BIGINT) AS gy_num,
            CAST(round({hs} * 10000.0, 0) AS BIGINT) AS hillshade_e4
+    FROM g WHERE n_nb = 9
+    """
+
+
+def q_slope_aspect(spark, sf_dir):
+    """Slope/aspect terrain derivatives over the DTM crop — the two
+    scalar products the hillshade composes (see q_hillshade),
+    surfaced as their own rasters. Same tile-halo Horn gradient
+    kernel (operators/raster.py horn_gradients_halo: one block-key
+    Exchange, ~1.02x halo duplication at tile=64); everything after
+    the integer-exact gradient numerators is Column algebra in
+    WholeStageCodegen. Conventions: slope in degrees; aspect as
+    compass azimuth degrees clockwise from north in [0, 360) via
+    az = 450 - degrees(atan2(dzdy, -dzdx)) folded into range; flat
+    cells (both numerators zero) map to -1. e4 rounding absorbs
+    cross-engine libm ulps, as in hillshade."""
+    return _slope_aspect_select(R.horn_gradients_halo(_dtm_crop(spark), tile=64))
+
+
+def _slope_aspect_select(g: DataFrame) -> DataFrame:
+    """slope/aspect Column math over Horn gradient numerators —
+    factored out so tests can hand-check it on tiny synthetic ramps
+    independently of the DTM fixture."""
+    dzdx = F.col("gx_num") / 80.0  # 8 * cellsize(10 m)
+    dzdy = F.col("gy_num") / 80.0
+    slope = F.degrees(F.atan(F.sqrt(dzdx * dzdx + dzdy * dzdy)))
+    comp = 450.0 - F.degrees(F.atan2(dzdy, -dzdx))
+    az = F.when(comp >= 360.0, comp - 360.0).otherwise(comp)
+    flat = (F.col("gx_num") == 0) & (F.col("gy_num") == 0)
+    aspect = F.when(flat, F.lit(-1.0)).otherwise(az)
+    return g.select(
+        "x",
+        "y",
+        F.round(slope * 10000.0, 0).cast("long").alias("slope_e4"),
+        F.round(aspect * 10000.0, 0).cast("long").alias("aspect_e4"),
+    )
+
+
+def sql_slope_aspect():
+    slope = (
+        "degrees(atan(sqrt((gx_num / 80.0e0) * (gx_num / 80.0e0)"
+        " + (gy_num / 80.0e0) * (gy_num / 80.0e0))))"
+    )
+    comp = "450.0e0 - degrees(atan2(gy_num / 80.0e0, -(gx_num / 80.0e0)))"
+    az = f"CASE WHEN {comp} >= 360.0e0 THEN {comp} - 360.0e0 ELSE {comp} END"
+    aspect = f"CASE WHEN gx_num = 0 AND gy_num = 0 THEN -1.0e0 ELSE {az} END"
+    return f"""
+    WITH px AS ({dtm_pixels_sql()}),
+    c AS ({_dtm_crop_sql()}),
+    g AS (
+      SELECT a.x, a.y,
+             sum((b.x - a.x) * (CASE WHEN b.y = a.y THEN 2 ELSE 1 END) * b.value) AS gx_num,
+             sum((b.y - a.y) * (CASE WHEN b.x = a.x THEN 2 ELSE 1 END) * b.value) AS gy_num,
+             count(*) AS n_nb
+      FROM c a JOIN c b
+        ON b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+      GROUP BY 1, 2
+    )
+    SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST(round({slope} * 10000.0, 0) AS BIGINT) AS slope_e4,
+           CAST(round(({aspect}) * 10000.0, 0) AS BIGINT) AS aspect_e4
     FROM g WHERE n_nb = 9
     """
 
@@ -2605,6 +2666,99 @@ def sql_dedup_exact():
     """
 
 
+def _messy_url_col() -> Column:
+    """Deterministic messy-URL synthesis from (doc_id, source): the
+    corpus carries no URL column, so the crawl-dedup input is derived
+    in-query with every canonicalization hazard wired in by doc_id
+    residue — scheme http/https, www. prefix, host case-mangling,
+    explicit :443 port, trailing slash, two utm tracking-param
+    shapes, and a fragment. Docs sharing (source, doc_id % 40)
+    canonicalize to the same key. The DuckDB oracle builds the SAME
+    string with identical CASE arms (strings are exact, so only
+    semantic — not textual — parity is needed)."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 3 == 1, "http://").otherwise("https://")
+    hostc = F.concat(
+        F.when(d % 2 == 0, "www.").otherwise(""),
+        F.col("source"),
+        F.lit(".example.com"),
+    )
+    return F.concat(
+        scheme,
+        F.when(d % 5 == 0, F.upper(hostc)).otherwise(hostc),
+        F.when(d % 7 == 0, ":443").otherwise(""),
+        F.lit("/a/"),
+        (d % 40).cast("string"),
+        F.when(d % 4 == 0, "/").otherwise(""),
+        F.when(d % 6 == 0, "?utm_source=feed")
+        .when(d % 6 == 3, "?utm_campaign=x&utm_medium=y")
+        .otherwise(""),
+        F.when(d % 8 == 0, "#sec2").otherwise(""),
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level crawl dedup: canonicalize every document URL
+    (functions/web.py canonical_url — scheme/port/www/fragment/
+    tracking-param stripping and host lowercasing as ONE codegen
+    projection, RE2-safe regexes so the oracle applies identical
+    patterns) and keep the first doc per canonical key. The whole
+    query is one projection plus one groupBy shuffle on the
+    canonical key — the URL-dedup pass of a crawl pipeline at its
+    minimal shuffle count. At 100 TB the groupBy partially
+    aggregates map-side; no driver state, nothing broadcast."""
+    from georaster_spark.functions.web import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url_col().alias("url")
+    )
+    return (
+        d.select("doc_id", "url", canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+            F.countDistinct("url").cast("long").alias("n_variants"),
+        )
+    )
+
+
+def sql_url_dedup():
+    return r"""
+    WITH raw AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 1 THEN 'http://' ELSE 'https://' END)
+        || (CASE WHEN doc_id % 5 = 0
+                 THEN upper((CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) || source || '.example.com')
+                 ELSE (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) || source || '.example.com' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+        || '/a/' || CAST(doc_id % 40 AS VARCHAR)
+        || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed'
+                 WHEN doc_id % 6 = 3 THEN '?utm_campaign=x&utm_medium=y'
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 8 = 0 THEN '#sec2' ELSE '' END) AS url
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, url, regexp_replace(url, '^https?://', '') AS u FROM raw),
+    s2 AS (SELECT doc_id, url, regexp_extract(u, '^[^/?#]*', 0) AS host,
+                  substr(u, len(regexp_extract(u, '^[^/?#]*', 0)) + 1) AS rest
+           FROM s1),
+    s3 AS (SELECT doc_id, url,
+                  regexp_replace(regexp_replace(lower(host), '^www\.', ''), ':(80|443)$', '') || rest AS u
+           FROM s2),
+    s4 AS (SELECT doc_id, url,
+                  regexp_replace(regexp_replace(u, '#.*', ''),
+                                 '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS u
+           FROM s3),
+    s5 AS (SELECT doc_id, url, regexp_replace(u, '/$', '') AS canonical_url FROM s4)
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+    FROM s5 GROUP BY canonical_url
+    """
+
+
 SHINGLE_N = 3
 JACCARD_T = 0.5
 
@@ -2697,6 +2851,74 @@ def sql_winnow_fps():
     )
     SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, fp FROM win
     WHERE pos + {WINNOW_W - 1} <= _n OR (_n < {WINNOW_W - 1} AND pos = 0)
+    """
+
+
+ES_GRAM = 5  # exact-substring window, words
+
+
+def q_exact_substr(spark, sf_dir):
+    """Cross-document exact-substring duplication spans
+    (operators/dedup.py exact_substring_spans): the distributed
+    rewrite of the suffix-array ExactSubstr dedup of Lee et al. 2022
+    — hash every word 5-gram once, flag hashes held by ≥2 distinct
+    docs via min≠max partial aggregates (no countDistinct state),
+    equi-join the flags back (each position row meets ONE flag row,
+    so a boilerplate gram shared by M docs costs M rows, never M²),
+    then merge overlapping windows per doc with a single lag()
+    window into maximal spans. Three shuffles, each linear in corpus
+    tokens; nothing on the driver. Complements winnow_fps (which
+    FINGERPRINTS docs for comparison) by reporting exactly WHICH
+    fraction of each doc is duplicated text."""
+    from georaster_spark.operators.dedup import exact_substring_spans
+
+    out = exact_substring_spans(_docs_spread(spark, sf_dir), gram_len=ES_GRAM)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "n_spans",
+        "dup_words",
+        F.round(F.col("dup_words") / F.col("n_words") * 1000000.0, 0)
+        .cast("long")
+        .alias("dup_ratio_e6"),
+    )
+
+
+def sql_exact_substr():
+    L = ES_GRAM
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, len(string_split(text, ' ')) - {L - 1})) AS i
+      FROM documents WHERE len(string_split(text, ' ')) >= {L}
+    ),
+    g AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_words, i - 1 AS pos,
+             CAST('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+{L - 1}], ' ')), 1, 15) AS BIGINT) % {_MH_P} AS h
+      FROM pos
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+    m AS (SELECT g.doc_id, g.n_words, g.pos FROM g JOIN dup ON g.h = dup.h),
+    b AS (
+      SELECT doc_id, n_words, pos,
+             CASE WHEN pos - lag(pos, 1, {-L}) OVER (PARTITION BY doc_id ORDER BY pos) >= {L}
+                  THEN 1 ELSE 0 END AS brk
+      FROM m
+    ),
+    isl AS (
+      SELECT doc_id, n_words, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM b
+    ),
+    sp AS (
+      SELECT doc_id, n_words, island, min(pos) AS s, max(pos) + {L - 1} AS e
+      FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_words,
+           CAST(round(sum(e - s + 1) / CAST(n_words AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS dup_ratio_e6
+    FROM sp GROUP BY doc_id, n_words
     """
 
 
@@ -4262,18 +4484,24 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_jpeg_decode": q_media_jpeg_decode,
     "embedding_centroids": q_embedding_centroids,
-    "interval_join": q_interval_join,
-    "stream_interval": q_stream_interval,
     "stream_stream_join": q_stream_stream_join,
     "ice_merge": q_ice_merge,
     "ice_prune": q_ice_prune,
     "ann_pq": q_ann_pq,
-    "pmtiles_ingest": q_pmtiles_ingest,
     "pmtiles_webp_ingest": q_pmtiles_webp_ingest,
     # promoted late in round 4 so they pick up their FIRST driver
     # rows this round (they were added after the window filled):
     "media_wav_decode": q_media_wav_decode,
     "media_video_decode": q_media_video_decode,
+    # new in round 4 (late): cross-doc exact-substring spans, URL
+    # canonicalization dedup, slope/aspect terrain derivatives —
+    # in-window so their FIRST driver rows land this round
+    # (interval_join / stream_interval / pmtiles_ingest made room:
+    # all three r03-green and r4-behavior-identical or covered by an
+    # in-window sibling — see tail comment)
+    "exact_substr": q_exact_substr,
+    "url_dedup": q_url_dedup,
+    "slope_aspect": q_slope_aspect,
     # --- tail (positions 51+, NOT driver-checked this round): every
     # entry below is r03-driver-green; stream_to_table and asof_join
     # saw mechanical-only changes (see header comment), and
@@ -4286,12 +4514,19 @@ QUERIES = {
     "media_png_decode": q_media_png_decode,
     "media_frames": q_media_frames,
     "media_audio": q_media_audio,
-    # demoted late in round 4 to make room for the wav/video pairs:
-    # both r03-green; their only r4 changes are behavior-identical
-    # (uuid memory-sink names / localCheckpoint lineage truncation),
-    # and both stay pytest- and check_oracle-covered
+    # demoted late in round 4 to make room for the wav/video pairs
+    # and the three new late-r4 operators. All five r03-green with
+    # r4 changes that are behavior-identical (uuid memory-sink
+    # names / localCheckpoint lineage truncation / an explicitly
+    # pinned broadcast_intervals=True param) or covered by an
+    # in-window sibling (pmtiles_webp_ingest's mixed archive
+    # exercises the same per-tile format-sniffing kernel on BOTH
+    # PNG and WebP tiles). All stay pytest- and check_oracle-covered.
     "stream_dedup": q_stream_dedup,
     "dedup_components": q_dedup_components,
+    "interval_join": q_interval_join,
+    "stream_interval": q_stream_interval,
+    "pmtiles_ingest": q_pmtiles_ingest,
     "stream_to_table": q_stream_to_table,
     "raster_ingest": q_raster_ingest,
     "raster_info": q_raster_info,
@@ -4344,6 +4579,9 @@ ORACLES = {
     "raster_ingest": sql_raster_ingest(),
     "pmtiles_ingest": sql_pmtiles_ingest(),
     "pmtiles_webp_ingest": sql_pmtiles_webp_ingest(),
+    "exact_substr": sql_exact_substr(),
+    "url_dedup": sql_url_dedup(),
+    "slope_aspect": sql_slope_aspect(),
     "ice_prune": sql_ice_prune(),
     "ice_merge": sql_ice_merge(),
     "raster_info": sql_raster_info(),

@@ -275,3 +275,35 @@ def test_simhash_hot_bucket_degenerate_bounded(spark):
     assert max(
         sum(1 for i in range(n) if i % m == c) for c in range(m)
     ) <= cap
+
+
+def test_exact_substring_spans_hand_checked(spark):
+    """Hand-checked ExactSubstr semantics (gram_len=3):
+    doc 1 'a b c d e f g h' and doc 2 'x x a b c d y z' share the
+    4-word substring 'a b c d' (two overlapping 3-grams) -> each
+    gets ONE merged span of 4 duplicated words. doc 4 repeats
+    'a b c' at pos 0 and 'b c d' at pos 6 -> the gap (6 >= 3) keeps
+    them as TWO spans, 3 words each. doc 3 shares nothing and must
+    be absent; doc 5 ('a b' alone) is shorter than the gram and is
+    skipped even though 'a b' occurs elsewhere."""
+    from georaster_spark.operators.dedup import exact_substring_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x x a b c d y z"),
+            (3, "p q r s t u"),
+            (4, "a b c q q q b c d q"),
+            (5, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_words, r.n_spans, r.dup_words)
+        for r in exact_substring_spans(docs, gram_len=3).collect()
+    }
+    assert rows == {
+        1: (8, 1, 4),
+        2: (8, 1, 4),
+        4: (10, 2, 6),
+    }

@@ -497,3 +497,29 @@ def test_stencils_treat_null_as_missing_neighbor(spark):
     out = {(r.i, r.j): r.v for r in resample_bilinear(px, 0, 0, 3, 3, 3, 3).collect()}
     assert (0, 0) not in out  # only corner was the NoData pixel
     assert all(v == 2.0 for v in out.values())
+
+
+class TestSlopeAspect:
+    def test_hand_checked_ramps_and_flat(self, spark):
+        """v = x ramp: gx_num = 8 (hand-derived in TestHornGradients)
+        so dz/dx = 8/80 = 0.1, dz/dy = 0 -> slope =
+        degrees(atan(0.1)) = 5.7106°, aspect = 450 -
+        degrees(atan2(0, -0.1)) = 450 - 180 = 270 (downslope due
+        west). v = y ramp: gy_num = 8 -> aspect = 450 -
+        degrees(atan2(0.1, -0.0)) = 450 - 90 = 360 -> folds to 0.
+        Flat raster: slope 0, aspect sentinel -1."""
+        from georaster_spark.operators.raster import horn_gradients_halo
+        from georaster_spark.queries import _slope_aspect_select
+
+        def run(vals):
+            df = spark.createDataFrame(
+                [(x, y, float(vals(x, y))) for x in range(3) for y in range(3)],
+                "x int, y int, value double",
+            )
+            r = _slope_aspect_select(horn_gradients_halo(df, tile=2)).collect()
+            assert len(r) == 1
+            return r[0].slope_e4, r[0].aspect_e4
+
+        assert run(lambda x, y: x) == (57106, 2700000)
+        assert run(lambda x, y: y) == (57106, 0)
+        assert run(lambda x, y: 5) == (0, -10000)

@@ -240,6 +240,55 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    # slope_aspect: same halo-stencil shape as hillshade — one block
+    # Exchange into the gradient kernel, slope/aspect trig in codegen
+    p = plans["slope_aspect"] = explain_str(Q.q_slope_aspect(spark, SF))
+    check(
+        "slope_aspect",
+        "single Exchange into the Horn kernel; slope/aspect trig is a "
+        "JVM Project (no Python evaluator downstream of the kernel)",
+        n_nodes(p, "Exchange") == 1
+        and n_nodes(p, "FlatMapGroupsInPandas") == 1
+        and "BatchEvalPython" not in p,
+    )
+
+    # exact_substr: the ExactSubstr rewrite — gram-flag side is
+    # partial-aggregated then equi-joined (never a nested loop), and
+    # the span merge + per-doc rollup REUSE the window's doc_id
+    # Exchange: 4 HashAggregates with no Exchange between them
+    p = plans["exact_substr"] = explain_str(Q.q_exact_substr(spark, SF))
+    # tree block prints top-down: everything above the first Window
+    # line is downstream of the window
+    tree = p.split("\n\n")[0].splitlines()
+    w_at = next(i for i, l in enumerate(tree) if "Window" in l)
+    above = "\n".join(tree[:w_at])
+    check(
+        "exact_substr",
+        "gram flags equi-joined (no NestedLoop); span merge and "
+        "per-doc rollup reuse the window's doc_id partitioning "
+        "(4 HashAggregates and no Exchange above the Window nodes); "
+        "no Python",
+        "NestedLoop" not in p
+        and "BatchEvalPython" not in p
+        and n_nodes(p, "Window") == 2
+        and "Exchange" not in above
+        and above.count("HashAggregate") == 4,
+    )
+
+    # url_dedup: regex canonicalization is ONE codegen projection;
+    # the only shuffles are the two-phase distinct aggregate
+    p = plans["url_dedup"] = explain_str(Q.q_url_dedup(spark, SF))
+    check(
+        "url_dedup",
+        "canonicalization regexes evaluate in a JVM Project (no "
+        "Python, no joins); exactly the 2 Exchanges of the two-phase "
+        "count-distinct aggregate",
+        "BatchEvalPython" not in p
+        and "Join" not in p
+        and n_nodes(p, "Exchange") == 2
+        and "[?&](utm_" in p,
+    )
+
     # weighted_sample: importance sampling is a pure filter projection
     # — zero shuffles, all hashing inside codegen
     p = plans["weighted_sample"] = explain_str(Q.q_weighted_sample(spark, SF))
