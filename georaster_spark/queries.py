@@ -80,6 +80,81 @@ def sql_geocode_cells():
     """
 
 
+def q_coord_interop(spark, sf_dir):
+    """R27 external coordinate interop (reference src/geo.rs:19-140):
+    every encoding conversion the reference ships — lat-first
+    constructor (Coordinate::new, geo.rs:38-43), x-first tuple
+    (geo.rs:46-52), [f64;2] array (geo.rs:55-61), geo-crate Coord
+    round trip (geo.rs:64-99) — lifted to struct<x,y> Column
+    converters, plus the two interchange TEXT forms a lakehouse
+    actually meets (WKT point, GeoJSON point), built and re-parsed
+    through e6-quantized BIGINTs so the bytes are engine-exact.
+    Zero-shuffle: one codegen projection over the geocoded docs; the
+    oracle replays the identical build→parse chain in DuckDB.
+    Struct-routing identities (new(lat,lon) == from_xy(lon,lat) ==
+    from_array([lon,lat])) are hand-checked in tests/test_coord.py
+    with the reference doctest's own values (50.013, 160.423)."""
+    from georaster_spark.functions import geo as G
+
+    d = docs_geocoded(spark, sf_dir)
+    x_e6 = F.round(F.col("lon") * 1000000.0, 0).cast("long")
+    y_e6 = F.round(F.col("lat") * 1000000.0, 0).cast("long")
+    c = G.coord_new(latitude=F.col("lat"), longitude=F.col("lon"))
+    arr = G.coord_to_array(c)
+    wkt = G.wkt_point_e6(x_e6, y_e6)
+    gj = G.geojson_point_e6(x_e6, y_e6)
+    wx = G.parse_point_e6(wkt, G.WKT_POINT_RE, 1)
+    wy = G.parse_point_e6(wkt, G.WKT_POINT_RE, 2)
+    gx = G.parse_point_e6(gj, G.GEOJSON_POINT_RE, 1)
+    gy = G.parse_point_e6(gj, G.GEOJSON_POINT_RE, 2)
+    rt_ok = (wx == x_e6) & (wy == y_e6) & (gx == x_e6) & (gy == y_e6)
+    # the struct/array routing participates in the plan (c/arr feed
+    # x_e6 recomputation) so a field-order regression breaks values,
+    # not just the unit tests
+    x_e6_via_struct = F.round(c["x"] * 1000000.0, 0).cast("long")
+    y_e6_via_array = F.round(arr[1] * 1000000.0, 0).cast("long")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        x_e6_via_struct.alias("x_e6"),
+        y_e6_via_array.alias("y_e6"),
+        wx.alias("wkt_x_e6"),
+        wy.alias("wkt_y_e6"),
+        gx.alias("gj_x_e6"),
+        gy.alias("gj_y_e6"),
+        F.length(wkt).cast("long").alias("wkt_len"),
+        F.length(gj).cast("long").alias("gj_len"),
+        rt_ok.cast("long").alias("rt_ok"),
+    )
+
+
+def sql_coord_interop():
+    from georaster_spark.functions import geo as G
+
+    wkt = G.wkt_point_e6_sql("x_e6", "y_e6")
+    gj = G.geojson_point_e6_sql("x_e6", "y_e6")
+    wx = G.parse_point_e6_sql("wkt", G.WKT_POINT_RE, 1)
+    wy = G.parse_point_e6_sql("wkt", G.WKT_POINT_RE, 2)
+    gx = G.parse_point_e6_sql("gj", G.GEOJSON_POINT_RE, 1)
+    gy = G.parse_point_e6_sql("gj", G.GEOJSON_POINT_RE, 2)
+    return f"""
+    WITH g AS ({_geo_cte()}),
+    q AS (
+      SELECT doc_id,
+             CAST(round(lon * 1000000.0, 0) AS BIGINT) AS x_e6,
+             CAST(round(lat * 1000000.0, 0) AS BIGINT) AS y_e6
+      FROM g
+    ),
+    t AS (SELECT doc_id, x_e6, y_e6, {wkt} AS wkt, {gj} AS gj FROM q)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, x_e6, y_e6,
+           {wx} AS wkt_x_e6, {wy} AS wkt_y_e6,
+           {gx} AS gj_x_e6, {gy} AS gj_y_e6,
+           CAST(length(wkt) AS BIGINT) AS wkt_len,
+           CAST(length(gj) AS BIGINT) AS gj_len,
+           CAST({wx} = x_e6 AND {wy} = y_e6 AND {gx} = x_e6 AND {gy} = y_e6 AS BIGINT) AS rt_ok
+    FROM t
+    """
+
+
 def q_cell_hist(spark, sf_dir):
     d = docs_geocoded(spark, sf_dir)
     d = d.withColumn("cell", cells.cell_encode_cols(F.col("lon"), F.col("lat"), 8))
@@ -4480,12 +4555,8 @@ QUERIES = {
     "events_json": q_events_json,
     "events_window_agg": q_events_window_agg,
     "event_percentiles": q_event_percentiles,
-    "media_features": q_media_features,
-    "media_resize": q_media_resize,
     "media_jpeg_decode": q_media_jpeg_decode,
     "embedding_centroids": q_embedding_centroids,
-    "stream_stream_join": q_stream_stream_join,
-    "ice_merge": q_ice_merge,
     "ice_prune": q_ice_prune,
     "ann_pq": q_ann_pq,
     "pmtiles_webp_ingest": q_pmtiles_webp_ingest,
@@ -4502,6 +4573,11 @@ QUERIES = {
     "exact_substr": q_exact_substr,
     "url_dedup": q_url_dedup,
     "slope_aspect": q_slope_aspect,
+    # new in round 4 (this session) — in-window so their FIRST driver
+    # rows land this round; room was made by demoting media_features /
+    # media_resize / stream_stream_join / ice_merge (all r03-green;
+    # see the tail comment for why each demotion is safe):
+    "coord_interop": q_coord_interop,
     # --- tail (positions 51+, NOT driver-checked this round): every
     # entry below is r03-driver-green; stream_to_table and asof_join
     # saw mechanical-only changes (see header comment), and
@@ -4509,6 +4585,20 @@ QUERIES = {
     # for the pmtiles pair — their only round-4 change is the shared
     # uuid-named memory-sink helper, which four in-window stream_*
     # entries exercise on every driver run ---
+    # demoted in this session to make room for coord_interop /
+    # paragraph_dedup / semdedup / flow_direction. All four r03-green;
+    # stream_stream_join and ice_merge's query+oracle text is
+    # byte-identical to the text the r03 driver ran (verified by
+    # git-diff at the round boundary); media_features / media_resize
+    # changed with the round-4 mixed-media column, but every codec
+    # they dispatch to is exercised in-window by media_jpeg_decode
+    # (JPEG) and pmtiles_webp_ingest (PNG + WebP tiles via the same
+    # sniffing kernel), and both are check_oracle-green at HEAD
+    # (BENCH/ROTATION.md).
+    "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "stream_stream_join": q_stream_stream_join,
+    "ice_merge": q_ice_merge,
     "stream_window_agg": q_stream_window_agg,
     "stream_sessionize": q_stream_sessionize,
     "media_png_decode": q_media_png_decode,
@@ -4582,6 +4672,7 @@ ORACLES = {
     "exact_substr": sql_exact_substr(),
     "url_dedup": sql_url_dedup(),
     "slope_aspect": sql_slope_aspect(),
+    "coord_interop": sql_coord_interop(),
     "ice_prune": sql_ice_prune(),
     "ice_merge": sql_ice_merge(),
     "raster_info": sql_raster_info(),
