@@ -545,3 +545,72 @@ def simhash_near_pairs(
         )
         .distinct()
     )
+
+
+def paragraph_chunks(
+    docs: DataFrame,
+    chunk_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positioned fixed-width word chunks — the line/paragraph unit of
+    corpus-level sub-document dedup (RefinedWeb/MassiveText dedup at
+    line granularity; the synthetic corpus has no newlines, so the
+    unit is a ``chunk_words``-word window, which exercises the same
+    pipeline shape). Emits ``(id, chunk_idx, chunk)``; the last chunk
+    may be short."""
+    tok = F.split(F.col(text_col), " ")
+    n_ch = F.ceil(F.size(tok) / float(chunk_words)).cast("int")
+    chunks_arr = F.transform(
+        F.sequence(F.lit(0), n_ch - 1),
+        lambda i: F.array_join(F.slice(tok, i * chunk_words + 1, chunk_words), " "),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks_arr).alias("chunk_idx", "chunk")
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    chunk_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level paragraph (line) dedup with document reassembly —
+    each chunk survives only at its FIRST occurrence in corpus order
+    ``(id, chunk_idx)``; every document is rebuilt from its surviving
+    chunks. Per doc: total chunks, kept chunks, and the md5 of the
+    reassembled text.
+
+    Scale design: first-occurrence is computed as a ``min(struct)``
+    AGGREGATE on the chunk key, not a ``row_number`` window — the
+    aggregate takes map-side partial combine, so a pathological chunk
+    duplicated 10^9 times arrives at its reducer as a handful of
+    partial minima, where a window partition would sort all copies on
+    one task; the winner join back is AQE-skew-splittable (a window
+    is not). Three linear shuffles total (chunk agg, winner join,
+    doc reassembly) — the RefinedWeb exact-line-dedup plan shape.
+    """
+    ch = paragraph_chunks(docs, chunk_words, id_col, text_col)
+    winners = ch.groupBy("chunk").agg(
+        F.min(F.struct(id_col, "chunk_idx")).alias("_w")
+    )
+    flagged = ch.join(winners, "chunk").withColumn(
+        "_kept",
+        (F.col(id_col) == F.col("_w." + id_col))
+        & (F.col("chunk_idx") == F.col("_w.chunk_idx")),
+    )
+    kept_struct = F.when(F.col("_kept"), F.struct("chunk_idx", "chunk"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("_kept").cast("long")).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )

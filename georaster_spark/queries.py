@@ -2997,6 +2997,58 @@ def sql_exact_substr():
     """
 
 
+PD_CHUNK = 8  # paragraph-dedup unit, words
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-level paragraph/line dedup with document reassembly
+    (operators/dedup.py paragraph_dedup) — the RefinedWeb exact-line
+    recipe: explode docs into positioned 8-word chunks, keep each
+    chunk only at its FIRST corpus occurrence (min(struct) aggregate,
+    so a 10^9-copy hot chunk map-side combines instead of sorting on
+    one window task; the winner join is AQE-skew-splittable), rebuild
+    every doc from its survivors. Output: per-doc chunk counts + md5
+    of the reassembled text. Complements exact_substr (substring
+    spans WITHIN overlap regions) with the line-granularity REMOVAL
+    op a curation pipeline actually applies."""
+    from georaster_spark.operators.dedup import paragraph_dedup
+
+    out = paragraph_dedup(_docs_spread(spark, sf_dir), chunk_words=PD_CHUNK)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chunks",
+        "n_kept",
+        "kept_md5",
+    )
+
+
+def sql_paragraph_dedup():
+    W = PD_CHUNK
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    n AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(0, CAST(ceil(len(ws) / {W}.0) AS INT) - 1)) AS chunk_idx
+      FROM w
+    ),
+    ch AS (
+      SELECT doc_id, chunk_idx,
+             array_to_string(ws[chunk_idx * {W} + 1 : chunk_idx * {W} + {W}], ' ') AS chunk
+      FROM n
+    ),
+    r AS (
+      SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1), '')) AS kept_md5
+    FROM r GROUP BY doc_id
+    """
+
+
 MINHASH_SEEDS = 16
 LSH_BANDS = 4  # 4 rows per band
 
@@ -4578,6 +4630,7 @@ QUERIES = {
     # media_resize / stream_stream_join / ice_merge (all r03-green;
     # see the tail comment for why each demotion is safe):
     "coord_interop": q_coord_interop,
+    "paragraph_dedup": q_paragraph_dedup,
     # --- tail (positions 51+, NOT driver-checked this round): every
     # entry below is r03-driver-green; stream_to_table and asof_join
     # saw mechanical-only changes (see header comment), and
@@ -4673,6 +4726,7 @@ ORACLES = {
     "url_dedup": sql_url_dedup(),
     "slope_aspect": sql_slope_aspect(),
     "coord_interop": sql_coord_interop(),
+    "paragraph_dedup": sql_paragraph_dedup(),
     "ice_prune": sql_ice_prune(),
     "ice_merge": sql_ice_merge(),
     "raster_info": sql_raster_info(),

@@ -307,3 +307,62 @@ def test_exact_substring_spans_hand_checked(spark):
         2: (8, 1, 4),
         4: (10, 2, 6),
     }
+
+
+# ------------------------------------------------- paragraph dedup
+
+
+def test_paragraph_dedup_hand_checked(spark):
+    """Hand-computed tiny corpus (chunk_words=2): 'a b' first occurs
+    in doc 0 at chunk 0, 'c d' in doc 0 at chunk 1, 'x' in doc 1 —
+    every later occurrence is dropped and docs reassemble from the
+    survivors only."""
+    import hashlib
+
+    from georaster_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b x"), (2, "c d a b")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_md5"])
+        for r in paragraph_dedup(docs, chunk_words=2).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got == {
+        0: (2, 2, md5("a b c d")),
+        1: (2, 1, md5("x")),  # 'a b' dropped, short tail chunk kept
+        2: (2, 0, md5("")),  # both chunks are repeats -> empty doc
+    }
+
+
+def test_paragraph_dedup_first_occurrence_is_corpus_ordered(spark):
+    """Within one doc, an earlier chunk_idx wins; across docs, the
+    smaller doc_id wins even when it explodes later in the scan."""
+    from georaster_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(5, "p q p q"), (9, "p q")], "doc_id long, text string"
+    ).repartition(4)
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"])
+        for r in paragraph_dedup(docs, chunk_words=2).collect()
+    }
+    assert got == {5: (2, 1), 9: (1, 0)}
+
+
+def test_paragraph_dedup_aggregates_map_side(spark):
+    """Scale invariant: the first-occurrence reduction is an
+    aggregate with a PARTIAL phase below its Exchange (map-side
+    combine), never a window sort over the chunk partition."""
+    from georaster_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    plan = (
+        paragraph_dedup(docs, chunk_words=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan or "PartialAggregate" in plan or "HashAggregate" in plan
