@@ -364,6 +364,67 @@ def cosine_near_dup_pairs(
     )
 
 
+def semdedup(
+    vectors: DataFrame,
+    cents: DataFrame,
+    tau_e6: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup = cluster the embedding space, then inside each cluster
+    drop every item that is ≥ τ cosine-similar to a KEPT-priority
+    peer. Keep-priority follows the paper's chosen policy — the
+    representative farthest from its cluster centroid survives
+    (low centroid-similarity first; ties → smaller id). As in the
+    paper's implementation, an item is dropped when ANY
+    higher-priority cluster peer is ≥ τ similar (the upper-triangle
+    max over the priority order — one pass, not an iterative greedy
+    chain).
+
+    Scale design: clustering reuses the PINNED k-means‖ quantizer
+    (broadcast 1-row centroid array, shuffle-free assignment —
+    ``ivf_assign``), so candidate pairs come from an EQUI-join on the
+    bucket, never all-pairs; the per-bucket pair cost is the recipe's
+    published cost and bounds by clustering finer (k ∝ corpus size
+    keeps bucket sizes constant). Output: one row per vector —
+    bucket, e6 centroid-similarity, kept flag.
+    """
+    vn = normalized(vectors).select(id_col, "vnorm")
+    best = F.array_max(_cent_scores("vnorm"))
+    assigned = (
+        vn.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "vnorm",
+            best["cid"].alias("bucket"),
+            F.round(best["score"] * 1000000.0, 0).cast("long").alias("self_e6"),
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    a_precedes = (F.col("a.self_e6") < F.col("b.self_e6")) | (
+        (F.col("a.self_e6") == F.col("b.self_e6")) & (ida < idb)
+    )
+    cos_e6 = F.round(dot(F.col("a.vnorm"), F.col("b.vnorm")) * 1000000.0, 0).cast(
+        "long"
+    )
+    dropped = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & a_precedes)
+        .where(cos_e6 >= tau_e6)
+        .select(idb.alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_d", F.lit(1)), id_col, "left")
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col("bucket").cast("long").alias("bucket"),
+            "self_e6",
+            F.col("_d").isNull().cast("long").alias("kept"),
+        )
+    )
+
+
 # ----------------------------------------------------------- PQ (ADC)
 
 def quantize_embeddings(

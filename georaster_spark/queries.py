@@ -3383,6 +3383,75 @@ def sql_ann_ivf():
     """
 
 
+SEMDEDUP_TAU_E6 = 400000  # near-orthogonal fixture; real corpora ~0.95
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/ann.py semdedup; Abbas et
+    al. 2023): cluster on the PINNED k-means|| quantizer (broadcast
+    1-row centroid array — assignment is shuffle-free), then within
+    each cluster drop any vector ≥ τ cosine-similar to a
+    higher-keep-priority peer (paper policy: farthest-from-centroid
+    survives; ties → smaller id). Candidate pairs come from an
+    equi-join on the bucket, never all-pairs — the published recipe's
+    cost, bounded at scale by clustering finer. τ is calibrated to
+    the near-orthogonal synthetic embeddings (0.40, like
+    embedding_neardup's 0.42); real text embeddings use ~0.95. The
+    oracle replays clustering, priority and the upper-triangle max in
+    SQL from the same pinned VALUES centroids."""
+    from georaster_spark.ann_centroids import ANN_IVF_CENTROIDS
+    from georaster_spark.operators.ann import _cents_df, semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _cents_df(spark, ANN_IVF_CENTROIDS)
+    return semdedup(e, cents, tau_e6=SEMDEDUP_TAU_E6)
+
+
+def sql_semdedup():
+    return f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1),
+    nflat AS (SELECT f.vec_id, i, v / nrm AS v FROM flat f JOIN norms USING (vec_id)),
+    cents AS (SELECT * FROM (VALUES {_pinned_cents_values()}) AS c(cid, i, v)),
+    scores AS (
+      SELECT n.vec_id, c.cid, sum(n.v * c.v) AS score
+      FROM nflat n JOIN cents c ON n.i = c.i
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid AS bucket,
+             CAST(round(score * 1000000.0, 0) AS BIGINT) AS self_e6
+      FROM (
+        SELECT vec_id, cid, score,
+               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM assign a JOIN assign b
+        ON a.bucket = b.bucket
+       AND (a.self_e6 < b.self_e6 OR (a.self_e6 = b.self_e6 AND a.vec_id < b.vec_id))
+    ),
+    cos AS (
+      SELECT p.ia, p.ib, CAST(round(sum(x.v * y.v) * 1000000.0, 0) AS BIGINT) AS cos_e6
+      FROM pairs p
+      JOIN nflat x ON x.vec_id = p.ia
+      JOIN nflat y ON y.vec_id = p.ib AND y.i = x.i
+      GROUP BY 1, 2
+    ),
+    dropped AS (SELECT DISTINCT ib FROM cos WHERE cos_e6 >= {SEMDEDUP_TAU_E6})
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id, CAST(a.bucket AS BIGINT) AS bucket,
+           a.self_e6,
+           CAST(CASE WHEN d.ib IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.ib
+    """
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/asof.py): each purchase event + the
     user's most recent at-or-before view event — union trick, one
@@ -4631,6 +4700,7 @@ QUERIES = {
     # see the tail comment for why each demotion is safe):
     "coord_interop": q_coord_interop,
     "paragraph_dedup": q_paragraph_dedup,
+    "semdedup": q_semdedup,
     # --- tail (positions 51+, NOT driver-checked this round): every
     # entry below is r03-driver-green; stream_to_table and asof_join
     # saw mechanical-only changes (see header comment), and
@@ -4727,6 +4797,7 @@ ORACLES = {
     "slope_aspect": sql_slope_aspect(),
     "coord_interop": sql_coord_interop(),
     "paragraph_dedup": sql_paragraph_dedup(),
+    "semdedup": sql_semdedup(),
     "ice_prune": sql_ice_prune(),
     "ice_merge": sql_ice_merge(),
     "raster_info": sql_raster_info(),

@@ -417,3 +417,45 @@ def test_interval_join_randomized_vs_brute_force(spark):
         if s <= base + e < x
     }
     assert got == expect
+
+
+# ---------------------------------------------------------- semdedup
+
+
+def test_semdedup_hand_checked(spark):
+    """Tiny hand-computed case (2 clusters, unit-ish 2-d vectors):
+    in bucket 0, v0=[1,.05] and v1=[1,.1] are ~0.999-cosine twins; the
+    paper's keep policy keeps the one FARTHER from the centroid (v1,
+    lower self-sim) and drops v0. Bucket 1's pair (cos 0.8 < tau)
+    both survive."""
+    from pyspark.sql import functions as F
+
+    from georaster_spark.operators.ann import _cents_df, semdedup
+
+    cents = _cents_df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.05]),
+            (1, [1.0, 0.1]),
+            (2, [0.6, 0.8]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in semdedup(vecs, cents, tau_e6=950000).collect()}
+    assert {k: r["bucket"] for k, r in rows.items()} == {0: 0, 1: 0, 2: 1, 3: 1}
+    assert {k: r["kept"] for k, r in rows.items()} == {0: 0, 1: 1, 2: 1, 3: 1}
+    # keep-priority really is LOWER centroid similarity
+    assert rows[1]["self_e6"] < rows[0]["self_e6"]
+
+
+def test_semdedup_tie_breaks_on_smaller_id(spark):
+    """Identical vectors (equal self-sim): the smaller id survives."""
+    from georaster_spark.operators.ann import _cents_df, semdedup
+
+    cents = _cents_df(spark, [(0, [1.0, 0.0])])
+    vecs = spark.createDataFrame(
+        [(7, [0.8, 0.6]), (3, [0.8, 0.6])], "vec_id long, embedding array<double>"
+    )
+    rows = {r["vec_id"]: r["kept"] for r in semdedup(vecs, cents, tau_e6=990000).collect()}
+    assert rows == {3: 1, 7: 0}
