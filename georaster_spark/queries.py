@@ -568,6 +568,62 @@ def sql_band_math():
     """
 
 
+def q_flow_direction(spark, sf_dir):
+    """D8 flow direction over the DTM crop (operators/raster.py
+    d8_flow_halo): steepest positive drop-over-distance among the 8
+    neighbors, compared on the exact integer key drop²·(2|1) so the
+    argmax is engine-bit-identical; ties → smallest ESRI code, no
+    downslope → 0 (sink). Same tile-halo plan as focal/hillshade —
+    ONE block-key Exchange into the NumPy kernel (~1.02× halo
+    duplication at tile=64). The oracle re-derives the argmax with a
+    row_number over the 8-neighbor self-join."""
+    return R.d8_flow_halo(_dtm_crop(spark), tile=64)
+
+
+def sql_flow_direction():
+    code = (
+        "CASE WHEN dx = 1 AND dy = 0 THEN 1 WHEN dx = 1 AND dy = 1 THEN 2"
+        " WHEN dx = 0 AND dy = 1 THEN 4 WHEN dx = -1 AND dy = 1 THEN 8"
+        " WHEN dx = -1 AND dy = 0 THEN 16 WHEN dx = -1 AND dy = -1 THEN 32"
+        " WHEN dx = 0 AND dy = -1 THEN 64 ELSE 128 END"
+    )
+    return f"""
+    WITH px AS ({dtm_pixels_sql()}),
+    c AS ({_dtm_crop_sql()}),
+    e AS (
+      SELECT a.x, a.y, b.x - a.x AS dx, b.y - a.y AS dy, a.value - b.value AS drop
+      FROM c a JOIN c b
+        ON b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+       AND NOT (b.x = a.x AND b.y = a.y)
+    ),
+    k AS (
+      SELECT x, y, {code} AS code, drop,
+             CASE WHEN drop > 0
+                  THEN drop * drop * (CASE WHEN dx = 0 OR dy = 0 THEN 2 ELSE 1 END)
+             END AS key
+      FROM e
+    ),
+    agg AS (
+      SELECT x, y, count(*) AS n_all,
+             sum(CASE WHEN drop > 0 THEN 1 ELSE 0 END) AS n_down
+      FROM e GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT x, y, code, drop, key FROM (
+        SELECT x, y, code, drop, key,
+               row_number() OVER (PARTITION BY x, y ORDER BY key DESC NULLS LAST, code ASC) AS rn
+        FROM k
+      ) WHERE rn = 1
+    )
+    SELECT CAST(a.x AS BIGINT) AS x, CAST(a.y AS BIGINT) AS y,
+           CAST(CASE WHEN w.key IS NULL THEN 0 ELSE w.code END AS BIGINT) AS d8,
+           CAST(a.n_down AS BIGINT) AS n_down,
+           CAST(CASE WHEN w.key IS NULL THEN 0 ELSE w.drop END AS BIGINT) AS drop_v
+    FROM agg a JOIN w USING (x, y)
+    WHERE a.n_all = 8
+    """
+
+
 FOCAL_X0, FOCAL_Y0, FOCAL_W = 2450, 2950, 200
 
 
@@ -4701,6 +4757,7 @@ QUERIES = {
     "coord_interop": q_coord_interop,
     "paragraph_dedup": q_paragraph_dedup,
     "semdedup": q_semdedup,
+    "flow_direction": q_flow_direction,
     # --- tail (positions 51+, NOT driver-checked this round): every
     # entry below is r03-driver-green; stream_to_table and asof_join
     # saw mechanical-only changes (see header comment), and
@@ -4798,6 +4855,7 @@ ORACLES = {
     "coord_interop": sql_coord_interop(),
     "paragraph_dedup": sql_paragraph_dedup(),
     "semdedup": sql_semdedup(),
+    "flow_direction": sql_flow_direction(),
     "ice_prune": sql_ice_prune(),
     "ice_merge": sql_ice_merge(),
     "raster_info": sql_raster_info(),

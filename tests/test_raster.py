@@ -523,3 +523,48 @@ class TestSlopeAspect:
         assert run(lambda x, y: x) == (57106, 2700000)
         assert run(lambda x, y: y) == (57106, 0)
         assert run(lambda x, y: 5) == (0, -10000)
+
+
+# ---------------------------------------------------------- D8 flow
+
+
+def _d8_one(spark, grid, tile=2):
+    """Run d8_flow_halo on a tiny 3x3 grid; only the center pixel has
+    a full window. tile=2 forces real halo exchange across blocks."""
+    from georaster_spark.operators.raster import d8_flow_halo
+
+    rows = [
+        (x, y, float(v))
+        for y, line in enumerate(grid)
+        for x, v in enumerate(line)
+    ]
+    px = spark.createDataFrame(rows, "x int, y int, value double")
+    out = d8_flow_halo(px, tile=tile).collect()
+    assert len(out) == 1 and (out[0]["x"], out[0]["y"]) == (1, 1)
+    return out[0]
+
+
+def test_d8_steepest_drop_wins(spark):
+    """Hand-computed: E drop 4 (key 32) beats S drop 3 (key 18),
+    SW drop 2 (key 4), SE drop 1 (key 1); 4 downslope neighbors."""
+    r = _d8_one(spark, [[9, 8, 7], [6, 5, 1], [3, 2, 4]])
+    assert (r["d8"], r["n_down"], r["drop_v"]) == (1, 4, 4)
+
+
+def test_d8_tie_takes_smallest_code(spark):
+    """E and S both drop 2 (equal key 8): E (code 1) wins."""
+    r = _d8_one(spark, [[9, 9, 9], [9, 5, 3], [9, 3, 9]])
+    assert (r["d8"], r["n_down"], r["drop_v"]) == (1, 2, 2)
+
+
+def test_d8_straight_beats_larger_diagonal_drop(spark):
+    """Distance matters: straight drop 3 (3/1) beats diagonal drop 4
+    (4/sqrt2 ~ 2.83) — integer keys 18 > 16."""
+    r = _d8_one(spark, [[9, 9, 9], [9, 5, 2], [9, 9, 1]])
+    assert (r["d8"], r["n_down"], r["drop_v"]) == (1, 2, 3)
+
+
+def test_d8_sink_is_zero(spark):
+    """A local minimum has no downslope neighbor: code 0."""
+    r = _d8_one(spark, [[9, 8, 7], [6, 5, 6], [7, 8, 9]])
+    assert (r["d8"], r["n_down"], r["drop_v"]) == (0, 0, 0)
