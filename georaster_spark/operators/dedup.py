@@ -476,11 +476,13 @@ def simhash_near_pairs(
     chunk ≤ its own, and the equi-key grows to (block, value,
     src_chunk, dst_chunk) — every task now reads ≤ 2·cap rows and the
     n² work spreads across m·(m+1)/2 tasks. Cold buckets (m = 1)
-    take the identical single-cell path, so the common case pays only
-    a broadcast left-join against the (tiny) hot-bucket list. Output
-    is identical either way: each unordered pair lands in exactly one
-    (src, dst) cell — both orders only on the diagonal, where the
-    doc_id ordering filter keeps one.
+    take the identical single-cell path. The census itself routes the
+    plan: when NO bucket exceeds the cap (the healthy-corpus common
+    case) an ``isEmpty`` probe over the cached signatures selects the
+    plain (block, value) self-join — no chunk columns, no broadcast,
+    no explodes. Output is identical either way: each unordered pair
+    lands in exactly one (src, dst) cell — both orders only on the
+    diagonal, where the doc_id ordering filter keeps one.
     """
     n_blocks = max_hamming + 1
     sig = simhash64(shingles(docs)).persist()
@@ -496,13 +498,40 @@ def simhash_near_pairs(
     ).select("doc_id", "simhash", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
     # hot-bucket census: ONLY over-cap buckets are kept (a degenerate
     # corpus has few hot buckets by definition), so the list is tiny
-    # and broadcastable; cold rows join to NULL and stay single-chunk
+    # and broadcastable; cold rows join to NULL and stay single-chunk.
+    # The census is materialized as its own tiny job (an isEmpty probe
+    # over the cached signatures — the same runtime-stats-decide-the-
+    # plan move AQE makes): a healthy corpus has NO over-cap bucket,
+    # and the plain (bi, bv) self-join then skips the chunk columns,
+    # the broadcast, and both explodes entirely (~1.6 s of fixed
+    # overhead at sf0.1). The chunked triangle plan is reserved for
+    # inputs that actually trip the cap, where its per-task bound is
+    # what keeps one reducer from absorbing the hot bucket's n² work.
     hot = (
         blocked.groupBy("bi", "bv")
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") > bucket_cap)
         .select("bi", "bv", F.ceil(F.col("_n") / bucket_cap).cast("int").alias("m"))
     )
+    if hot.isEmpty():
+        a = blocked.alias("a")
+        b = blocked.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        return (
+            a.join(
+                b,
+                (F.col("a.bi") == F.col("b.bi"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .where(ham <= max_hamming)
+            .select(
+                F.col("a.doc_id").cast("long").alias("doc_a"),
+                F.col("b.doc_id").cast("long").alias("doc_b"),
+                ham.cast("long").alias("hamming"),
+            )
+            .distinct()
+        )
     chunked = (
         blocked.join(F.broadcast(hot), ["bi", "bv"], "left")
         .withColumn("m", F.coalesce(F.col("m"), F.lit(1)))
