@@ -40,7 +40,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF01 = "/root/testdata/sf0.1"
 SF1_DIR = "/tmp/georaster_sf1_v1"
 N_DOCS, N_VECS = 50_000, 20_000
-STRESS = ["simhash_pairs", "ann_ivf", "knn_table", "pip_join_hot"]
+STRESS = [
+    "simhash_pairs",
+    "ann_ivf",
+    "knn_table",
+    "pip_join_hot",
+    "exact_substr",
+    "paragraph_dedup",
+    "semdedup",
+]
 
 _VOCAB = (
     "batch part spark line column order small sort fast value scan query "
@@ -333,7 +341,13 @@ def main() -> None:
         "",
         "10x input with ~10x output ⇒ a linear-work plan reads ~10x or",
         "less (fixed overheads amortize); super-linear ratios flag a",
-        "constant-factor cliff.",
+        "constant-factor cliff — UNLESS the output itself grows",
+        "super-linearly. exact_substr is that case here: the synth",
+        f"vocab is {len(_VOCAB)} words, so the density of word 5-grams",
+        "shared by ≥2 docs RISES with corpus size and the span output",
+        "grows ~22x for 10x docs; normalized per output row the plan is",
+        "sub-linear (wall/row falls ~3x). The real-corpus regime (vocab",
+        "≫ corpus overlap) is the sf0.1 column.",
         "",
         "## Hot-key join: explicit salting vs the AQE backstop",
         "",
