@@ -366,3 +366,105 @@ def test_paragraph_dedup_aggregates_map_side(spark):
     )
     assert "Window" not in plan
     assert "partial_min" in plan or "PartialAggregate" in plan or "HashAggregate" in plan
+
+
+def test_exact_substring_spans_match_scalar_reference(spark):
+    """Property check: 30 seeded random corpora vs a scalar reference
+    of the Lee et al. ExactSubstr span semantics (gram occurring in
+    ≥2 distinct docs marks all its positions; marked windows closer
+    than gram_len merge into maximal spans). Words carry a per-trial
+    prefix so one Spark run covers every corpus with no cross-trial
+    gram collisions. A 6-word alphabet makes shared grams dense —
+    intra-doc repeats that no OTHER doc holds must NOT mark."""
+    import random
+
+    from georaster_spark.operators.dedup import exact_substring_spans
+
+    L = 3
+    rng = random.Random(11)
+    rows, want = [], {}
+    for trial in range(30):
+        corpora = {}
+        for d in range(rng.randrange(3, 8)):
+            doc_id = trial * 100 + d
+            n_words = rng.randrange(2, 15)  # includes < L docs (skipped)
+            corpora[doc_id] = [f"t{trial}w{rng.randrange(6)}" for _ in range(n_words)]
+            rows.append((doc_id, " ".join(corpora[doc_id])))
+        holders: dict[tuple, set] = {}
+        for did, ws in corpora.items():
+            for p in range(len(ws) - L + 1):
+                holders.setdefault(tuple(ws[p : p + L]), set()).add(did)
+        for did, ws in corpora.items():
+            marked = [
+                p
+                for p in range(len(ws) - L + 1)
+                if len(holders[tuple(ws[p : p + L])]) >= 2
+            ]
+            if not marked:
+                continue
+            spans, prev = [], None
+            for p in marked:
+                if prev is None or p - prev >= L:
+                    spans.append([p, p + L - 1])
+                else:
+                    spans[-1][1] = p + L - 1
+                prev = p
+            want[did] = (
+                len(ws),
+                len(spans),
+                sum(e - s + 1 for s, e in spans),
+            )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_spans"], r["dup_words"])
+        for r in exact_substring_spans(docs, gram_len=L).collect()
+    }
+    assert got == want
+
+
+def test_paragraph_dedup_matches_scalar_reference(spark):
+    """Property check: 30 seeded random corpora vs a scalar reference
+    of the first-corpus-occurrence recipe — non-overlapping cw-word
+    chunks (last short), a chunk survives only at its min (doc_id,
+    chunk_idx) occurrence, docs rebuilt from survivors in chunk
+    order. Per-trial word prefixes isolate the trials in one run; a
+    3-word alphabet with cw=2 makes duplicate chunks dense."""
+    import hashlib
+    import random
+
+    from georaster_spark.operators.dedup import paragraph_dedup
+
+    cw = 2
+    rng = random.Random(23)
+    rows, want = [], {}
+    for trial in range(30):
+        first: dict[str, tuple] = {}
+        corpora = {}
+        for d in range(rng.randrange(2, 6)):
+            doc_id = trial * 100 + d
+            ws = [f"t{trial}w{rng.randrange(3)}" for _ in range(rng.randrange(1, 12))]
+            corpora[doc_id] = ws
+            rows.append((doc_id, " ".join(ws)))
+            for ci in range(-(-len(ws) // cw)):
+                ch = " ".join(ws[ci * cw : (ci + 1) * cw])
+                if ch not in first:
+                    first[ch] = (doc_id, ci)
+        for did, ws in sorted(corpora.items()):
+            chunks = [
+                " ".join(ws[ci * cw : (ci + 1) * cw])
+                for ci in range(-(-len(ws) // cw))
+            ]
+            kept = [
+                ch for ci, ch in enumerate(chunks) if first[ch] == (did, ci)
+            ]
+            want[did] = (
+                len(chunks),
+                len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_md5"])
+        for r in paragraph_dedup(docs, chunk_words=cw).collect()
+    }
+    assert got == want
