@@ -459,3 +459,77 @@ def test_semdedup_tie_breaks_on_smaller_id(spark):
     )
     rows = {r["vec_id"]: r["kept"] for r in semdedup(vecs, cents, tau_e6=990000).collect()}
     assert rows == {3: 1, 7: 0}
+
+
+def test_semdedup_matches_scalar_reference(spark):
+    """Property check: 3 seeded random corpora (8-dim vectors with
+    planted near-dup groups) vs a scalar SemDeDup reference. The
+    reference mirrors the operator's float semantics exactly —
+    sequential left-fold dot/norm (the F.aggregate order), HALF_UP
+    e6 rounding, argmax-with-higher-cid-tie assignment (array_max on
+    struct(score, cid)), drop iff ANY lower-(self_e6, id) peer in the
+    SAME bucket is >= tau."""
+    import math
+    import random
+
+    from georaster_spark.operators.ann import _cents_df, semdedup
+
+    def pdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def pnorm(v):
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        n = math.sqrt(acc)
+        return [x / n for x in v]
+
+    def e6(x):
+        return (
+            int(math.floor(x * 1e6 + 0.5))
+            if x >= 0
+            else -int(math.floor(-x * 1e6 + 0.5))
+        )
+
+    tau = 950_000
+    for trial in range(3):
+        rng = random.Random(100 + trial)
+        dim, k = 8, 4
+        cents = [pnorm([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(k)]
+        vecs = {}
+        vid = 0
+        for _ in range(25):
+            base = [rng.gauss(0, 1) for _ in range(dim)]
+            vecs[vid] = base
+            vid += 1
+            # a planted near-dup group of 0-2 perturbed copies
+            for _ in range(rng.randrange(3)):
+                vecs[vid] = [x + rng.gauss(0, 0.02) for x in base]
+                vid += 1
+        # scalar reference
+        assigned = {}
+        for i, v in vecs.items():
+            vn = pnorm(v)
+            scores = [(pdot(vn, c), cid) for cid, c in enumerate(cents)]
+            best = max(scores)  # ties -> higher cid, like array_max
+            assigned[i] = (best[1], e6(best[0]), vn)
+        want = {}
+        for i, (bi, si, vni) in assigned.items():
+            dropped = False
+            for j, (bj, sj, vnj) in assigned.items():
+                if bj == bi and (sj, j) < (si, i) and e6(pdot(vni, vnj)) >= tau:
+                    dropped = True
+                    break
+            want[i] = (bi, si, 0 if dropped else 1)
+        cents_df = _cents_df(spark, list(enumerate(cents)))
+        vdf = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["vec_id"]: (r["bucket"], r["self_e6"], r["kept"])
+            for r in semdedup(vdf, cents_df, tau_e6=tau).collect()
+        }
+        assert got == want, f"trial {trial}"
