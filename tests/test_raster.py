@@ -568,3 +568,43 @@ def test_d8_sink_is_zero(spark):
     """A local minimum has no downslope neighbor: code 0."""
     r = _d8_one(spark, [[9, 8, 7], [6, 5, 6], [7, 8, 9]])
     assert (r["d8"], r["n_down"], r["drop_v"]) == (0, 0, 0)
+
+
+def test_d8_random_grid_matches_scalar_reference_across_halo(spark):
+    """Property check: a 20x16 random integer grid at tile=4 (25
+    blocks, so most full-window pixels sit on or near a block border
+    and depend on halo copies) vs a scalar D8 reference. Small value
+    range forces ties (smallest code must win) and flats (code 0)."""
+    import random
+
+    from georaster_spark.operators.raster import D8_NEIGHBORS, d8_flow_halo
+
+    rng = random.Random(31)
+    W, H = 20, 16
+    grid = [[rng.randrange(6) for _ in range(W)] for _ in range(H)]
+    want = {}
+    for y in range(1, H - 1):
+        for x in range(1, W - 1):
+            zc = grid[y][x]
+            best_key, best_code, best_drop, n_down = 0.0, 0, 0, 0
+            for dx, dy, code in D8_NEIGHBORS:
+                drop = zc - grid[y + dy][x + dx]
+                if drop > 0:
+                    n_down += 1
+                    key = drop * drop * (2 if dx == 0 or dy == 0 else 1)
+                    if key > best_key:
+                        best_key, best_code, best_drop = key, code, drop
+            want[(x, y)] = (best_code, n_down, best_drop)
+    px = spark.createDataFrame(
+        [
+            (x, y, float(v))
+            for y, line in enumerate(grid)
+            for x, v in enumerate(line)
+        ],
+        "x int, y int, value double",
+    )
+    got = {
+        (r["x"], r["y"]): (r["d8"], r["n_down"], r["drop_v"])
+        for r in d8_flow_halo(px, tile=4).collect()
+    }
+    assert got == want
