@@ -734,6 +734,83 @@ def d8_flow_halo(
     )
 
 
+def d8_accumulation_k(flow: DataFrame, k: int = 4) -> DataFrame:
+    """k-step D8 flow accumulation: for every cell, how many cells'
+    flow paths reach it within ≤ k steps (the bounded form of
+    O'Callaghan & Mark's contributing-area count; each upstream cell
+    counts once). Input is :func:`d8_flow_halo` output; edges exist
+    only between emitted (full-window) cells, sinks (code 0) emit
+    none, and paths leaving the emitted set simply stop — so the
+    semantics are closed over the interior flow graph.
+
+    Plan shape: out-degree is exactly 1, so the j-step frontier is
+    ONE equi-join of the (j−1)-step frontier against the edge list on
+    the cell key — k fixed joins, each linear in live paths, no
+    driver state; the frontier only SHRINKS (paths that hit a sink or
+    the boundary drop out). The union of per-step arrivals is a
+    single groupBy count. This is the fixed-iteration house pattern
+    (pagerank, graph.py) with an exactly-unrollable SQL twin. FULL
+    accumulation needs O(max path length) peeling rounds or an
+    Euler-tour doubling — out of scope for a catalog query; at 100 TB
+    you'd run this same plan with localCheckpoint every few rounds
+    until the frontier empties.
+    """
+    code_dx = {c: dx for dx, _, c in D8_NEIGHBORS}
+    code_dy = {c: dy for _, dy, c in D8_NEIGHBORS}
+    dx = F.element_at(
+        F.create_map(*[F.lit(v) for c in code_dx for v in (c, code_dx[c])]),
+        F.col("d8").cast("int"),
+    )
+    dy = F.element_at(
+        F.create_map(*[F.lit(v) for c in code_dy for v in (c, code_dy[c])]),
+        F.col("d8").cast("int"),
+    )
+    cells = flow.select("x", "y").persist()
+    edges = (
+        flow.where(F.col("d8") > 0)
+        .select("x", "y", (F.col("x") + dx).alias("tx"), (F.col("y") + dy).alias("ty"))
+        # closed over the emitted set: a target on the boundary (not
+        # emitted, window incomplete there) terminates the path
+        .join(
+            cells.select(F.col("x").alias("tx"), F.col("y").alias("ty")),
+            ["tx", "ty"],
+        )
+        .persist()
+    )
+    frontier = edges.select(F.col("x").alias("ux"), F.col("y").alias("uy"), "tx", "ty")
+    arrivals = [frontier.select("tx", "ty")]
+    for _ in range(1, k):
+        frontier = (
+            frontier.join(
+                edges.select(
+                    F.col("x").alias("tx"),
+                    F.col("y").alias("ty"),
+                    F.col("tx").alias("nx"),
+                    F.col("ty").alias("ny"),
+                ),
+                ["tx", "ty"],
+            )
+            .select("ux", "uy", F.col("nx").alias("tx"), F.col("ny").alias("ty"))
+        )
+        arrivals.append(frontier.select("tx", "ty"))
+    acc = arrivals[0]
+    for extra in arrivals[1:]:
+        acc = acc.unionByName(extra)
+    acc = acc.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("acc"))
+    return (
+        cells.join(
+            acc,
+            (F.col("x") == F.col("tx")) & (F.col("y") == F.col("ty")),
+            "left",
+        )
+        .select(
+            F.col("x").cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+            F.coalesce(F.col("acc"), F.lit(0)).cast("long").alias(f"acc{k}"),
+        )
+    )
+
+
 def resample_bilinear(
     pixels: DataFrame,
     src_x0: int,

@@ -624,6 +624,67 @@ def sql_flow_direction():
     """
 
 
+# STAGED FOR THE r5 WINDOW — implemented and scalar-reference-tested
+# in round 4 (tests/test_raster.py::test_d8_accumulation_k_matches_
+# scalar_reference) but NOT yet registered in QUERIES/ORACLES: the r4
+# driver window is full (50 slots, every entry needs its r04 row) and
+# a tail registration would violate the rotation guard. Round 5 has
+# ~3 free head slots; register "flow_accum" there.
+FLOW_ACC_K = 4
+
+
+def q_flow_accum(spark, sf_dir):
+    """k-step D8 flow accumulation over the DTM crop
+    (operators/raster.py d8_accumulation_k on d8_flow_halo output):
+    per cell, the number of cells whose flow paths arrive within
+    ≤ k = 4 steps — the fixed-iteration (exactly SQL-unrollable)
+    form of the contributing-area count, same house pattern as
+    pagerank. Out-degree 1 ⇒ each step is ONE equi-join on the cell
+    key and the frontier only shrinks; edges are closed over the
+    emitted interior so the semantics are engine-exact."""
+    flow = R.d8_flow_halo(_dtm_crop(spark), tile=64)
+    return R.d8_accumulation_k(flow, k=FLOW_ACC_K)
+
+
+def sql_flow_accum():
+    dxc = (
+        "CASE d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1"
+        " WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 ELSE 1 END"
+    )
+    dyc = (
+        "CASE d8 WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1"
+        " WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE -1 END"
+    )
+    flow = sql_flow_direction().strip()
+    steps = [
+        "s1 AS (SELECT x AS ux, y AS uy, tx, ty FROM edges)"
+    ] + [
+        f"s{j} AS (SELECT s.ux, s.uy, e.tx, e.ty FROM s{j - 1} s"
+        f" JOIN edges e ON e.x = s.tx AND e.y = s.ty)"
+        for j in range(2, FLOW_ACC_K + 1)
+    ]
+    arr = " UNION ALL ".join(
+        f"SELECT tx, ty FROM s{j}" for j in range(1, FLOW_ACC_K + 1)
+    )
+    return f"""
+    WITH flow AS ({flow}),
+    cells AS (SELECT x, y FROM flow),
+    e0 AS (
+      SELECT x, y, x + {dxc} AS tx, y + {dyc} AS ty FROM flow WHERE d8 > 0
+    ),
+    edges AS (
+      SELECT e0.x, e0.y, e0.tx, e0.ty
+      FROM e0 JOIN cells t ON t.x = e0.tx AND t.y = e0.ty
+    ),
+    {", ".join(steps)},
+    arr AS ({arr}),
+    acc AS (SELECT tx, ty, count(*) AS a FROM arr GROUP BY 1, 2)
+    SELECT CAST(c.x AS BIGINT) AS x, CAST(c.y AS BIGINT) AS y,
+           CAST(coalesce(acc.a, 0) AS BIGINT) AS acc{FLOW_ACC_K}
+    FROM cells c LEFT JOIN acc ON acc.tx = c.x AND acc.ty = c.y
+    """
+
+
 FOCAL_X0, FOCAL_Y0, FOCAL_W = 2450, 2950, 200
 
 

@@ -608,3 +608,59 @@ def test_d8_random_grid_matches_scalar_reference_across_halo(spark):
         for r in d8_flow_halo(px, tile=4).collect()
     }
     assert got == want
+
+
+def test_d8_accumulation_k_matches_scalar_reference(spark):
+    """k-step flow accumulation on the same random-grid setup as the
+    D8 property test, vs a scalar reference that walks every interior
+    cell's (unique, cycle-free) flow path up to k steps. Paths that
+    reach a boundary (non-emitted) cell stop there; sinks contribute
+    nothing downstream of themselves."""
+    import random
+
+    from georaster_spark.operators.raster import (
+        D8_NEIGHBORS,
+        d8_accumulation_k,
+        d8_flow_halo,
+    )
+
+    rng = random.Random(47)
+    W, H, K = 20, 16, 4
+    grid = [[rng.randrange(6) for _ in range(W)] for _ in range(H)]
+    interior = {(x, y) for y in range(1, H - 1) for x in range(1, W - 1)}
+    succ = {}
+    for x, y in interior:
+        zc = grid[y][x]
+        best_key, best = 0.0, None
+        for dx, dy, code in D8_NEIGHBORS:
+            drop = zc - grid[y + dy][x + dx]
+            if drop > 0:
+                key = drop * drop * (2 if dx == 0 or dy == 0 else 1)
+                if key > best_key:
+                    best_key, best = key, (x + dx, y + dy)
+        if best is not None and best in interior:
+            succ[(x, y)] = best
+    want = {c: 0 for c in interior}
+    for c in interior:
+        cur = c
+        for _ in range(K):
+            if cur not in succ:
+                break
+            cur = succ[cur]
+            want[cur] += 1
+    px = spark.createDataFrame(
+        [
+            (x, y, float(v))
+            for y, line in enumerate(grid)
+            for x, v in enumerate(line)
+        ],
+        "x int, y int, value double",
+    )
+    flow = d8_flow_halo(px, tile=4)
+    got = {
+        (r["x"], r["y"]): r[f"acc{K}"]
+        for r in d8_accumulation_k(flow, k=K).collect()
+    }
+    assert got == want
+    # sanity: accumulation actually flows (some cell gathers >= 3)
+    assert max(got.values()) >= 3
