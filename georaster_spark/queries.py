@@ -1156,6 +1156,78 @@ def sql_bm25_score():
     """
 
 
+# STAGED FOR THE r5 WINDOW (window-full rotation rule — see the
+# flow_accum staging note): implemented + semantics-tested in round 4,
+# oracle-verified via the comparator, registered in round 5.
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — the keyword-extraction /
+    doc-representation stage of a curation pipeline. Unlike bm25
+    (pinned query terms, broadcast stats) this runs over the FULL
+    vocabulary: df comes from the tf table itself (one extra
+    term-keyed aggregate, vocabulary-sized output) and joins back on
+    term with NO broadcast hint — at web scale the vocabulary can
+    exceed broadcast limits, so AQE picks the strategy from runtime
+    stats. Per-doc top-k is a rank-limited window (WindowGroupLimit
+    pushes the k cut below the sort). Score = tf · ln((N+1)/(df+1)),
+    e6-rounded; ties break on term text so the cut is deterministic
+    cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    stats = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOP_K)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("rnk").cast("long").alias("rnk"),
+            "term",
+            F.round(F.col("score") * 1000000.0, 0).cast("long").alias("score_e6"),
+        )
+    )
+
+
+def sql_tfidf_topterms():
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             tf * ln((n_docs + 1.0e0) / (df + 1.0e0)) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+           CAST(round(score * 1000000.0, 0) AS BIGINT) AS score_e6
+    FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+    """
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label centroid of the embedding corpus (class prototypes /
     cluster summaries for a training pipeline): posexplode to

@@ -700,3 +700,45 @@ def test_idw_grid_matches_independent_numpy(spark):
     i0 = int(round((plon - ox) / px - 0.5))
     j0 = int(round((oy - plat) / px - 0.5))
     assert abs(got[(i0, j0)][1] / 1e6 - pv) < 5.0
+
+
+def test_tfidf_topterms_semantics(spark, tmp_path):
+    """Hand-checked TF-IDF top-k (staged r5 pair): N=3 docs, idf =
+    ln((N+1)/(df+1)). doc 1: apple tf=2 df=1 beats banana; doc 2:
+    banana/cherry tie on score (tf=1, df=2 each) -> term text breaks
+    the tie; doc 3: cherry tf=3 low-idf still beats dog tf=1
+    high-idf (0.863 > 0.693)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georaster_spark.queries import q_tfidf_topterms
+
+    d = str(tmp_path)
+    texts = ["apple apple banana", "banana cherry", "cherry cherry cherry dog"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    got = {
+        (r.doc_id, r.rnk): (r.term, r.score_e6)
+        for r in q_tfidf_topterms(spark, d).collect()
+    }
+    e6 = lambda tf, df: round(tf * math.log(4.0 / (df + 1.0)) * 1e6)
+    assert got == {
+        (1, 1): ("apple", e6(2, 1)),
+        (1, 2): ("banana", e6(1, 2)),
+        (2, 1): ("banana", e6(1, 2)),
+        (2, 2): ("cherry", e6(1, 2)),
+        (3, 1): ("cherry", e6(3, 2)),
+        (3, 2): ("dog", e6(1, 1)),
+    }
