@@ -4787,6 +4787,57 @@ def sql_weighted_sample():
     """
 
 
+# STAGED FOR THE r5 WINDOW (window-full rotation rule — see the
+# flow_accum staging note): implemented + semantics-tested in round 4,
+# oracle-verified via the comparator, registered in round 5.
+STRAT_N = 10
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact-n-per-stratum deterministic sampling: keep the STRAT_N
+    lowest portable-hash documents in every (lang, source) stratum —
+    the balanced-evaluation-set / per-domain-cap stage of a curation
+    pipeline. Complements weighted_sample (Bernoulli, zero-shuffle,
+    proportional): an EXACT per-stratum count requires ordering
+    within the stratum, i.e. exactly one Exchange on the stratum key
+    into a rank-limited window — WindowGroupLimit caps per-task state
+    at n per stratum before the merge, so a billion-row stratum costs
+    its scan plus n survivors per map task, never a full sort. The
+    md5-derived key makes the sample reproducible across engines,
+    runs, and retries (unlike rand())."""
+    d = _t(spark, sf_dir, "documents")
+    h = _md5_60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang", "source").orderBy(
+        h.asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= STRAT_N)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "source",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def sql_stratified_sample():
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+                        doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= {STRAT_N}
+    """
+
+
 # =====================================================================
 # catalog
 # =====================================================================

@@ -742,3 +742,45 @@ def test_tfidf_topterms_semantics(spark, tmp_path):
         (3, 1): ("cherry", e6(3, 2)),
         (3, 2): ("dog", e6(1, 1)),
     }
+
+
+def test_stratified_sample_semantics(spark, tmp_path):
+    """Hand-checked stratified sampling (staged r5 pair): per
+    (lang, source) stratum exactly min(n, STRAT_N) docs survive,
+    ranked by the portable 60-bit md5 key — verified against a
+    Python md5 reference — and the plan carries WindowGroupLimit so
+    per-task window state is bounded at n per stratum."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georaster_spark.queries import STRAT_N, q_stratified_sample
+
+    d = str(tmp_path)
+    n = 60
+    ids = list(range(n))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(["w"] * n),
+                "lang": pa.array(["en" if i % 2 else "de" for i in ids]),
+                "source": pa.array([f"s{i % 2}" for i in ids]),
+                "n_chars": pa.array([1] * n, type=pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    # 2 strata here (lang and source are aligned mod 2), 30 docs each
+    key = lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i)
+    want = {}
+    for stratum in (0, 1):
+        members = sorted((i for i in ids if i % 2 == stratum), key=key)
+        for rk, i in enumerate(members[:STRAT_N], start=1):
+            want[i] = rk
+    out = q_stratified_sample(spark, d)
+    got = {r.doc_id: r.rk for r in out.collect()}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
