@@ -463,6 +463,42 @@ def main() -> int:
         n_nodes(p, "Exchange") == 1 and "partial_max" in p,
     )
 
+    # simhash_pairs adaptive routing: on a healthy corpus (the real
+    # sf0.001 documents — census finds no over-cap bucket) the plan
+    # must be the PLAIN (bi, bv) self-join with none of the chunk
+    # machinery; on a degenerate corpus that trips the cap, the
+    # self-join key must carry the chunk columns so no task reads
+    # more than ~2*cap bucket rows
+    from georaster_spark.operators.dedup import simhash_near_pairs
+
+    def has_col(plan: str, col: str) -> bool:
+        return re.search(rf"\b{col}#\d", plan) is not None
+
+    p = plans["simhash_cold"] = explain_str(Q.q_simhash_pairs(spark, SF))
+    check(
+        "simhash_cold",
+        "no over-cap bucket -> plain (bi, bv) self-join (no chunk "
+        "columns in the plan)",
+        not has_col(p, "ca") and not has_col(p, "ct") and not has_col(p, "cs"),
+    )
+    hot_docs = spark.createDataFrame(
+        [(i, " ".join(f"w{k % 31}" for k in range(40))) for i in range(300)]
+        + [(1000 + i, f"x{i} " * 40) for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = plans["simhash_hot"] = explain_str(
+        simhash_near_pairs(hot_docs, max_hamming=4, bucket_cap=64)
+    )
+    check(
+        "simhash_hot",
+        "over-cap bucket -> chunked triangle join (chunk columns in "
+        "the equi-key bound per-task input at ~2*cap rows)",
+        has_col(p, "ca")
+        and has_col(p, "ct")
+        and has_col(p, "cs")
+        and has_col(p, "cb"),
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (explain('formatted') invariants)\n\n")
