@@ -4845,8 +4845,12 @@ def sql_stratified_sample():
 # Catalog order is deliberate: the external driver verifies the FIRST
 # 50 entries in dict order, so each round the window rotates to keep
 # every entry at most one round driver-stale (r04 ∪ r03 covers all
-# 88: every tail entry — positions 51+, starting at stream_window_agg
-# — has a green row in CORRECTNESS_r03.json).
+# 97: every tail entry — positions 51+ — has a green row in
+# CORRECTNESS_r03.json, enforced by tests/test_entry.py; the final
+# r4 head also took the late additions exact_substr/url_dedup/
+# slope_aspect/coord_interop/paragraph_dedup/semdedup/flow_direction,
+# filling the window EXACTLY — which is why flow_accum/
+# tfidf_topterms/stratified_sample are staged, not registered).
 # This round's window holds: the 36 entries that sat in round 3's
 # tail (text_entropy … event_percentiles — they have no r03 driver
 # row and would otherwise go 2 rounds stale), every entry whose
