@@ -5,7 +5,8 @@ through the engine on one SparkSession:
   2. point-in-polygon join   (broadcast cover index -> ray-cast)
   3. rasterize               (doc density onto the 64x64 grid)
   4. DTM terrain analysis    (3x3 focal stats + Horn hillshade over
-                              the tile-halo stencil)
+                              the tile-halo stencil; D8 flow
+                              direction + k-step accumulation)
   5. downsample              (bilinear 200x200 -> 64x64)
   6. snapshot commit         (density grid through the table layer)
 
@@ -64,6 +65,17 @@ def main() -> None:
     print(
         f"mean local relief {rough:.1f} m, mean |dz/dx| {slopes.mean_dzdx:.1f}, "
         f"mean |dz/dy| {slopes.mean_dzdy:.1f} (synthetic DTM is rough by design)"
+    )
+
+    # 4b: hydrology — D8 flow direction, then the k-step contributing
+    # count over the resulting out-degree-1 flow graph
+    flow = R.d8_flow_halo(crop, tile=64)
+    acc = R.d8_accumulation_k(flow, k=4)
+    sinks = flow.where(F.col("d8") == 0).count()
+    top = acc.orderBy(F.col("acc4").desc(), "x", "y").first()
+    print(
+        f"flow cells {flow.count()} ({sinks} sinks); busiest cell "
+        f"({top.x},{top.y}) gathers {top.acc4} cells within 4 steps"
     )
 
     # 5: bilinear downsample of the crop to the demo grid size
