@@ -624,12 +624,11 @@ def sql_flow_direction():
     """
 
 
-# STAGED FOR THE r5 WINDOW — implemented and scalar-reference-tested
-# in round 4 (tests/test_raster.py::test_d8_accumulation_k_matches_
-# scalar_reference) but NOT yet registered in QUERIES/ORACLES: the r4
-# driver window is full (50 slots, every entry needs its r04 row) and
-# a tail registration would violate the rotation guard. Round 5 has
-# ~3 free head slots; register "flow_accum" there.
+# Implemented + scalar-reference-tested in round 4
+# (tests/test_raster.py::test_d8_accumulation_k_matches_scalar_
+# reference), staged while the r4 window was full, REGISTERED in the
+# round-5 head. The iterate-to-fixpoint contributing-area form is
+# flow_accum_fix below (registered under DRIVER_UNCHECKED_NEW).
 FLOW_ACC_K = 4
 
 
@@ -1156,9 +1155,8 @@ def sql_bm25_score():
     """
 
 
-# STAGED FOR THE r5 WINDOW (window-full rotation rule — see the
-# flow_accum staging note): implemented + semantics-tested in round 4,
-# oracle-verified via the comparator, registered in round 5.
+# Implemented + semantics-tested in round 4, staged while the r4
+# window was full, REGISTERED in the round-5 head.
 TFIDF_TOP_K = 3
 
 
@@ -2882,7 +2880,14 @@ def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: per-language keep rates via
     a portable md5-derived hash of the doc key — the quota-
     downsampling stage of a training-data pipeline, reproducible
-    across engines and runs (unlike rand()-based sampleBy)."""
+    across engines and runs (unlike rand()-based sampleBy).
+
+    Catalog history: driver-green in r01/r02 (216 rows at sf0.01),
+    then silently shadowed by the exact-n staged pair in round 4
+    (VERDICT r4 "What's wrong" #1). Round 5 restores this pair to
+    the "stratified_sample" key (head slot — semantics changed back
+    vs the r04 row) and registers the exact-n pair under its own key
+    stratified_exact_n."""
     d = _t(spark, sf_dir, "documents")
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
         "long"
@@ -4787,13 +4792,23 @@ def sql_weighted_sample():
     """
 
 
-# STAGED FOR THE r5 WINDOW (window-full rotation rule — see the
-# flow_accum staging note): implemented + semantics-tested in round 4,
-# oracle-verified via the comparator, registered in round 5.
+# Round-4 postmortem (VERDICT r4 "What's wrong" #1): this pair was
+# originally ALSO named q_stratified_sample/sql_stratified_sample,
+# silently shadowing the rate-based sampler above (queries.py
+# q_stratified_sample) via Python name reuse — the catalog dict,
+# built after both defs, picked up exact-n semantics without a
+# deliberate decision. Round 5 renames it stratified_exact_n (its
+# own catalog key), restores the rate-based pair under
+# "stratified_sample", and adds an AST no-duplicate-definition guard
+# (tests/test_entry.py::test_no_shadowed_definitions) so a staged
+# pair can never shadow a live one again. The r04 driver row for
+# "stratified_sample" verified THIS pair's byte-identical query +
+# oracle text (468 rows at sf0.01) — RENAMED_KEYS carries that row
+# to the new key for the rotation guard.
 STRAT_N = 10
 
 
-def q_stratified_sample(spark, sf_dir):
+def q_stratified_exact_n(spark, sf_dir):
     """Exact-n-per-stratum deterministic sampling: keep the STRAT_N
     lowest portable-hash documents in every (lang, source) stratum —
     the balanced-evaluation-set / per-domain-cap stage of a curation
@@ -4822,7 +4837,7 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
-def sql_stratified_sample():
+def sql_stratified_exact_n():
     return f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, CAST(rk AS BIGINT) AS rk
     FROM (
@@ -4844,125 +4859,48 @@ def sql_stratified_sample():
 
 # Catalog order is deliberate: the external driver verifies the FIRST
 # 50 entries in dict order, so each round the window rotates to keep
-# every entry at most one round driver-stale (r04 ∪ r03 covers all
-# 97: every tail entry — positions 51+ — has a green row in
-# CORRECTNESS_r03.json, enforced by tests/test_entry.py; the final
-# r4 head also took the late additions exact_substr/url_dedup/
-# slope_aspect/coord_interop/paragraph_dedup/semdedup/flow_direction,
-# filling the window EXACTLY — which is why flow_accum/
-# tfidf_topterms/stratified_sample are staged, not registered).
-# This round's window holds: the 36 entries that sat in round 3's
-# tail (text_entropy … event_percentiles — they have no r03 driver
-# row and would otherwise go 2 rounds stale), every entry whose
-# behavior changed in round 4 (media_features + media_resize now
-# decode real mixed PNG/JPEG blobs; embedding_centroids switched to
-# order-independent integer sums; interval_join broadcast hint;
-# stream_* through the uuid-named memory-sink helper; simhash_pairs
-# hot-bucket cap — already in the 36), entries whose underlying
-# operator code is being hardened this round (ice_prune/ice_merge
-# manifest + lock changes, ann_pq residual encoding,
-# dedup_components lineage truncation), and the round-4 additions
-# media_jpeg_decode (real stdlib JPEG codec) plus the pmtiles pair
-# (pmtiles_ingest's shared kernel now format-sniffs per tile;
-# pmtiles_webp_ingest proves the new pure-stdlib VP8L decoder
-# against a formula oracle). Two mechanically-
-# touched-but-behavior-identical entries overflow to the tail with
-# their r03 rows standing: stream_to_table (commit-lock plumbing)
-# and asof_join (same file as bucketized_interval_join, function
-# untouched) — both pytest-covered.
+# every entry at most one round driver-stale. ROUND-5 (final) window:
+# the 47 entries that sat in round 4's tail (media_features … ann_ivf
+# — they carry r03 rows only and would otherwise go two rounds
+# driver-stale; VERDICT r4 task 1) plus the three pairs the window
+# crunch forced round 4 to stage: flow_accum (k-step D8
+# accumulation), tfidf_topterms, and stratified_sample — the
+# rate-based sampler RESTORED to its original key after round 4's
+# silent exact-n shadowing (VERDICT r4 "What's wrong" #1; the
+# exact-n pair now lives under its own key, stratified_exact_n,
+# in the tail — see RENAMED_KEYS below). 47 + 3 = exactly 50.
+# Tail (positions 51+): the 49 remaining r4-head entries, all
+# r04-driver-green, plus stratified_exact_n whose r04 row (under the
+# old colliding key) verified byte-identical query + oracle text.
+# Round-5 code changes to tail entries are output-identical by
+# construction and verified by hash-compare at sf0.01 + sf0.001
+# (BENCH/ROTATION.md): semdedup gains the adaptive hot-bucket cap
+# (census probe → identical plain plan on healthy corpora, chunked
+# triangle join only past the cap — same routing simhash_pairs
+# shipped in r4) and the e6-integer pair similarity; ann_pq pins the
+# corpus coarse-assign/residual stage; ice_* swap the commit-lock
+# release to an atomic rename; media_audio/media_frames degrade
+# malformed RIFF blobs to the disclosed digest row instead of
+# failing the job (well-formed outputs untouched).
 # Every entry keeps its oracle; tools/check_oracle.py verifies all
 # entries regardless of order.
 #
 # DRIVER_UNCHECKED_NEW: entries added AFTER the current round's
 # 50-slot window was already full of stale/changed entries, with no
 # driver row in ANY round yet — the next rotation MUST promote them
-# into the window (tests/test_entry.py enforces both sides). Empty
-# right now: media_wav_decode / media_video_decode were promoted
-# into the r4 window late in round 4 (stream_dedup and
-# dedup_components — both r03-green with behavior-identical r4
-# changes — made room).
+# into the window (tests/test_entry.py enforces both sides).
 DRIVER_UNCHECKED_NEW = set()
 
+# Rename ledger for the rotation guard: new catalog key → the old key
+# whose driver row verified the SAME query + oracle text. Only valid
+# for pure renames (text byte-identical at the rename commit); the
+# guard test resolves tail entries through this map.
+RENAMED_KEYS = {"stratified_exact_n": "stratified_sample"}
+
 QUERIES = {
-    "text_entropy": q_text_entropy,
-    "moving_avg": q_moving_avg,
-    "winnow_fps": q_winnow_fps,
-    "ngram_jaccard": q_ngram_jaccard,
-    "dedup_exact": q_dedup_exact,
-    "xyz_lookup": q_xyz_lookup,
-    "text_stats": q_text_stats,
-    "html_tags": q_html_tags,
-    "lang_id": q_lang_id,
-    "geocode_cells": q_geocode_cells,
-    "knn_table": q_knn_table,
-    "stratified_sample": q_stratified_sample,
-    "cell_hist": q_cell_hist,
-    "cell_parent_rollup": q_cell_parent_rollup,
-    "rasterize_grid": q_rasterize_grid,
-    "dwithin_pairs": q_dwithin_pairs,
-    "embedding_topk": q_embedding_topk,
-    "knn": q_knn,
-    "simhash_pairs": q_simhash_pairs,
-    "window_topk": q_window_topk,
-    "sessionize": q_sessionize,
-    "dtm_window_max": q_dtm_window_max,
-    "dtm_overview_max": q_dtm_overview_max,
-    "tile_assignment": q_tile_assignment,
-    "zonal_stats": q_zonal_stats,
-    "band_math": q_band_math,
-    "terrarium_decode": q_terrarium_decode,
-    "crop": q_crop,
-    "img2ascii": q_img2ascii,
-    "doc_quality": q_doc_quality,
-    "tpch_q1": q_tpch_q1,
-    "revenue_join": q_revenue_join,
-    "semi_anti": q_semi_anti,
-    "events_json": q_events_json,
-    "events_window_agg": q_events_window_agg,
-    "event_percentiles": q_event_percentiles,
-    "media_jpeg_decode": q_media_jpeg_decode,
-    "embedding_centroids": q_embedding_centroids,
-    "ice_prune": q_ice_prune,
-    "ann_pq": q_ann_pq,
-    "pmtiles_webp_ingest": q_pmtiles_webp_ingest,
-    # promoted late in round 4 so they pick up their FIRST driver
-    # rows this round (they were added after the window filled):
-    "media_wav_decode": q_media_wav_decode,
-    "media_video_decode": q_media_video_decode,
-    # new in round 4 (late): cross-doc exact-substring spans, URL
-    # canonicalization dedup, slope/aspect terrain derivatives —
-    # in-window so their FIRST driver rows land this round
-    # (interval_join / stream_interval / pmtiles_ingest made room:
-    # all three r03-green and r4-behavior-identical or covered by an
-    # in-window sibling — see tail comment)
-    "exact_substr": q_exact_substr,
-    "url_dedup": q_url_dedup,
-    "slope_aspect": q_slope_aspect,
-    # new in round 4 (this session) — in-window so their FIRST driver
-    # rows land this round; room was made by demoting media_features /
-    # media_resize / stream_stream_join / ice_merge (all r03-green;
-    # see the tail comment for why each demotion is safe):
-    "coord_interop": q_coord_interop,
-    "paragraph_dedup": q_paragraph_dedup,
-    "semdedup": q_semdedup,
-    "flow_direction": q_flow_direction,
-    # --- tail (positions 51+, NOT driver-checked this round): every
-    # entry below is r03-driver-green; stream_to_table and asof_join
-    # saw mechanical-only changes (see header comment), and
-    # stream_window_agg / stream_sessionize were demoted to make room
-    # for the pmtiles pair — their only round-4 change is the shared
-    # uuid-named memory-sink helper, which four in-window stream_*
-    # entries exercise on every driver run ---
-    # demoted in this session to make room for coord_interop /
-    # paragraph_dedup / semdedup / flow_direction. All four r03-green;
-    # stream_stream_join and ice_merge's query+oracle text is
-    # byte-identical to the text the r03 driver ran (verified by
-    # git-diff at the round boundary); media_features / media_resize
-    # changed with the round-4 mixed-media column, but every codec
-    # they dispatch to is exercised in-window by media_jpeg_decode
-    # (JPEG) and pmtiles_webp_ingest (PNG + WebP tiles via the same
-    # sniffing kernel), and both are check_oracle-green at HEAD
-    # (BENCH/ROTATION.md).
+    # --- r5 head (driver window, positions 1-50): the 47 r4-tail
+    # entries (r03 rows only — the rotation that keeps every entry at
+    # most one round driver-stale) in their r4 relative order ---
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "stream_stream_join": q_stream_stream_join,
@@ -4972,14 +4910,6 @@ QUERIES = {
     "media_png_decode": q_media_png_decode,
     "media_frames": q_media_frames,
     "media_audio": q_media_audio,
-    # demoted late in round 4 to make room for the wav/video pairs
-    # and the three new late-r4 operators. All five r03-green with
-    # r4 changes that are behavior-identical (uuid memory-sink
-    # names / localCheckpoint lineage truncation / an explicitly
-    # pinned broadcast_intervals=True param) or covered by an
-    # in-window sibling (pmtiles_webp_ingest's mixed archive
-    # exercises the same per-tile format-sniffing kernel on BOTH
-    # PNG and WebP tiles). All stay pytest- and check_oracle-covered.
     "stream_dedup": q_stream_dedup,
     "dedup_components": q_dedup_components,
     "interval_join": q_interval_join,
@@ -5018,9 +4948,76 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
+    # the three pairs round 4 staged (window was full): first driver
+    # rows land this round. stratified_sample is the RESTORED
+    # rate-based sampler — its r04 row verified the shadowing exact-n
+    # text (now stratified_exact_n, tail), so the restored semantics
+    # need a fresh driver row → head slot.
+    "flow_accum": q_flow_accum,
+    "tfidf_topterms": q_tfidf_topterms,
+    "stratified_sample": q_stratified_sample,
+    # --- tail (positions 51+, NOT driver-checked this round): the 49
+    # remaining r4-head entries, every one r04-driver-green, plus
+    # stratified_exact_n whose r04 row (under the old colliding key —
+    # see RENAMED_KEYS) verified byte-identical query + oracle text.
+    # Round-5 changes to tail entries are output-identical and
+    # hash-verified at sf0.01 + sf0.001 (BENCH/ROTATION.md). ---
+    "text_entropy": q_text_entropy,
+    "moving_avg": q_moving_avg,
+    "winnow_fps": q_winnow_fps,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_exact": q_dedup_exact,
+    "xyz_lookup": q_xyz_lookup,
+    "text_stats": q_text_stats,
+    "html_tags": q_html_tags,
+    "lang_id": q_lang_id,
+    "geocode_cells": q_geocode_cells,
+    "knn_table": q_knn_table,
+    "stratified_exact_n": q_stratified_exact_n,
+    "cell_hist": q_cell_hist,
+    "cell_parent_rollup": q_cell_parent_rollup,
+    "rasterize_grid": q_rasterize_grid,
+    "dwithin_pairs": q_dwithin_pairs,
+    "embedding_topk": q_embedding_topk,
+    "knn": q_knn,
+    "simhash_pairs": q_simhash_pairs,
+    "window_topk": q_window_topk,
+    "sessionize": q_sessionize,
+    "dtm_window_max": q_dtm_window_max,
+    "dtm_overview_max": q_dtm_overview_max,
+    "tile_assignment": q_tile_assignment,
+    "zonal_stats": q_zonal_stats,
+    "band_math": q_band_math,
+    "terrarium_decode": q_terrarium_decode,
+    "crop": q_crop,
+    "img2ascii": q_img2ascii,
+    "doc_quality": q_doc_quality,
+    "tpch_q1": q_tpch_q1,
+    "revenue_join": q_revenue_join,
+    "semi_anti": q_semi_anti,
+    "events_json": q_events_json,
+    "events_window_agg": q_events_window_agg,
+    "event_percentiles": q_event_percentiles,
+    "media_jpeg_decode": q_media_jpeg_decode,
+    "embedding_centroids": q_embedding_centroids,
+    "ice_prune": q_ice_prune,
+    "ann_pq": q_ann_pq,
+    "pmtiles_webp_ingest": q_pmtiles_webp_ingest,
+    "media_wav_decode": q_media_wav_decode,
+    "media_video_decode": q_media_video_decode,
+    "exact_substr": q_exact_substr,
+    "url_dedup": q_url_dedup,
+    "slope_aspect": q_slope_aspect,
+    "coord_interop": q_coord_interop,
+    "paragraph_dedup": q_paragraph_dedup,
+    "semdedup": q_semdedup,
+    "flow_direction": q_flow_direction,
 }
 
 ORACLES = {
+    "flow_accum": sql_flow_accum(),
+    "tfidf_topterms": sql_tfidf_topterms(),
+    "stratified_exact_n": sql_stratified_exact_n(),
     "media_features": sql_media_features(),
     "media_png_decode": sql_media_png_decode(),
     "media_frames": sql_media_frames(),

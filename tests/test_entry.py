@@ -63,31 +63,98 @@ def test_all_oracle_sql_parses_in_duckdb():
     assert not bad, bad
 
 
-def test_catalog_window_tail_has_prior_driver_rows():
-    """Rotation contract: every entry OUTSIDE the driver's first-50
-    verification window must have a green row in the PREVIOUS round's
-    CORRECTNESS file (the highest-numbered one on disk), so
-    window ∪ previous-round covers the whole catalog."""
+def _load_recent_correctness(repo: str, n: int = 2):
+    """The up-to-n most recent CORRECTNESS_r*.json files, newest
+    last, as (paths, list-of-dicts)."""
     import glob
     import json
 
-    from georaster_spark.queries import DRIVER_UNCHECKED_NEW
+    paths = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))[-n:]
+    return paths, [json.load(open(p)) for p in paths]
+
+
+def _tail_missing(keys, rounds, unchecked, renamed):
+    """Tail entries (positions 51+) with no green row in ANY of the
+    given correctness rounds, resolving renamed keys through the
+    rename ledger. Pure so the twice-stale failure mode is testable."""
+
+    def green(k):
+        for name in (k, renamed.get(k)):
+            if name is None:
+                continue
+            for rows in rounds:
+                if name in rows and rows[name]["hash_match"]:
+                    return True
+        return False
+
+    return [k for k in keys[50:] if not green(k) and k not in unchecked]
+
+
+def test_catalog_window_tail_has_prior_driver_rows():
+    """Rotation contract: every entry OUTSIDE the driver's first-50
+    verification window must have a green row in one of the TWO most
+    recent CORRECTNESS files, so window ∪ recent-rounds covers the
+    whole catalog. Two-round tolerance (VERDICT r4 task 4) keeps the
+    suite green in the normal post-driver state — the file for round
+    N lands while the catalog is still in its round-N rotation, which
+    would otherwise flip the guard red for every tail entry the
+    moment the driver runs — while still tripping for entries absent
+    from BOTH recent rounds (twice-stale). Renamed keys resolve
+    through queries.RENAMED_KEYS to the old key whose row verified
+    byte-identical text (rows recorded before the rename commit)."""
+    from georaster_spark.queries import DRIVER_UNCHECKED_NEW, RENAMED_KEYS
 
     keys = list(E.queries())
     repo = os.path.dirname(E.__file__)
-    latest = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))[-1]
-    prev = json.load(open(latest))
-    missing = [
-        k
-        for k in keys[50:]
-        if (k not in prev or not prev[k]["hash_match"])
-        and k not in DRIVER_UNCHECKED_NEW
-    ]
-    assert missing == [], (latest, missing)
+    paths, rounds = _load_recent_correctness(repo)
+    missing = _tail_missing(keys, rounds, DRIVER_UNCHECKED_NEW, RENAMED_KEYS)
+    assert missing == [], (paths, missing)
     # the exception list may only name entries that truly have no
     # prior row (it must not mask a stale demotion), and entries it
     # names must not already be driver-covered
-    assert all(k not in prev for k in DRIVER_UNCHECKED_NEW), (
+    assert all(
+        k not in rows for k in DRIVER_UNCHECKED_NEW for rows in rounds
+    ), (
         "DRIVER_UNCHECKED_NEW names an entry with a driver row — "
         "remove it from the exception list"
     )
+    # a renamed key must not ALSO exist under its old name in the
+    # live catalog (that would be a shadowing, not a rename)
+    assert all(
+        old not in keys[50:] for old in RENAMED_KEYS.values()
+    ), "rename ledger points at a key still present in the tail"
+
+
+def test_tail_guard_trips_for_twice_stale_entry():
+    """The two-round tolerance must NOT mask an entry absent from
+    both recent rounds: a synthetic twice-stale tail entry fails."""
+    keys = ["h%d" % i for i in range(50)] + ["fresh", "stale"]
+    rounds = [{"fresh": {"hash_match": True}}, {}]
+    assert _tail_missing(keys, rounds, set(), {}) == ["stale"]
+    # ...unless the rename ledger maps it to a green old row
+    rounds = [{"old_stale": {"hash_match": True}}, {}]
+    assert _tail_missing(keys, rounds, set(), {"stale": "old_stale"}) == [
+        "fresh"
+    ]
+
+
+def test_no_shadowed_definitions():
+    """Guard against VERDICT r4 'What's wrong' #1: a module-level
+    def/assignment in queries.py silently REPLACING an earlier one
+    (Python name reuse swapped stratified_sample's semantics in
+    round 4 without any test noticing). Every top-level function
+    name must be defined exactly once."""
+    import ast
+    import collections
+
+    import georaster_spark.queries as Q
+
+    src = open(Q.__file__.rstrip("c")).read()
+    tree = ast.parse(src)
+    names = collections.Counter(
+        node.name
+        for node in tree.body
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+    )
+    dupes = {n: c for n, c in names.items() if c > 1}
+    assert not dupes, f"shadowed top-level definitions in queries.py: {dupes}"
