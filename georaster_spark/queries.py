@@ -3587,12 +3587,16 @@ def q_semdedup(spark, sf_dir):
     each cluster drop any vector ≥ τ cosine-similar to a
     higher-keep-priority peer (paper policy: farthest-from-centroid
     survives; ties → smaller id). Candidate pairs come from an
-    equi-join on the bucket, never all-pairs — the published recipe's
-    cost, bounded at scale by clustering finer. τ is calibrated to
-    the near-orthogonal synthetic embeddings (0.40, like
-    embedding_neardup's 0.42); real text embeddings use ~0.95. The
-    oracle replays clustering, priority and the upper-triangle max in
-    SQL from the same pinned VALUES centroids."""
+    equi-join on the bucket, never all-pairs, and round 5 caps hot
+    buckets with the census-routed chunked triangle join (simhash's
+    r4 fix — VERDICT r4 task 3): a degenerate cluster's n² pair work
+    now spreads over m·(m+1)/2 bounded tasks instead of one reducer.
+    Pair similarity is an e6-integer dot (order-independent — immune
+    to DuckDB-vs-Spark summation-order .5e-6 boundary flips). τ is
+    calibrated to the near-orthogonal synthetic embeddings (0.40,
+    like embedding_neardup's 0.42); real text embeddings use ~0.95.
+    The oracle replays clustering, priority and the upper-triangle
+    max in SQL from the same pinned VALUES centroids."""
     from georaster_spark.ann_centroids import ANN_IVF_CENTROIDS
     from georaster_spark.operators.ann import _cents_df, semdedup
 
@@ -3631,14 +3635,17 @@ def sql_semdedup():
         ON a.bucket = b.bucket
        AND (a.self_e6 < b.self_e6 OR (a.self_e6 = b.self_e6 AND a.vec_id < b.vec_id))
     ),
+    qflat AS (
+      SELECT vec_id, i, CAST(round(v * 1000000.0, 0) AS BIGINT) AS q FROM nflat
+    ),
     cos AS (
-      SELECT p.ia, p.ib, CAST(round(sum(x.v * y.v) * 1000000.0, 0) AS BIGINT) AS cos_e6
+      SELECT p.ia, p.ib, sum(x.q * y.q) AS cos_e12
       FROM pairs p
-      JOIN nflat x ON x.vec_id = p.ia
-      JOIN nflat y ON y.vec_id = p.ib AND y.i = x.i
+      JOIN qflat x ON x.vec_id = p.ia
+      JOIN qflat y ON y.vec_id = p.ib AND y.i = x.i
       GROUP BY 1, 2
     ),
-    dropped AS (SELECT DISTINCT ib FROM cos WHERE cos_e6 >= {SEMDEDUP_TAU_E6})
+    dropped AS (SELECT DISTINCT ib FROM cos WHERE cos_e12 >= {SEMDEDUP_TAU_E6 * 1000000})
     SELECT CAST(a.vec_id AS BIGINT) AS vec_id, CAST(a.bucket AS BIGINT) AS bucket,
            a.self_e6,
            CAST(CASE WHEN d.ib IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept

@@ -464,11 +464,13 @@ def test_semdedup_tie_breaks_on_smaller_id(spark):
 def test_semdedup_matches_scalar_reference(spark):
     """Property check: 3 seeded random corpora (8-dim vectors with
     planted near-dup groups) vs a scalar SemDeDup reference. The
-    reference mirrors the operator's float semantics exactly —
-    sequential left-fold dot/norm (the F.aggregate order), HALF_UP
-    e6 rounding, argmax-with-higher-cid-tie assignment (array_max on
-    struct(score, cid)), drop iff ANY lower-(self_e6, id) peer in the
-    SAME bucket is >= tau."""
+    reference mirrors the operator's semantics exactly — sequential
+    left-fold dot/norm (the F.aggregate order), HALF_UP e6 rounding,
+    argmax-with-higher-cid-tie assignment (array_max on
+    struct(score, cid)), pair similarity as the INTEGER dot of
+    e6-quantized normalized components (round 5 — order-independent
+    cross-engine), drop iff ANY lower-(self_e6, id) peer in the SAME
+    bucket is >= tau (compared at e12 scale)."""
     import math
     import random
 
@@ -515,12 +517,16 @@ def test_semdedup_matches_scalar_reference(spark):
             vn = pnorm(v)
             scores = [(pdot(vn, c), cid) for cid, c in enumerate(cents)]
             best = max(scores)  # ties -> higher cid, like array_max
-            assigned[i] = (best[1], e6(best[0]), vn)
+            assigned[i] = (best[1], e6(best[0]), [e6(x) for x in vn])
         want = {}
-        for i, (bi, si, vni) in assigned.items():
+        for i, (bi, si, qni) in assigned.items():
             dropped = False
-            for j, (bj, sj, vnj) in assigned.items():
-                if bj == bi and (sj, j) < (si, i) and e6(pdot(vni, vnj)) >= tau:
+            for j, (bj, sj, qnj) in assigned.items():
+                if (
+                    bj == bi
+                    and (sj, j) < (si, i)
+                    and sum(x * y for x, y in zip(qni, qnj)) >= tau * 1_000_000
+                ):
                     dropped = True
                     break
             want[i] = (bi, si, 0 if dropped else 1)
@@ -533,3 +539,36 @@ def test_semdedup_matches_scalar_reference(spark):
             for r in semdedup(vdf, cents_df, tau_e6=tau).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_semdedup_hot_bucket_cap_equivalence(spark):
+    """VERDICT r4 task 3: a degenerate corpus — hundreds of
+    near-identical embeddings collapsing into ONE cluster (the exact
+    shape semantic dedup exists to catch) — must route through the
+    chunked triangle join (bucket_cap trips) and emit EXACTLY the
+    rows of the plain self-join route (cap = huge → census empty).
+    Also plants a healthy second cluster so cold buckets exercise
+    the m=1 single-cell path inside the capped plan."""
+    import random
+
+    from georaster_spark.operators.ann import _cents_df, semdedup
+
+    rng = random.Random(42)
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    rows = []
+    for i in range(300):  # hot cluster: near-identical copies
+        rows.append((i, [1.0, rng.uniform(0, 0.01), rng.uniform(0, 0.01), 0.0]))
+    for i in range(300, 330):  # cold cluster: spread-out vectors
+        rows.append((i, [rng.uniform(0, 0.3), 1.0, rng.uniform(0, 0.5), rng.uniform(0, 0.5)]))
+    vdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents_df = _cents_df(spark, cents)
+    capped = sorted(
+        tuple(r) for r in semdedup(vdf, cents_df, tau_e6=990000, bucket_cap=64).collect()
+    )
+    plain = sorted(
+        tuple(r) for r in semdedup(vdf, cents_df, tau_e6=990000, bucket_cap=10**9).collect()
+    )
+    assert capped == plain
+    # the degenerate cluster really deduplicates: exactly one survivor
+    hot_kept = [r for r in capped if r[1] == 0 and r[3] == 1]
+    assert len(hot_kept) == 1

@@ -499,6 +499,41 @@ def main() -> int:
         and has_col(p, "cb"),
     )
 
+    # semdedup adaptive routing (round 5, VERDICT r4 task 3): same
+    # census-routed pair of plans as simhash — healthy corpus keeps
+    # the plain bucket self-join, a degenerate cluster trips the cap
+    # into the chunked triangle join
+    from georaster_spark.operators.ann import _cents_df, semdedup
+
+    p = plans["semdedup_cold"] = explain_str(Q.q_semdedup(spark, SF))
+    check(
+        "semdedup_cold",
+        "no over-cap cluster -> plain bucket self-join (no chunk "
+        "columns in the plan)",
+        not has_col(p, "ca") and not has_col(p, "ct") and not has_col(p, "cs"),
+    )
+    hot_vecs = spark.createDataFrame(
+        [(i, [1.0, i * 1e-4, 0.0, 0.0]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    p = plans["semdedup_hot"] = explain_str(
+        semdedup(
+            hot_vecs,
+            _cents_df(spark, [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]),
+            tau_e6=990000,
+            bucket_cap=64,
+        )
+    )
+    check(
+        "semdedup_hot",
+        "over-cap cluster -> chunked triangle join (chunk columns in "
+        "the equi-key bound per-task input at ~2*cap rows)",
+        has_col(p, "ca")
+        and has_col(p, "ct")
+        and has_col(p, "cs")
+        and has_col(p, "cb"),
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (explain('formatted') invariants)\n\n")
