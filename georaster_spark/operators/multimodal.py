@@ -118,11 +118,11 @@ def _decode_image(media: bytes):
 def _decode_bytes(media: bytes) -> tuple[int, int, int]:
     """Decode media bytes → (width, height, mean_luma).
 
-    PNG and JPEG blobs decode for real (stdlib codecs,
-    ``sources/png.py`` / ``sources/jpeg.py``): mean_luma is the
-    integer mean of all samples. Any other format falls back to the
-    deterministic digest fake (disclosed stub — this container ships
-    no audio/video codec).
+    PNG, JPEG, and WebP (VP8L) blobs decode for real (stdlib codecs,
+    ``sources/png.py`` / ``sources/jpeg.py`` / ``sources/webp.py``):
+    mean_luma is the integer mean of all samples. Any other format
+    falls back to the deterministic digest fake (disclosed stub —
+    this container ships no audio/video codec).
     """
     arr = _decode_image(bytes(media))
     if arr is not None:
@@ -238,8 +238,8 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, kind, n_bytes, width, height, mean_luma, digest) via an
     Arrow-batched ``mapInPandas`` kernel — the heavy media column is
     consumed inside the partition and never shuffled. ``kind`` is
-    dispatched from magic bytes: png/jpeg rows carry a REAL decode,
-    other formats the disclosed digest fake (kind='other')."""
+    dispatched from magic bytes: png/jpeg/webp rows carry a REAL
+    decode, other formats the disclosed digest fake (kind='other')."""
     schema = (
         f"{id_col} long, kind string, n_bytes long, width long, "
         "height long, mean_luma long, digest string"
@@ -382,9 +382,11 @@ def with_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, kind, n_samples, sample_rate, duration_ms, mean_abs) via
     an Arrow-batched kernel. RIFF/WAVE PCM blobs decode for REAL
-    (``sources/wav.py``); anything else (compressed audio) keeps the
-    disclosed digest fake with kind='other' — no MP3/AAC codec exists
-    in this container."""
+    (``sources/wav.py``); anything else — compressed audio (no
+    MP3/AAC codec exists in this container) AND RIFF/WAVE blobs the
+    codec rejects (non-PCM fmt, truncated container) — degrades to
+    the disclosed digest fake with kind='other' rather than failing
+    the whole job on one bad blob (ADVICE r4)."""
     schema = (
         f"{id_col} long, kind string, n_samples long, sample_rate long, "
         "duration_ms long, mean_abs long"
@@ -393,27 +395,33 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from georaster_spark.sources.wav import decode_wav
+        from georaster_spark.sources.wav import WavError, decode_wav
 
         for pdf in batches:
             rows = []
             for i, media in zip(pdf[id_col], pdf["media"]):
                 b = bytes(media)
+                row = None
                 if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                    samples, rate = decode_wav(b)
-                    n = samples.shape[0]
-                    mean_abs = int(
-                        np.abs(samples.astype(np.int64)).sum() // max(samples.size, 1)
-                    )
-                    rows.append((int(i), "wav", n, rate, n * 1000 // rate, mean_abs))
-                else:
+                    try:
+                        samples, rate = decode_wav(b)
+                        n = samples.shape[0]
+                        mean_abs = int(
+                            np.abs(samples.astype(np.int64)).sum()
+                            // max(samples.size, 1)
+                        )
+                        row = (int(i), "wav", n, rate, n * 1000 // rate, mean_abs)
+                    except WavError:
+                        row = None  # malformed RIFF → digest fallback
+                if row is None:
                     h = hashlib.md5(b).hexdigest()
                     f = _digest_features(pd.Series([h]))
                     n = len(b) // 2
-                    rows.append(
-                        (int(i), "other", n, 16000, n * 1000 // 16000,
-                         int(f["mean_luma"][0]))
+                    row = (
+                        int(i), "other", n, 16000, n * 1000 // 16000,
+                        int(f["mean_luma"][0]),
                     )
+                rows.append(row)
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "kind", "n_samples", "sample_rate",
@@ -471,9 +479,11 @@ def decode_video_features(
     """(id, kind, n_frames, n_sampled, width, height, usec_per_frame,
     mean_luma) via an Arrow-batched kernel: MJPEG AVIs decode for
     REAL (container walk + per-frame stdlib JPEG decode, sampling
-    every ``stride``-th frame); anything else keeps the disclosed
-    digest fake with kind='other' (no inter-frame codec in this
-    container)."""
+    every ``stride``-th frame); anything else — non-AVI blobs (no
+    inter-frame codec in this container) AND RIFF/AVI blobs the
+    codec rejects (non-MJPEG streams, truncated container, a bad
+    embedded frame) — degrades to the disclosed digest fake with
+    kind='other' rather than failing the whole job (ADVICE r4)."""
     schema = (
         f"{id_col} long, kind string, n_frames long, n_sampled long, "
         "width long, height long, usec_per_frame long, mean_luma long"
@@ -482,29 +492,35 @@ def decode_video_features(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from georaster_spark.sources.avi import decode_avi_mjpeg
+        from georaster_spark.sources.avi import AviError, decode_avi_mjpeg
+        from georaster_spark.sources.jpeg import JpegError
 
         for pdf in batches:
             rows = []
             for i, media in zip(pdf[id_col], pdf["media"]):
                 b = bytes(media)
+                row = None
                 if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                    frames, usec = decode_avi_mjpeg(b)
-                    sampled = frames[::stride]
-                    tot = sum(int(f.astype(np.int64).sum()) for f in sampled)
-                    npx = sum(f.size for f in sampled)
-                    rows.append(
-                        (int(i), "mjpeg", len(frames), len(sampled),
-                         int(frames[0].shape[1]), int(frames[0].shape[0]),
-                         usec, tot // max(npx, 1))
-                    )
-                else:
+                    try:
+                        frames, usec = decode_avi_mjpeg(b)
+                        sampled = frames[::stride]
+                        tot = sum(int(f.astype(np.int64).sum()) for f in sampled)
+                        npx = sum(f.size for f in sampled)
+                        row = (
+                            int(i), "mjpeg", len(frames), len(sampled),
+                            int(frames[0].shape[1]), int(frames[0].shape[0]),
+                            usec, tot // max(npx, 1),
+                        )
+                    except (AviError, JpegError):
+                        row = None  # malformed RIFF/frame → digest fallback
+                if row is None:
                     h = hashlib.md5(b).hexdigest()
                     f = _digest_features(pd.Series([h]))
-                    rows.append(
-                        (int(i), "other", 0, 0, int(f["width"][0]),
-                         int(f["height"][0]), 0, int(f["mean_luma"][0]))
+                    row = (
+                        int(i), "other", 0, 0, int(f["width"][0]),
+                        int(f["height"][0]), 0, int(f["mean_luma"][0]),
                     )
+                rows.append(row)
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "kind", "n_frames", "n_sampled", "width",

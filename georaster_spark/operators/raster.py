@@ -765,9 +765,15 @@ def d8_accumulation_k(flow: DataFrame, k: int = 4) -> DataFrame:
         F.create_map(*[F.lit(v) for c in code_dy for v in (c, code_dy[c])]),
         F.col("d8").cast("int"),
     )
-    cells = flow.select("x", "y").persist()
+    # localCheckpoint, NOT persist (ADVICE r4): the halo kernel runs
+    # once and the k joins reuse its cached blocks, but the blocks are
+    # ContextCleaner-collected as soon as the result DataFrame is
+    # dropped — a CacheManager persist() here leaked session-lifetime
+    # blocks on every invocation (bench calls this repeatedly).
+    base = flow.select("x", "y", "d8").localCheckpoint(eager=True)
+    cells = base.select("x", "y")
     edges = (
-        flow.where(F.col("d8") > 0)
+        base.where(F.col("d8") > 0)
         .select("x", "y", (F.col("x") + dx).alias("tx"), (F.col("y") + dy).alias("ty"))
         # closed over the emitted set: a target on the boundary (not
         # emitted, window incomplete there) terminates the path
@@ -775,7 +781,7 @@ def d8_accumulation_k(flow: DataFrame, k: int = 4) -> DataFrame:
             cells.select(F.col("x").alias("tx"), F.col("y").alias("ty")),
             ["tx", "ty"],
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     frontier = edges.select(F.col("x").alias("ux"), F.col("y").alias("uy"), "tx", "ty")
     arrivals = [frontier.select("tx", "ty")]

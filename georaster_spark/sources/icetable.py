@@ -66,58 +66,55 @@ def _filegroup_path(path: str, snapshot_id: str, k: int) -> str:
 
 
 class _commit_lock:
-    """Tiny advisory lock (O_CREAT|O_EXCL) serializing the
-    check-pointer-then-swap critical section. A lock older than 60 s
-    is presumed crashed and stolen.
+    """Tiny advisory lock serializing the check-pointer-then-swap
+    critical section, held as a kernel ``flock`` on a PERMANENT lock
+    file.
 
-    The lock file carries the holder's token: a holder that was
-    paused past the steal horizon (GC / suspend / slow NFS) and had
-    its lock stolen must NOT unlink the *stealer's* lock on exit —
-    that would re-open the critical section to a third committer.
-    ``__exit__`` therefore unlinks only if the on-disk token is still
-    its own (the pointer CAS after the lock still catches the paused
-    holder's own commit as a conflict)."""
+    Round-5 redesign (ADVICE r4): the previous O_CREAT|O_EXCL file
+    with a 60 s steal horizon had an irreducible release race — the
+    holder's ``__exit__`` read its own token and then unlinked, and
+    a pause between the two steps past the horizon could unlink a
+    STEALER's fresh lock, re-opening the critical section to a third
+    committer. A kernel flock releases atomically with the holder
+    (explicit unlock, close, or process death — no stale-lock
+    horizon, no steal, no token), so the failure mode disappears
+    instead of merely narrowing. The lock file is never unlinked:
+    unlink-after-release is the classic flock race (a waiter holding
+    the old inode and a waiter creating a fresh one both "acquire").
+    Documented trade-off: a holder that is alive but hung keeps the
+    lock until its process dies, where the old design stole it after
+    60 s; waiters still time out with ``TimeoutError``, and the
+    pointer CAS inside the section still bounds any damage to a
+    ``CommitConflict``."""
 
     def __init__(self, path: str, timeout_s: float = 30.0):
         self.lock = _pointer(path) + ".lock"
         self.timeout_s = timeout_s
-        self.token = uuid.uuid4().hex
+        self.fd: int | None = None
 
     def __enter__(self):
+        import fcntl
+
         deadline = time.time() + self.timeout_s
+        fd = os.open(self.lock, os.O_CREAT | os.O_WRONLY)
         while True:
             try:
-                fd = os.open(self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                try:
-                    os.write(fd, self.token.encode())
-                finally:
-                    os.close(fd)
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                self.fd = fd
                 return self
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(self.lock) > 60:
-                        # steal a crashed holder's lock ATOMICALLY: only
-                        # one waiter wins the rename (a check-then-unlink
-                        # here would let two waiters both "steal" and
-                        # break mutual exclusion)
-                        stale = self.lock + f".stale-{uuid.uuid4().hex[:8]}"
-                        os.rename(self.lock, stale)
-                        os.unlink(stale)
-                        continue
-                except FileNotFoundError:
-                    continue
+            except OSError:
                 if time.time() > deadline:
+                    os.close(fd)
                     raise TimeoutError(f"commit lock busy: {self.lock}")
                 time.sleep(0.05)
 
     def __exit__(self, *exc):
-        try:
-            with open(self.lock) as f:
-                if f.read() != self.token:
-                    return  # stolen while we were paused — not ours
-            os.unlink(self.lock)
-        except FileNotFoundError:
-            pass
+        import fcntl
+
+        if self.fd is not None:
+            fcntl.flock(self.fd, fcntl.LOCK_UN)
+            os.close(self.fd)
+            self.fd = None
 
 
 def current_snapshot(path: str) -> str | None:

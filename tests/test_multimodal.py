@@ -238,3 +238,43 @@ def test_downsample_webp_is_exact(spark):
     small = (a[0::2, 0::2] + a[1::2, 0::2] + a[0::2, 1::2] + a[1::2, 1::2]) // 4
     assert (r["width"], r["height"]) == (6, 4)
     assert r["mean_luma"] == int(small.sum() // small.size)
+
+
+def test_malformed_riff_degrades_to_digest_row(spark):
+    """ADVICE r4: a blob carrying the RIFF/WAVE or RIFF/AVI magic
+    that the codec REJECTS (non-PCM fmt, truncated container) must
+    degrade to the disclosed kind='other' digest row — one bad blob
+    in a lake must not fail the whole job."""
+    import struct
+
+    import numpy as np
+
+    from georaster_spark.operators.multimodal import (
+        decode_audio_features,
+        decode_video_features,
+        _digest_features,
+    )
+    import hashlib as _hl
+    import pandas as pd
+
+    # RIFF/WAVE with fmt audio_format=2 (ADPCM — not PCM) + data
+    fmt = struct.pack("<HHIIHH", 2, 1, 16000, 32000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    bad_wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    # RIFF/AVI that is truncated garbage past the magic
+    bad_avi = b"RIFF" + struct.pack("<I", 20) + b"AVI " + b"\x00" * 8
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bad_wav)), (2, bytearray(bad_avi))],
+        "doc_id long, media binary",
+    )
+    audio = {r["doc_id"]: r for r in decode_audio_features(df).collect()}
+    video = {r["doc_id"]: r for r in decode_video_features(df).collect()}
+    assert audio[1]["kind"] == "other" and audio[2]["kind"] == "other"
+    assert video[1]["kind"] == "other" and video[2]["kind"] == "other"
+    # and the fallback really is the documented digest formula
+    h = _hl.md5(bad_wav).hexdigest()
+    f = _digest_features(pd.Series([h]))
+    assert audio[1]["mean_abs"] == int(f["mean_luma"][0])
+    assert video[1]["mean_luma"] == int(f["mean_luma"][0])

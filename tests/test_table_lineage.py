@@ -490,10 +490,32 @@ class TestOptimisticCommit:
         icetable.write_table(docs.limit(2), path)
         with _pytest.raises(icetable.CommitConflict):
             icetable.write_table(docs.limit(1), path, expected_parent="bogus")
-        assert not os.path.exists(icetable._pointer(path) + ".lock")
+        # the flock must be RELEASED after the conflict (the lock file
+        # itself is permanent by design — unlink-after-release is the
+        # classic flock race): it must be immediately re-acquirable
+        with icetable._commit_lock(path, timeout_s=0.5):
+            pass
         # and a fresh auto-basis commit still succeeds afterwards
         s = icetable.write_table(docs.limit(1), path)
         assert icetable.current_snapshot(path) == s
+
+    def test_commit_lock_mutual_exclusion_and_timeout(self, spark, docs, tmp_path):
+        """A held flock blocks a second acquirer (TimeoutError), and
+        release makes it immediately available — the release is the
+        kernel's, not a check-then-unlink."""
+        import pytest as _pytest
+
+        path = str(tmp_path / "t4")
+        icetable.write_table(docs.limit(1), path)
+        outer = icetable._commit_lock(path, timeout_s=0.3)
+        with outer:
+            # NB: flock is per-fd, so a second _commit_lock in the
+            # same process genuinely contends (unlike POSIX lockf)
+            with _pytest.raises(TimeoutError):
+                with icetable._commit_lock(path, timeout_s=0.3):
+                    pass
+        with icetable._commit_lock(path, timeout_s=0.3):
+            pass
 
 
 class TestSchemaEvolution:
