@@ -27,6 +27,8 @@ the self-join never goes quadratic.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -614,15 +616,26 @@ def pq_topk(
 
 # ------------------------------------------------- IVF+PQ (residual)
 
-def ivfpq_cells_row(spark, coarse: list[tuple[int, list[int]]]) -> DataFrame:
-    """1-row DataFrame holding the pinned integer coarse centroids as
-    a sorted ``ARRAY<STRUCT<cell,cvec>>`` — broadcast onto corpus and
-    queries so assignment/probing stays a narrow per-row array scan
-    (the centroids_row pattern, integer flavor)."""
-    rows = [(int(c), [int(x) for x in v]) for c, v in sorted(coarse)]
-    return spark.createDataFrame(rows, "cell int, cvec array<bigint>").agg(
-        F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("cells")
+def ivfpq_cells_lit(coarse: list[tuple[int, list[int]]]) -> Column:
+    """The pinned integer coarse centroids as ONE literal
+    ``ARRAY<STRUCT<cell,cvec>>`` column, cells ascending. A pinned
+    artifact is a plan-time constant: folding it in as a literal
+    (vs round 4's 1-row collect_list DataFrame crossJoined onto
+    corpus and queries) deletes two 1-row aggregates, two broadcast
+    builds, and both BroadcastNestedLoopJoins from the plan — the
+    centroid table rides in the task binary exactly like the PQ
+    codebook cube, and assignment/probing stays a narrow per-row
+    array scan. Built as ONE ``F.expr`` of SQL literals (Catalyst
+    constant-folds it to a single Literal): composing it from ~500
+    ``F.lit``/``F.struct`` calls costs that many py4j round trips —
+    ~1 s of DRIVER wall per reference, measured this round."""
+    structs = ", ".join(
+        "named_struct('cell', {c}, 'cvec', array({vs}))".format(
+            c=int(c), vs=", ".join(f"{int(x)}L" for x in v)
+        )
+        for c, v in sorted(coarse)
     )
+    return F.expr(f"array({structs})")
 
 
 def _cell_dists(vec_col: str) -> Column:
@@ -639,15 +652,15 @@ def _cell_dists(vec_col: str) -> Column:
 
 
 def ivfpq_assign_residual(
-    df: DataFrame, cells_row: DataFrame, vec_col: str = "emb_q"
+    df: DataFrame, coarse: list[tuple[int, list[int]]], vec_col: str = "emb_q"
 ) -> DataFrame:
     """Assign each integer vector to its nearest coarse cell and
     attach the integer residual v - c(v) (Jégou et al. 2011, §IV:
     residuals have far smaller spread than raw vectors, so the same
-    PQ code bytes quantize them more finely). Narrow: broadcast
-    1-row centroid array, per-row argmin, zip_with subtraction —
+    PQ code bytes quantize them more finely). Narrow: literal pinned
+    centroid array, per-row argmin, zip_with subtraction — no join,
     shuffle-free; at ingest ``cell`` becomes a partition column."""
-    assigned = df.crossJoin(F.broadcast(cells_row)).withColumn(
+    assigned = df.withColumn("cells", ivfpq_cells_lit(coarse)).withColumn(
         "cell", F.array_min(_cell_dists(vec_col))["cell"]
     )
     # cells are pinned as exactly 0..n-1, so element_at(cell+1) is the
@@ -658,49 +671,96 @@ def ivfpq_assign_residual(
     ).drop("cells")
 
 
+def _codebook_cube(
+    codebook: list[tuple[int, int, list[int]]], m: int, dsub: int
+):
+    """Pinned (sub, code, cvec) triples as an (m, K, dsub) int64 NumPy
+    cube — codes are dense 0..K-1 per subspace (pin_ivfpq.py output),
+    so ``argmin`` over axis=code breaks ties to the smallest code,
+    the same ordering as min(struct(dist, code))."""
+    n_codes = max(int(c) for _, c, _ in codebook) + 1
+    cube = np.zeros((m, n_codes, dsub), dtype=np.int64)
+    for s, c, vec in codebook:
+        cube[int(s), int(c)] = [int(x) for x in vec]
+    return cube
+
+
 def ivfpq_codes(
-    corpus: DataFrame, cells_row: DataFrame, codebook: DataFrame, m: int, dsub: int
+    corpus: DataFrame,
+    coarse: list[tuple[int, list[int]]],
+    codebook: list[tuple[int, int, list[int]]],
+    m: int,
+    dsub: int,
 ) -> DataFrame:
-    """(vec_id, cell, sub, code): residual-PQ encoding. Same shape as
-    ``pq_codes`` plus the cell — at scale this (1 + m)-byte row set
-    REPLACES the stored vectors."""
-    corp = ivfpq_assign_residual(corpus, cells_row)
-    sliced = _pq_slices(
-        corp, "vec_id", "vec_id", m, dsub, vec_col="resid", extra=("cell",)
-    )
-    d = _l2sq_int(F.col("svec"), F.col("cvec"))
-    return (
-        sliced.join(F.broadcast(codebook), "sub")
-        .groupBy("vec_id", "cell", "sub")
-        .agg(F.min(F.struct(d.alias("dist"), F.col("code").alias("code"))).alias("m"))
-        .select("vec_id", "cell", "sub", F.col("m.code").alias("code"))
-    )
+    """(vec_id, cell, codes: ARRAY<BIGINT> length m): residual-PQ
+    encoding as a NARROW Arrow-vectorized projection — ZERO shuffle
+    and ZERO join over the corpus. The codebook is a pinned offline
+    artifact (ivfpq_codebook.py), shipped as an (m, K, dsub) int64
+    closure into one pandas UDF whose batch body is a single NumPy
+    broadcast: dists (n, m, K) = Σ(resid − code)², argmin per
+    subspace (first-min = smallest code, the min(struct) tie-break).
+    All-integer math, so the discrete codes are engine-exact.
+
+    Why a pandas UDF and not Column algebra: round 4 encoded via
+    explode + broadcast-join + groupBy — one m-rows-per-vector
+    shuffle, which at 10^12 vectors is the whole job; folding the
+    codebook into literal ``array_min`` expressions instead drowns
+    the DRIVER (a ~10⁴-node HOF tree costs seconds per query in
+    analysis alone, measured this round). The Arrow kernel keeps the
+    plan narrow AND the expression tree tiny. At scale this
+    (1 + m)-byte row set REPLACES the stored vectors."""
+    cube = _codebook_cube(codebook, m, dsub)
+
+    @F.pandas_udf("array<long>")
+    def _encode(resid: pd.Series) -> pd.Series:
+        if len(resid) == 0:
+            return pd.Series([], dtype=object)
+        r = np.stack(resid.to_numpy()).astype(np.int64).reshape(len(resid), m, dsub)
+        d = ((r[:, :, None, :] - cube[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(list(d.argmin(axis=2)))
+
+    corp = ivfpq_assign_residual(corpus, coarse)
+    return corp.select("vec_id", "cell", _encode("resid").alias("codes"))
 
 
 def ivfpq_topk_rerank(
     queries: DataFrame,
     corpus: DataFrame,
-    cells_row: DataFrame,
-    codebook: DataFrame,
+    coarse: list[tuple[int, list[int]]],
+    codebook: list[tuple[int, int, list[int]]],
     m: int,
     dsub: int,
     k: int = 5,
     nprobe: int = 4,
     n_candidates: int = 100,
 ) -> DataFrame:
-    """IVF+PQ-residual two-stage retrieval: per query probe the
-    ``nprobe`` nearest coarse cells; per probed cell build the m×K
-    LUT of exact integer distances between the QUERY RESIDUAL (wrt
-    that cell's centroid) and the residual codebook; ADC = m lookups
-    summed per corpus row, comparable ACROSS cells because each
-    approximates the same ||q - v||²; exact integer-L2 re-rank of the
-    top ``n_candidates``. The probe join on (cell, sub, code) prunes
-    to nprobe/n_cells of the codes table — the IVF pruning arrives as
-    an equi-join, no filter pass over the corpus."""
-    codes = ivfpq_codes(corpus, cells_row, codebook, m, dsub)
+    """IVF+PQ-residual two-stage retrieval with a SHUFFLE-FREE corpus
+    path: per query probe the ``nprobe`` nearest coarse cells; per
+    probed cell the m×K LUT of exact integer distances between the
+    QUERY RESIDUAL (wrt that cell's centroid) and the pinned residual
+    codebook is built as ONE map column (key sub*K+code) on the tiny
+    per-query probes frame and broadcast; ADC = an in-row
+    ``F.aggregate`` over each corpus row's m codes after a single
+    BroadcastHashJoin on cell — the IVF pruning IS that equi-join
+    (unprobed cells' codes never match), and the encode feeding it is
+    the narrow Arrow projection of ``ivfpq_codes``, so from parquet
+    scan to ADC the corpus-sized path has zero
+    Exchanges. ADC values are comparable ACROSS cells because each
+    approximates the same ||q - v||². Exact integer-L2 re-rank of the
+    top ``n_candidates``: the Q×n_candidates candidate set broadcasts
+    ONTO the corpus (never the reverse), so stage 2 is one more
+    narrow corpus pass; only per-query top-N windows ever shuffle,
+    and those carry O(|Q| · corpus/n_cells · nprobe) and
+    O(|Q| · n_candidates) rows respectively."""
+    n_codes = max(int(c) for _, c, _ in codebook) + 1
+    codes = ivfpq_codes(corpus, coarse, codebook, m, dsub)
+    codebook_df = corpus.sparkSession.createDataFrame(
+        [(int(s), int(c), [int(x) for x in vec]) for s, c, vec in codebook],
+        "sub int, code long, cvec array<bigint>",
+    )
     qf = queries.select(F.col("vec_id").alias("query_id"), "emb_q")
     probes = (
-        qf.crossJoin(F.broadcast(cells_row))
+        qf.withColumn("cells", ivfpq_cells_lit(coarse))
         .select(
             "query_id",
             "emb_q",
@@ -723,17 +783,34 @@ def ivfpq_topk_rerank(
     qsliced = _pq_slices(
         probes, "query_id", "query_id", m, dsub, vec_col="q_resid", extra=("cell",)
     )
-    lut = qsliced.join(F.broadcast(codebook), "sub").select(
-        "query_id",
-        "cell",
-        "sub",
-        "code",
-        _l2sq_int(F.col("svec"), F.col("cvec")).alias("d"),
+    lut = (
+        qsliced.join(F.broadcast(codebook_df), "sub")
+        .groupBy("query_id", "cell")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("sub") * n_codes + F.col("code"))
+                        .cast("int")
+                        .alias("k"),
+                        _l2sq_int(F.col("svec"), F.col("cvec")).alias("v"),
+                    )
+                )
+            ).alias("lutm")
+        )
     )
-    adc = (
-        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("d").alias("adc"))
+    adc = codes.join(F.broadcast(lut), "cell").select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.element_at(
+                F.col("lutm"),
+                (s * n_codes + F.element_at(F.col("codes"), s + 1)).cast("int"),
+            ),
+        ).alias("adc"),
     )
     wc = Window.partitionBy("query_id").orderBy("adc", "vec_id")
     cand = (
@@ -744,8 +821,8 @@ def ivfpq_topk_rerank(
     qv = qf.select("query_id", F.col("emb_q").alias("q_emb"))
     cv = corpus.select("vec_id", F.col("emb_q").alias("c_emb"))
     rer = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "vec_id")
+        cv.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "vec_id",

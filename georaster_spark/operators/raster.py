@@ -734,6 +734,40 @@ def d8_flow_halo(
     )
 
 
+def _d8_cells_edges(flow: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(cells, edges) for the interior D8 flow graph: one edge per
+    non-sink cell toward its D8 target, CLOSED over the emitted set
+    (a target on the boundary — not emitted, window incomplete there —
+    terminates the path). Both frames are eagerly localCheckpoint'ed,
+    NOT persist'ed (ADVICE r4): downstream joins reuse the cached
+    blocks, and ContextCleaner collects them as soon as the result
+    DataFrame is dropped — a CacheManager persist() here leaked
+    session-lifetime blocks on every invocation (bench calls these
+    operators repeatedly)."""
+    code_dx = {c: dx for dx, _, c in D8_NEIGHBORS}
+    code_dy = {c: dy for _, dy, c in D8_NEIGHBORS}
+    dx = F.element_at(
+        F.create_map(*[F.lit(v) for c in code_dx for v in (c, code_dx[c])]),
+        F.col("d8").cast("int"),
+    )
+    dy = F.element_at(
+        F.create_map(*[F.lit(v) for c in code_dy for v in (c, code_dy[c])]),
+        F.col("d8").cast("int"),
+    )
+    base = flow.select("x", "y", "d8").localCheckpoint(eager=True)
+    cells = base.select("x", "y")
+    edges = (
+        base.where(F.col("d8") > 0)
+        .select("x", "y", (F.col("x") + dx).alias("tx"), (F.col("y") + dy).alias("ty"))
+        .join(
+            cells.select(F.col("x").alias("tx"), F.col("y").alias("ty")),
+            ["tx", "ty"],
+        )
+        .localCheckpoint(eager=True)
+    )
+    return cells, edges
+
+
 def d8_accumulation_k(flow: DataFrame, k: int = 4) -> DataFrame:
     """k-step D8 flow accumulation: for every cell, how many cells'
     flow paths reach it within ≤ k steps (the bounded form of
@@ -755,34 +789,7 @@ def d8_accumulation_k(flow: DataFrame, k: int = 4) -> DataFrame:
     you'd run this same plan with localCheckpoint every few rounds
     until the frontier empties.
     """
-    code_dx = {c: dx for dx, _, c in D8_NEIGHBORS}
-    code_dy = {c: dy for _, dy, c in D8_NEIGHBORS}
-    dx = F.element_at(
-        F.create_map(*[F.lit(v) for c in code_dx for v in (c, code_dx[c])]),
-        F.col("d8").cast("int"),
-    )
-    dy = F.element_at(
-        F.create_map(*[F.lit(v) for c in code_dy for v in (c, code_dy[c])]),
-        F.col("d8").cast("int"),
-    )
-    # localCheckpoint, NOT persist (ADVICE r4): the halo kernel runs
-    # once and the k joins reuse its cached blocks, but the blocks are
-    # ContextCleaner-collected as soon as the result DataFrame is
-    # dropped — a CacheManager persist() here leaked session-lifetime
-    # blocks on every invocation (bench calls this repeatedly).
-    base = flow.select("x", "y", "d8").localCheckpoint(eager=True)
-    cells = base.select("x", "y")
-    edges = (
-        base.where(F.col("d8") > 0)
-        .select("x", "y", (F.col("x") + dx).alias("tx"), (F.col("y") + dy).alias("ty"))
-        # closed over the emitted set: a target on the boundary (not
-        # emitted, window incomplete there) terminates the path
-        .join(
-            cells.select(F.col("x").alias("tx"), F.col("y").alias("ty")),
-            ["tx", "ty"],
-        )
-        .localCheckpoint(eager=True)
-    )
+    cells, edges = _d8_cells_edges(flow)
     frontier = edges.select(F.col("x").alias("ux"), F.col("y").alias("uy"), "tx", "ty")
     arrivals = [frontier.select("tx", "ty")]
     for _ in range(1, k):
@@ -813,6 +820,70 @@ def d8_accumulation_k(flow: DataFrame, k: int = 4) -> DataFrame:
             F.col("x").cast("long").alias("x"),
             F.col("y").cast("long").alias("y"),
             F.coalesce(F.col("acc"), F.lit(0)).cast("long").alias(f"acc{k}"),
+        )
+    )
+
+
+def d8_accumulation(flow: DataFrame, max_rounds: int = 100_000) -> DataFrame:
+    """FULL D8 flow accumulation (contributing-area count,
+    O'Callaghan & Mark 1984): for every cell, how many other cells'
+    flow paths reach it in ANY number of steps — the fixpoint form of
+    :func:`d8_accumulation_k`, same closed-interior edge semantics.
+
+    Plan shape: out-degree is exactly 1 and every edge drops strictly
+    in elevation (d8_flow_halo emits an edge only for a positive
+    drop), so the flow graph is a DAG and the frontier of live paths
+    STRICTLY SHRINKS every round — iterate `frontier ⋈ edges` until
+    it empties (the ``connected_components`` driver-loop pattern).
+    Each round is eagerly ``localCheckpoint``-ed: lineage stays flat
+    across rounds, the emptiness probe reads materialized blocks, and
+    ContextCleaner reclaims every round's blocks when the result is
+    dropped. Driver state is O(1) — one DataFrame handle per round,
+    never row data. Total work is linear in the transitive-closure
+    size (the sum of all path lengths), which is also the output's
+    information content — no algorithm that counts every upstream
+    cell exactly does less. At 100 TB the round count is the longest
+    flow path; runs would batch rounds between checkpoints exactly as
+    here, and the shuffle each round carries only LIVE paths, which
+    on real terrain decay geometrically (most paths hit a sink or the
+    boundary quickly).
+    """
+    cells, edges = _d8_cells_edges(flow)
+    step = edges.select(
+        F.col("x").alias("tx"),
+        F.col("y").alias("ty"),
+        F.col("tx").alias("nx"),
+        F.col("ty").alias("ny"),
+    ).localCheckpoint(eager=True)
+    frontier = edges.select("tx", "ty").localCheckpoint(eager=True)
+    arrivals = [frontier]
+    rounds = 0
+    while not frontier.isEmpty():
+        rounds += 1
+        if rounds > max_rounds:  # cycle guard: a DAG input terminates
+            raise RuntimeError(
+                f"d8_accumulation did not converge in {max_rounds} rounds"
+            )
+        frontier = (
+            frontier.join(step, ["tx", "ty"])
+            .select(F.col("nx").alias("tx"), F.col("ny").alias("ty"))
+            .localCheckpoint(eager=True)
+        )
+        arrivals.append(frontier)
+    acc = arrivals[0]
+    for extra in arrivals[1:-1]:  # last frontier is empty
+        acc = acc.unionByName(extra)
+    acc = acc.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("acc"))
+    return (
+        cells.join(
+            acc,
+            (F.col("x") == F.col("tx")) & (F.col("y") == F.col("ty")),
+            "left",
+        )
+        .select(
+            F.col("x").cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+            F.coalesce(F.col("acc"), F.lit(0)).cast("long").alias("acc"),
         )
     )
 

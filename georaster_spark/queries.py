@@ -1288,25 +1288,28 @@ def q_ann_pq(spark, sf_dir):
     PQ at equal code bytes; BENCH/ANN_RECALL.md). At query time the
     nprobe=4 nearest cells are probed, a per-(query, cell) LUT of
     exact integer residual distances scores the codes via one
-    equi-join (the IVF pruning IS the join — unprobed cells' codes
-    never join), and only the top-100 candidates' full vectors are
-    fetched for the exact re-rank to top-5. All arithmetic EXACT
+    broadcast equi-join on cell (the IVF pruning IS the join —
+    unprobed cells' codes never match), and only the top-100
+    candidates' full vectors are touched for the exact re-rank to
+    top-5. The corpus-sized path is SHUFFLE-FREE and JOIN-FREE up to
+    the ADC probe: the pinned coarse centroids fold into the plan as
+    a literal array (no 1-row crossJoins), the encode is one narrow
+    Arrow argmin kernel (no explode/groupBy shuffle), the LUT
+    broadcasts as a map column, ADC is an in-row F.aggregate, and the
+    candidate set broadcasts onto the corpus for the re-rank — round
+    4's version spent two corpus-scale shuffles and four broadcast
+    build jobs on the same math. All arithmetic EXACT
     integer on e3-quantized dims; the coarse centroids and residual
     codebook are Lloyd-trained offline and PINNED as integers
     (georaster_spark/ivfpq_codebook.py, tools/pin_ivfpq.py); the
     oracle carries both as long-form VALUES tables."""
     from georaster_spark.operators.ann import (
-        ivfpq_cells_row,
         ivfpq_topk_rerank,
         quantize_embeddings,
     )
     from georaster_spark.ivfpq_codebook import IVFPQ_CODEBOOK, IVFPQ_COARSE
 
     qe = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
-    cells = ivfpq_cells_row(spark, IVFPQ_COARSE)
-    codebook = spark.createDataFrame(
-        IVFPQ_CODEBOOK, "sub int, code long, cvec array<bigint>"
-    )
     corpus = qe.where(F.col("vec_id") > PQ_Q_HI).select("vec_id", "emb_q")
     queries = qe.where(F.col("vec_id").between(PQ_Q_LO, PQ_Q_HI)).select(
         "vec_id", "emb_q"
@@ -1314,8 +1317,8 @@ def q_ann_pq(spark, sf_dir):
     out = ivfpq_topk_rerank(
         queries,
         corpus,
-        cells,
-        codebook,
+        IVFPQ_COARSE,
+        IVFPQ_CODEBOOK,
         PQ_M,
         PQ_DSUB,
         k=5,

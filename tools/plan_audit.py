@@ -368,19 +368,29 @@ def main() -> int:
         len(re.findall(r"partial_sum", p)) >= 3,
     )
 
-    # ann_pq (IVF+PQ residual): the codebook/LUT/probe joins are all
-    # broadcast hash joins — the IVF pruning is the (cell, sub, code)
-    # equi-join. The ONLY nested loops are the two 1-row pinned-
-    # centroid crossJoins (corpus assign + query probe), the same
-    # constant-row broadcast pattern as centroids_row.
+    # ann_pq (IVF+PQ residual, r5 shape): the corpus-sized path is
+    # shuffle-free AND join-free up to the ADC probe — pinned coarse
+    # centroids are a folded literal (no 1-row crossJoins at all),
+    # the encode is one Arrow kernel, ADC is an in-row aggregate
+    # after the broadcast LUT-map join, and the candidate set
+    # broadcasts ONTO the corpus for the re-rank. The only shuffles
+    # left are the tiny per-query LUT groupBy and the two top-N
+    # windows.
     p = plans["ann_pq"] = explain_str(Q.q_ann_pq(spark, SF))
     check(
         "ann_pq",
-        "codebook + LUT + probe joins are hash joins; nested loops "
-        "are exactly the two 1-row centroid-array broadcasts",
-        n_nodes(p, "BroadcastHashJoin") >= 4
+        "LUT build/probe/candidate/query joins are hash joins; zero "
+        "nested-loop joins (pinned centroids folded as literals)",
+        n_nodes(p, "BroadcastHashJoin") == 4
         and n_nodes(p, "SortMergeJoin") == 0
-        and n_nodes(p, "BroadcastNestedLoopJoin") == 2,
+        and n_nodes(p, "BroadcastNestedLoopJoin") == 0,
+    )
+    check(
+        "ann_pq",
+        "corpus path shuffle-free: one Arrow encode, no corpus-scale "
+        "Exchange — the only Exchanges are the per-query LUT groupBy "
+        "and the two top-N windows",
+        n_nodes(p, "Exchange") == 3 and n_nodes(p, "ArrowEvalPython") == 1,
     )
 
     # zonal stats: zone index broadcast; exactly one aggregate shuffle
