@@ -684,6 +684,55 @@ def sql_flow_accum():
     """
 
 
+def q_flow_accum_fix(spark, sf_dir):
+    """FULL D8 flow accumulation to fixpoint (operators/raster.py
+    d8_accumulation): the contributing-area count of O'Callaghan &
+    Mark 1984 — per cell, how many other cells' flow paths reach it
+    in ANY number of steps, the un-bounded form of flow_accum. Out-
+    degree 1 + strictly-descending edges make the interior flow graph
+    a DAG, so the live-path frontier strictly shrinks; the driver
+    loop iterates `frontier ⋈ edges` with an eager localCheckpoint
+    per round (the connected_components pattern) until the frontier
+    empties — 7 rounds on this crop (frontier 37k → 26k → … → 29 →
+    0). The oracle is the same closure via DuckDB WITH RECURSIVE.
+    Semantics anchor: the reference's DTM workload grid
+    (examples/geotiff_dtm.rs:99-115) lifted to hydrology."""
+    flow = R.d8_flow_halo(_dtm_crop(spark), tile=64)
+    return R.d8_accumulation(flow)
+
+
+def sql_flow_accum_fix():
+    dxc = (
+        "CASE d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1"
+        " WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 ELSE 1 END"
+    )
+    dyc = (
+        "CASE d8 WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1"
+        " WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE -1 END"
+    )
+    flow = sql_flow_direction().strip()
+    return f"""
+    WITH RECURSIVE flow AS ({flow}),
+    cells AS (SELECT x, y FROM flow),
+    e0 AS (
+      SELECT x, y, x + {dxc} AS tx, y + {dyc} AS ty FROM flow WHERE d8 > 0
+    ),
+    edges AS (
+      SELECT e0.x, e0.y, e0.tx, e0.ty
+      FROM e0 JOIN cells t ON t.x = e0.tx AND t.y = e0.ty
+    ),
+    walk(tx, ty) AS (
+      SELECT tx, ty FROM edges
+      UNION ALL
+      SELECT e.tx, e.ty FROM walk w JOIN edges e ON e.x = w.tx AND e.y = w.ty
+    ),
+    acc AS (SELECT tx, ty, count(*) AS a FROM walk GROUP BY 1, 2)
+    SELECT CAST(c.x AS BIGINT) AS x, CAST(c.y AS BIGINT) AS y,
+           CAST(coalesce(acc.a, 0) AS BIGINT) AS acc
+    FROM cells c LEFT JOIN acc ON acc.tx = c.x AND acc.ty = c.y
+    """
+
+
 FOCAL_X0, FOCAL_Y0, FOCAL_W = 2450, 2950, 200
 
 
@@ -4899,7 +4948,7 @@ def sql_stratified_exact_n():
 # 50-slot window was already full of stale/changed entries, with no
 # driver row in ANY round yet — the next rotation MUST promote them
 # into the window (tests/test_entry.py enforces both sides).
-DRIVER_UNCHECKED_NEW = set()
+DRIVER_UNCHECKED_NEW = {"flow_accum_fix"}
 
 # Rename ledger for the rotation guard: new catalog key → the old key
 # whose driver row verified the SAME query + oracle text. Only valid
@@ -5022,6 +5071,11 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "semdedup": q_semdedup,
     "flow_direction": q_flow_direction,
+    # --- added in r5 AFTER the 50-slot window was already consumed by
+    # the 47 rotated + 3 staged entries: no driver row yet
+    # (DRIVER_UNCHECKED_NEW) — verified by tools/check_oracle.py at
+    # sf0.01 + sf0.001 and the scalar-reference property test ---
+    "flow_accum_fix": q_flow_accum_fix,
 }
 
 ORACLES = {
@@ -5125,6 +5179,7 @@ ORACLES = {
     "events_json": sql_events_json(),
     "events_window_agg": sql_events_window_agg(),
     "event_percentiles": sql_event_percentiles(),
+    "flow_accum_fix": sql_flow_accum_fix(),
 }
 
 

@@ -664,3 +664,63 @@ def test_d8_accumulation_k_matches_scalar_reference(spark):
     assert got == want
     # sanity: accumulation actually flows (some cell gathers >= 3)
     assert max(got.values()) >= 3
+
+
+def test_d8_accumulation_fixpoint_matches_scalar_reference(spark):
+    """FULL (fixpoint) flow accumulation on the random-grid setup, vs
+    a scalar reference that walks every interior cell's unique flow
+    path to termination (sink or boundary). Strictly positive drops
+    make the path cycle-free, so the walk — and the operator's
+    driver loop — always terminates. Also asserts the fixpoint
+    result dominates the k-bounded one and they agree wherever every
+    path segment is short."""
+    import random
+
+    from georaster_spark.operators.raster import (
+        D8_NEIGHBORS,
+        d8_accumulation,
+        d8_accumulation_k,
+        d8_flow_halo,
+    )
+
+    rng = random.Random(53)
+    W, H = 20, 16
+    grid = [[rng.randrange(6) for _ in range(W)] for _ in range(H)]
+    interior = {(x, y) for y in range(1, H - 1) for x in range(1, W - 1)}
+    succ = {}
+    for x, y in interior:
+        zc = grid[y][x]
+        best_key, best = 0.0, None
+        for dx, dy, code in D8_NEIGHBORS:
+            drop = zc - grid[y + dy][x + dx]
+            if drop > 0:
+                key = drop * drop * (2 if dx == 0 or dy == 0 else 1)
+                if key > best_key:
+                    best_key, best = key, (x + dx, y + dy)
+        if best is not None and best in interior:
+            succ[(x, y)] = best
+    want = {c: 0 for c in interior}
+    for c in interior:
+        cur = c
+        while cur in succ:
+            cur = succ[cur]
+            want[cur] += 1
+    px = spark.createDataFrame(
+        [
+            (x, y, float(v))
+            for y, line in enumerate(grid)
+            for x, v in enumerate(line)
+        ],
+        "x int, y int, value double",
+    )
+    flow = d8_flow_halo(px, tile=4)
+    got = {(r["x"], r["y"]): r["acc"] for r in d8_accumulation(flow).collect()}
+    assert got == want
+    got_k = {
+        (r["x"], r["y"]): r["acc2"]
+        for r in d8_accumulation_k(flow, k=2).collect()
+    }
+    assert all(got[c] >= got_k[c] for c in got)
+    # sanity: at least one path is longer than 2 steps, so the
+    # fixpoint genuinely adds arrivals beyond the k-bounded form
+    assert sum(got.values()) > sum(got_k.values())
