@@ -326,6 +326,41 @@ def test_archive_errors(tmp_path):
         P.write_pmtiles(str(tmp_path / "e.pmtiles"), {})
 
 
+def test_lossy_vp8_tile_contract(tmp_path):
+    """CONTRACT (disclosed parity gap, final-round decision): the
+    reference decodes ANY image-crate format per tile
+    (src/pmtiles.rs:30-32), including lossy VP8 WebP; this engine
+    decodes PNG + lossless VP8L and REJECTS lossy ``VP8 `` chunks
+    with an actionable error — an archive with lossy tiles fails
+    loudly at the exact tile, never silently skips or emits garbage
+    pixels. README records the same contract. (The reference's own
+    goldens are all PNG, so no re-expressed test depends on lossy
+    decode.)"""
+    from georaster_spark.sources.webp import WebpError
+
+    body = b"\x9d\x01\x2a" + b"\x00" * 29  # VP8 keyframe-ish sync bytes
+    lossy = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(body))
+        + b"WEBP"
+        + b"VP8 "
+        + struct.pack("<I", len(body))
+        + body
+    )
+    p = str(tmp_path / "lossy.pmtiles")
+    P.write_pmtiles(p, {(0, 0, 0): lossy}, tile_compression=P.COMPRESSION_NONE)
+    with P.PmtilesReader(p) as rd:
+        blob = rd.get_tile(0, 0, 0)
+    assert blob == lossy  # the archive layer itself is format-agnostic
+    with pytest.raises(WebpError, match="lossy"):
+        P.decode_tile(blob)
+    # and a PNG tile in the same archive shape still decodes — the
+    # rejection is per-tile, not per-archive
+    arr = np.zeros((2, 2), dtype=np.uint8)
+    ok = encode_png(arr)
+    assert P.decode_tile(ok).shape[:2] == (2, 2)
+
+
 # ------------------------------------------------------------ spark scan
 def test_tile_stats_df_anchor(spark, fixture_path):
     from georaster_spark.sources.pmtiles import tile_stats_df
