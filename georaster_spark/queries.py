@@ -666,12 +666,12 @@ def sql_flow_accum():
         f"SELECT tx, ty FROM s{j}" for j in range(1, FLOW_ACC_K + 1)
     )
     return f"""
-    WITH flow AS ({flow}),
-    cells AS (SELECT x, y FROM flow),
+    WITH flow AS MATERIALIZED ({flow}),
+    cells AS MATERIALIZED (SELECT x, y FROM flow),
     e0 AS (
       SELECT x, y, x + {dxc} AS tx, y + {dyc} AS ty FROM flow WHERE d8 > 0
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT e0.x, e0.y, e0.tx, e0.ty
       FROM e0 JOIN cells t ON t.x = e0.tx AND t.y = e0.ty
     ),
@@ -711,13 +711,17 @@ def sql_flow_accum_fix():
         " WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE -1 END"
     )
     flow = sql_flow_direction().strip()
+    # AS MATERIALIZED: DuckDB otherwise INLINES these CTEs into the
+    # recursive member, recomputing the whole flow-direction pipeline
+    # (8-neighbor self-join + window) on EVERY iteration — 124 s vs
+    # ~4 s for the identical result.
     return f"""
-    WITH RECURSIVE flow AS ({flow}),
-    cells AS (SELECT x, y FROM flow),
+    WITH RECURSIVE flow AS MATERIALIZED ({flow}),
+    cells AS MATERIALIZED (SELECT x, y FROM flow),
     e0 AS (
       SELECT x, y, x + {dxc} AS tx, y + {dyc} AS ty FROM flow WHERE d8 > 0
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT e0.x, e0.y, e0.tx, e0.ty
       FROM e0 JOIN cells t ON t.x = e0.tx AND t.y = e0.ty
     ),
