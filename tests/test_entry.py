@@ -158,3 +158,31 @@ def test_no_shadowed_definitions():
     )
     dupes = {n: c for n, c in names.items() if c > 1}
     assert not dupes, f"shadowed top-level definitions in queries.py: {dupes}"
+
+
+def test_no_shadowed_test_definitions():
+    """Same shadowing class, but in the TEST tree: two defs of one
+    test name mean pytest silently collects only the later one —
+    the earlier test stops running without any failure (this bit
+    tests/test_workloads.py in round 5, where a second
+    test_stratified_sample_semantics masked the first). Every
+    top-level def in every tests/*.py must be unique within its
+    module."""
+    import ast
+    import collections
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    bad = {}
+    for path in sorted(glob.glob(os.path.join(here, "*.py"))):
+        tree = ast.parse(open(path).read())
+        names = collections.Counter(
+            node.name
+            for node in tree.body
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+        )
+        dupes = {n: c for n, c in names.items() if c > 1}
+        if dupes:
+            bad[os.path.basename(path)] = dupes
+    assert not bad, f"shadowed top-level test definitions: {bad}"

@@ -744,8 +744,9 @@ def test_tfidf_topterms_semantics(spark, tmp_path):
     }
 
 
-def test_stratified_sample_semantics(spark, tmp_path):
-    """Hand-checked stratified sampling (staged r5 pair): per
+def test_stratified_exact_n_semantics(spark, tmp_path):
+    """Hand-checked exact-n stratified sampling (registered as
+    stratified_exact_n after the r4 name-collision fix): per
     (lang, source) stratum exactly min(n, STRAT_N) docs survive,
     ranked by the portable 60-bit md5 key — verified against a
     Python md5 reference — and the plan carries WindowGroupLimit so
@@ -755,7 +756,7 @@ def test_stratified_sample_semantics(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from georaster_spark.queries import STRAT_N, q_stratified_sample
+    from georaster_spark.queries import STRAT_N, q_stratified_exact_n
 
     d = str(tmp_path)
     n = 60
@@ -779,7 +780,7 @@ def test_stratified_sample_semantics(spark, tmp_path):
         members = sorted((i for i in ids if i % 2 == stratum), key=key)
         for rk, i in enumerate(members[:STRAT_N], start=1):
             want[i] = rk
-    out = q_stratified_sample(spark, d)
+    out = q_stratified_exact_n(spark, d)
     got = {r.doc_id: r.rk for r in out.collect()}
     assert got == want
     plan = out._jdf.queryExecution().executedPlan().toString()
