@@ -12,7 +12,8 @@ shape) is real and tested at scale.
 The codec step is REAL for every format a stdlib implementation can
 honestly cover: images via ``sources/png.py`` (the codec that also
 decodes PMTiles tiles), ``sources/jpeg.py`` (baseline JFIF, huffman
-+ DCT) and ``sources/webp.py`` (lossless VP8L); audio via
++ DCT) and ``sources/webp.py`` + ``sources/vp8.py`` (lossless VP8L
+AND lossy VP8 intra, RFC 6386); audio via
 ``sources/wav.py`` (RIFF/WAVE PCM); video via ``sources/avi.py``
 (MJPEG AVI — per-frame JPEG decode). Only entropy-coded audio
 (MP3/AAC) and inter-frame video codecs (H.264/VP9) fall back to the
@@ -118,7 +119,8 @@ def _decode_image(media: bytes):
 def _decode_bytes(media: bytes) -> tuple[int, int, int]:
     """Decode media bytes → (width, height, mean_luma).
 
-    PNG, JPEG, and WebP (VP8L) blobs decode for real (stdlib codecs,
+    PNG, JPEG, and WebP (VP8L lossless + VP8 lossy) blobs decode for
+    real (stdlib codecs,
     ``sources/png.py`` / ``sources/jpeg.py`` / ``sources/webp.py``):
     mean_luma is the integer mean of all samples. Any other format
     falls back to the deterministic digest fake (disclosed stub —

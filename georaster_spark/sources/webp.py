@@ -22,19 +22,27 @@ Decoder scope — the full VP8L feature set:
   (signed ``(t*c)>>5`` deltas), subtract-green, and color-indexing
   with sub-byte pixel bundling.
 
-Lossy ``VP8 `` chunks are rejected with a clear error: baseline VP8
-is a video intra-frame codec, out of scope here (disclosed — the
-reference's ``image`` crate would decode those too).
+Lossy ``VP8 `` chunks decode too, via the pure-NumPy RFC 6386
+intra-frame decoder in ``vp8.py`` (every lossy WebP still image is a
+single VP8 key frame), including ``VP8X`` containers with an
+``ALPH`` alpha chunk (raw or VP8L-compressed, all four alpha
+filters). The VP8 reconstruction (YUV 4:2:0) is validated bit-exact
+against the system libwebp across sizes, content, quality levels,
+segmentation, skip flags and the loop filter (tests skip those
+oracle cases when libwebp is absent); only the final YUV→RGB
+conversion may differ from libwebp by ±2 per channel (bilinear
+chroma upsampling + BT.601 rounding), so RGB-level goldens are
+threshold based.
 
-Conformance caveat (disclosed): no libwebp or third-party WebP bytes
-exist in this container, so the decoder is verified by (a) encoder
-round-trips over every transform/code path, (b) hand-assembled
-bitstreams with hand-computed expected pixels for the LZ77 / cache /
-meta paths, and (c) the DuckDB oracle recomputing whole-archive
-pixel sums for WebP-tiled PMTiles fixtures. The LZ77 distance map is
-generated from the spec's ordering rule (dy in 0..7, dx in -7..8,
-sorted by squared distance then |dx|, positive dx first) and checked
-against the spec's published table prefix in tests.
+VP8L conformance caveat (disclosed): the lossless decoder is
+verified by (a) encoder round-trips over every transform/code path,
+(b) hand-assembled bitstreams with hand-computed expected pixels for
+the LZ77 / cache / meta paths, and (c) the DuckDB oracle recomputing
+whole-archive pixel sums for WebP-tiled PMTiles fixtures. The LZ77
+distance map is generated from the spec's ordering rule (dy in 0..7,
+dx in -7..8, sorted by squared distance then |dx|, positive dx
+first) and checked against the spec's published table prefix in
+tests.
 
 The encoder (``encode_webp_lossless``) writes valid literals-only
 VP8L streams — per-channel canonical prefix codes (simple codes for
@@ -656,13 +664,71 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     return rgba
 
 
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Invert the WebP alpha-plane filter (libwebp dsp/filters.c):
+    1=horizontal, 2=vertical, 3=gradient. Row 0 always unfilters
+    horizontally with a zero seed, matching libwebp."""
+    h, w = plane.shape
+    out = np.zeros((h, w), dtype=np.int32)
+    src = plane.astype(np.int32)
+    for r in range(h):
+        if r == 0 or method == 1:
+            pred0 = 0 if r == 0 else int(out[r - 1, 0])
+            out[r, 0] = (src[r, 0] + pred0) & 0xFF
+            for c in range(1, w):
+                out[r, c] = (src[r, c] + out[r, c - 1]) & 0xFF
+        elif method == 2:
+            out[r] = (src[r] + out[r - 1]) & 0xFF
+        else:  # gradient
+            out[r, 0] = (src[r, 0] + out[r - 1, 0]) & 0xFF
+            for c in range(1, w):
+                pred = int(out[r, c - 1]) + int(out[r - 1, c]) - int(out[r - 1, c - 1])
+                out[r, c] = (src[r, c] + min(255, max(0, pred))) & 0xFF
+    return out.astype(np.uint8)
+
+
+def decode_alph(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Decode a WebP ``ALPH`` chunk to an (h, w) uint8 alpha plane.
+
+    Header byte: bits 0-1 compression (0 raw, 1 VP8L-coded as the
+    green channel of a headerless lossless stream), bits 2-3 filter,
+    bits 4-5 preprocessing (informative)."""
+    if not payload:
+        raise WebpError("empty ALPH chunk")
+    method = payload[0] & 3
+    filt = (payload[0] >> 2) & 3
+    if method == 0:
+        if len(payload) < 1 + w * h:
+            raise WebpError("raw ALPH chunk too short")
+        plane = (
+            np.frombuffer(payload[1 : 1 + w * h], dtype=np.uint8)
+            .reshape(h, w)
+            .copy()
+        )
+    elif method == 1:
+        br = _Bits(payload[1:])
+        px, (transforms, dec_w) = _decode_entropy_image(br, w, h, True)
+        px, out_w = _apply_inverse_transforms(px, transforms, dec_w, h)
+        if out_w != w:
+            raise WebpError("ALPH decoded width mismatch")
+        plane = ((px.reshape(h, w) >> 8) & 0xFF).astype(np.uint8)
+    else:
+        raise WebpError(f"reserved ALPH compression method {method}")
+    if filt:
+        plane = _unfilter_alpha(plane, filt)
+    return plane
+
+
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF container walk → VP8L decode. Returns (h, w, 3) uint8
-    when fully opaque, else (h, w, 4) RGBA — mirroring what the
-    reference's ``DynamicImage`` exposes for lossless tiles."""
+    """RIFF container walk → VP8L (lossless) or VP8 (lossy intra)
+    decode, with VP8X/ALPH alpha. Returns (h, w, 3) uint8 when fully
+    opaque, else (h, w, 4) RGBA — mirroring what the reference's
+    ``DynamicImage`` exposes for tiles."""
     if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise WebpError("not a WebP (RIFF) container")
     pos = 12
+    vp8_body = None
+    alph_body = None
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -673,12 +739,22 @@ def decode_webp(data: bytes) -> np.ndarray:
                 return rgba[:, :, :3].copy()
             return rgba
         if fourcc == b"VP8 ":
-            raise WebpError(
-                "lossy VP8 WebP is not supported (pure-stdlib subset is "
-                "lossless VP8L only; disclosed)"
-            )
+            vp8_body = body
+            break  # ALPH precedes VP8 in a VP8X container
+        if fourcc == b"ALPH":
+            alph_body = body
         pos += 8 + size + (size & 1)
-    raise WebpError("no VP8L chunk in WebP container")
+    if vp8_body is None:
+        raise WebpError("no VP8/VP8L chunk in WebP container")
+    from georaster_spark.sources.vp8 import decode_vp8, vp8_to_rgb
+
+    y, u, v = decode_vp8(vp8_body)
+    rgb = vp8_to_rgb(y, u, v)
+    if alph_body is None:
+        return rgb
+    h, w = rgb.shape[:2]
+    alpha = decode_alph(alph_body, w, h)
+    return np.dstack([rgb, alpha])
 
 
 # ------------------------------------------------------------- encoder

@@ -241,13 +241,17 @@ class TestDistanceMap:
 
 
 class TestErrorSurface:
-    def test_lossy_vp8_rejected(self):
+    def test_malformed_vp8_chunk_rejected(self):
+        # lossy VP8 now decodes (sources/vp8.py); a garbage VP8 chunk
+        # must still fail loudly, not emit pixels
         import struct
+
+        from georaster_spark.sources.vp8 import Vp8Error
 
         body = b"\x00" * 10
         chunk = b"VP8 " + struct.pack("<I", len(body)) + body
         data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
-        with pytest.raises(WebpError, match="lossy"):
+        with pytest.raises(Vp8Error):
             decode_webp(data)
 
     def test_not_riff(self):
@@ -259,7 +263,7 @@ class TestErrorSurface:
 
         chunk = b"JUNK" + struct.pack("<I", 2) + b"ab"
         data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
-        with pytest.raises(WebpError, match="no VP8L"):
+        with pytest.raises(WebpError, match="no VP8"):
             decode_webp(data)
 
     def test_bad_signature_byte(self):
