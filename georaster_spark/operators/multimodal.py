@@ -549,3 +549,138 @@ def audio_meta(
         samples.alias("n_samples"),
         F.floor(samples * 1000 / sample_rate).cast("long").alias("duration_ms"),
     )
+
+
+# ----------------------------------------------------- lossy VP8 media
+# Deterministic lossy-WebP formulas (media_vp8_decode pair): each doc
+# is a 1-2 x 1-2 macroblock DC16 key frame at qi=VP8_QI, loop filter
+# off, whose per-MB Y2 dc level is (doc*5 + grid*13) % 7 —
+# so the reconstruction is the spec's exact integer math and the
+# DuckDB oracle can replay it in closed form:
+#   y2 coeff   = level * 2 * dc_q[VP8_QI]
+#   block dc   = (coeff + 3) >> 3          (inverse WHT, dc-only)
+#   residual   = (block dc + 4) >> 3       (inverse DCT, dc-only)
+#   MB luma    = DC16 prediction + residual, where the prediction is
+#                128 (no neighbours), the left/above MB's value, or
+#                their rounded mean (both neighbours).
+# Chroma carries no coefficients (flat 128); a RAW unfiltered ALPH
+# plane holds (doc*37 + 11) % 256. Levels stay in 0..6 so no clip
+# ever triggers.
+VP8_QI = 127  # dc_q[127] = 157 -> y2 quant 314: wide, distinct levels
+
+
+def _vp8_level(doc_id: int, grid: int) -> int:
+    return (doc_id * 5 + grid * 13) % 7
+
+
+def vp8_media_col(id_col: str = "doc_id"):
+    """Arrow-batched generator of REAL lossy-WebP blobs (VP8X + raw
+    ALPH + VP8 key frame) from the deterministic formula above."""
+    from pyspark.sql import types as T
+
+    from georaster_spark.sources.vp8_enc import (
+        build_keyframe,
+        wrap_webp_alpha,
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def _gen(ids: pd.Series) -> pd.Series:
+        z = [0] * 16
+        out = []
+        for i in ids:
+            i = int(i)
+            mbw = i % 2 + 1
+            mbh = (i // 2) % 2 + 1
+            mbs = []
+            for r in range(mbh):
+                for c in range(mbw):
+                    mbs.append(
+                        {
+                            "ymode": 0,
+                            "uvmode": 0,
+                            "y2": [_vp8_level(i, r * 2 + c)] + [0] * 15,
+                            "y": [list(z) for _ in range(16)],
+                            "u": [list(z) for _ in range(4)],
+                            "v": [list(z) for _ in range(4)],
+                        }
+                    )
+            w, h = 16 * mbw, 16 * mbh
+            payload = build_keyframe(w, h, mbs, qi=VP8_QI)
+            alpha = bytes([(i * 37 + 11) % 256]) * (w * h)
+            out.append(wrap_webp_alpha(payload, alpha, w, h))
+        return pd.Series(out)
+
+    return _gen(F.col(id_col))
+
+
+def with_vp8_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real lossy-WebP ``media BINARY`` column."""
+    return docs.withColumn("media", vp8_media_col(id_col))
+
+
+def decode_vp8_planes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, width, height, y_sum, u_sum, v_sum, alpha_sum) by REAL
+    container + VP8 + ALPH decode inside one Arrow kernel — integer
+    plane sums, so the comparison with the closed-form oracle is
+    exact (no float rounding surface). Blobs never shuffle: the
+    kernel runs in the scan's partitioning like every media kernel."""
+    import struct as _struct
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from georaster_spark.sources.vp8 import decode_vp8
+    from georaster_spark.sources.webp import decode_alph
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("y_sum", T.LongType()),
+            T.StructField("u_sum", T.LongType()),
+            T.StructField("v_sum", T.LongType()),
+            T.StructField("alpha_sum", T.LongType()),
+        ]
+    )
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf["media"]):
+                data = bytes(blob)
+                pos, vp8, alph = 12, None, None
+                while pos + 8 <= len(data):
+                    tag = data[pos : pos + 4]
+                    (size,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+                    body = data[pos + 8 : pos + 8 + size]
+                    if tag == b"VP8 ":
+                        vp8 = body
+                    elif tag == b"ALPH":
+                        alph = body
+                    pos += 8 + size + (size & 1)
+                y, u, v = decode_vp8(vp8)
+                h, w = y.shape
+                a_sum = 0
+                if alph is not None:
+                    a_sum = int(
+                        decode_alph(alph, w, h).astype(np.int64).sum()
+                    )
+                rows.append(
+                    (
+                        int(i), int(w), int(h),
+                        int(y.astype(np.int64).sum()),
+                        int(u.astype(np.int64).sum()),
+                        int(v.astype(np.int64).sum()),
+                        a_sum,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "y_sum", "u_sum", "v_sum",
+                    "alpha_sum",
+                ],
+            )
+
+    return df.mapInPandas(_kernel, schema)

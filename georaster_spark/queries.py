@@ -4365,6 +4365,74 @@ def sql_media_resize():
     """
 
 
+def q_media_vp8_decode(spark, sf_dir):
+    """Real LOSSY-WebP path in isolation (round 5, closes the last
+    media parity gap — the reference decodes lossy VP8 tiles via the
+    image crate, src/pmtiles.rs:30-32): per doc a VP8X container with
+    a raw ALPH plane and a 1-2 x 1-2 macroblock DC16 key frame is
+    WRITTEN (sources/vp8_enc.py) then DECODED back through the full
+    RFC 6386 intra path (sources/vp8.py: bool decoder, token decode,
+    iWHT + iDCT, DC16 prediction chained across macroblocks) inside
+    one Arrow kernel. Outputs are integer plane sums, and the oracle
+    replays the spec's exact integer math in closed form — the
+    cross-MB DC-prediction chain (left / above / rounded-mean) is the
+    part a wrong decoder cannot fake. The decoder itself is verified
+    bit-exact against libwebp in tests/test_vp8.py."""
+    from georaster_spark.operators.multimodal import (
+        decode_vp8_planes,
+        with_vp8_media,
+    )
+
+    d = with_vp8_media(_docs_spread(spark, sf_dir).select("doc_id"))
+    return decode_vp8_planes(d)
+
+
+def sql_media_vp8_decode():
+    from georaster_spark.operators.multimodal import VP8_QI
+    from georaster_spark.sources.vp8_tables import DC_QLOOKUP
+
+    y2q = 2 * DC_QLOOKUP[VP8_QI]
+
+    def res(g):
+        return (
+            f"((((doc_id * 5 + {13 * g}) % 7) * {y2q} + 3) // 8 + 4) // 8"
+        )
+
+    return f"""
+    WITH r AS (
+      SELECT doc_id,
+             doc_id % 2 + 1 AS mbw,
+             (doc_id // 2) % 2 + 1 AS mbh,
+             (doc_id * 37 + 11) % 256 AS alpha,
+             {res(0)} AS r0,
+             {res(1)} AS r1,
+             {res(2)} AS r2,
+             {res(3)} AS r3
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, mbw, mbh, alpha,
+             128 + r0 AS v00,
+             128 + r0 + r1 AS v01,
+             128 + r0 + r2 AS v10,
+             ((128 + r0 + r1) + (128 + r0 + r2) + 1) // 2 + r3 AS v11
+      FROM r
+    )
+    SELECT doc_id,
+           CAST(16 * mbw AS BIGINT) AS width,
+           CAST(16 * mbh AS BIGINT) AS height,
+           CAST(256 * (v00
+                 + CASE WHEN mbw = 2 THEN v01 ELSE 0 END
+                 + CASE WHEN mbh = 2 THEN v10 ELSE 0 END
+                 + CASE WHEN mbw = 2 AND mbh = 2 THEN v11 ELSE 0 END)
+                AS BIGINT) AS y_sum,
+           CAST(8192 * mbw * mbh AS BIGINT) AS u_sum,
+           CAST(8192 * mbw * mbh AS BIGINT) AS v_sum,
+           CAST(256 * mbw * mbh * alpha AS BIGINT) AS alpha_sum
+    FROM v
+    """
+
+
 def q_media_jpeg_decode(spark, sf_dir):
     """Real JPEG-codec path in isolation: engine-written baseline
     JFIF blobs (huffman + DCT, sources/jpeg.py) attached per doc,
@@ -4952,7 +5020,7 @@ def sql_stratified_exact_n():
 # 50-slot window was already full of stale/changed entries, with no
 # driver row in ANY round yet — the next rotation MUST promote them
 # into the window (tests/test_entry.py enforces both sides).
-DRIVER_UNCHECKED_NEW = {"flow_accum_fix"}
+DRIVER_UNCHECKED_NEW = {"flow_accum_fix", "media_vp8_decode"}
 
 # Rename ledger for the rotation guard: new catalog key → the old key
 # whose driver row verified the SAME query + oracle text. Only valid
@@ -5080,10 +5148,12 @@ QUERIES = {
     # (DRIVER_UNCHECKED_NEW) — verified by tools/check_oracle.py at
     # sf0.01 + sf0.001 and the scalar-reference property test ---
     "flow_accum_fix": q_flow_accum_fix,
+    "media_vp8_decode": q_media_vp8_decode,
 }
 
 ORACLES = {
     "flow_accum": sql_flow_accum(),
+    "media_vp8_decode": sql_media_vp8_decode(),
     "tfidf_topterms": sql_tfidf_topterms(),
     "stratified_exact_n": sql_stratified_exact_n(),
     "media_features": sql_media_features(),

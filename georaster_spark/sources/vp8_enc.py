@@ -1,10 +1,12 @@
-"""Minimal VP8 key-frame BUILDER — test tooling only.
-
-Hand-assembles tiny VP8 bitstreams (RFC 6386 §7.2 bool encoder, fixed
-header, explicit token lists) so tests can compare this repo's pure
-NumPy decoder AND the system libwebp against a stream whose intended
-content is known exactly.  This is not an encoder anyone should use
-for images; it exists to pin down bitstream semantics bit-by-bit.
+"""Minimal VP8 key-frame writer (RFC 6386 §7.2 bool encoder, fixed
+header, explicit token lists) — a fixture encoder, like
+``encode_webp_lossless`` / ``encode_png``: it exists so tests and the
+``media_vp8_decode`` catalog pair can synthesize REAL lossy-WebP
+bytes with exactly known content (and so the decoder's bitstream
+semantics could be pinned bit-by-bit against the system libwebp
+during development).  It writes valid streams for arbitrary intra
+modes, coefficients, segmentation, skip flags and loop-filter
+settings; it does not rate-optimize real images.
 """
 
 from __future__ import annotations
@@ -314,3 +316,21 @@ def wrap_webp(vp8_payload: bytes) -> bytes:
     if len(vp8_payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def wrap_webp_alpha(vp8_payload: bytes, alpha: bytes, w: int, h: int) -> bytes:
+    """Extended (VP8X) container with a RAW (uncompressed, unfiltered)
+    ``ALPH`` chunk followed by the lossy frame."""
+    assert len(alpha) == w * h
+    vp8x = bytes([0x10, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + (
+        h - 1
+    ).to_bytes(3, "little")
+    out = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    alph = b"\x00" + alpha
+    out += b"ALPH" + struct.pack("<I", len(alph)) + alph
+    if len(alph) & 1:
+        out += b"\x00"
+    out += b"VP8 " + struct.pack("<I", len(vp8_payload)) + vp8_payload
+    if len(vp8_payload) & 1:
+        out += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WEBP" + out

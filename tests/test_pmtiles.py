@@ -336,14 +336,7 @@ def test_lossy_vp8_tile_decode(tmp_path):
     level 3 at qi=8 reconstructs, by the spec's integer math, to a
     uniform luma of 129 → RGB 132 (see
     test_vp8.test_builder_flat_dc16_spec_math)."""
-    import os as _os
-    import sys as _sys
-
-    _sys.path.insert(
-        0, _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), "tools")
-    )
-    from vp8_builder import build_keyframe, wrap_webp
+    from georaster_spark.sources.vp8_enc import build_keyframe, wrap_webp
 
     z = [0] * 16
     mb = {

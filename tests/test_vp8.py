@@ -99,7 +99,7 @@ def test_iwht_dc_only():
 
 
 def test_bool_decoder_roundtrip():
-    from vp8_builder import BoolEncoder
+    from georaster_spark.sources.vp8_enc import BoolEncoder
 
     rng = np.random.RandomState(5)
     probs = [int(p) for p in rng.choice([1, 15, 77, 128, 200, 254], 500)]
@@ -191,7 +191,7 @@ def test_builder_streams_match_libwebp():
     """Hand-assembled streams (all ten 4x4 modes, big coefficients,
     segmentation, skip flags, loop filter levels) must decode
     identically by this repo's decoder and by libwebp."""
-    from vp8_builder import build_keyframe, wrap_webp
+    from georaster_spark.sources.vp8_enc import build_keyframe, wrap_webp
     from vp8_ref import decode_yuv
 
     lw = _libwebp()
@@ -244,7 +244,7 @@ def test_builder_flat_dc16_spec_math():
     y2 quant dc = 2 * dc_q[8] = 22 -> coeff 66; iWHT spreads
     (66 + 3) >> 3 = 8 to every sub-block dc; DC16 prediction with no
     neighbours is 128; idct dc-only adds (8 + 4) >> 3 = 1."""
-    from vp8_builder import build_keyframe, wrap_webp
+    from georaster_spark.sources.vp8_enc import build_keyframe, wrap_webp
 
     z = [0] * 16
     mb = {

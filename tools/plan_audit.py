@@ -90,6 +90,22 @@ def main() -> int:
     p = plans["media_decode"] = explain_str(decode_image_features(d))
     check("media_decode", "no Exchange before the Arrow kernel (blobs never shuffle)", "Exchange" not in p)
 
+    # lossy-VP8 media pair: same zero-shuffle contract end-to-end
+    from georaster_spark.operators.multimodal import (
+        decode_vp8_planes,
+        with_vp8_media,
+    )
+
+    dv = with_vp8_media(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    )
+    p = plans["media_vp8_decode"] = explain_str(decode_vp8_planes(dv))
+    check(
+        "media_vp8_decode",
+        "no Exchange around the VP8 encode/decode kernels (blobs never shuffle)",
+        "Exchange" not in p,
+    )
+
     # raster_ingest: the two-stage ingestion plan — no Exchange
     # between the header kernel and the decode kernel (chunk rows
     # flow narrow), the small metadata side broadcast, and exactly
