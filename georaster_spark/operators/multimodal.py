@@ -15,10 +15,13 @@ decodes PMTiles tiles), ``sources/jpeg.py`` (baseline JFIF, huffman
 + DCT) and ``sources/webp.py`` + ``sources/vp8.py`` (lossless VP8L
 AND lossy VP8 intra, RFC 6386); audio via
 ``sources/wav.py`` (RIFF/WAVE PCM); video via ``sources/avi.py``
-(MJPEG AVI — per-frame JPEG decode). Only entropy-coded audio
-(MP3/AAC) and inter-frame video codecs (H.264/VP9) fall back to the
-deterministic digest-derived fake — disclosed, one branch, same plan
-shape — since no codec library exists in this container.
+(MJPEG AVI — per-frame JPEG decode). MPEG audio gets a REAL
+frame-level parse (``sources/mp3.py``: header tables, length
+chaining, ID3 — count/rate/duration from actual bytes) while its
+PCM synthesis, AAC, and inter-frame video codecs (H.264/VP9) fall
+back to the deterministic digest-derived fake — disclosed, one
+branch, same plan shape — since no codec library exists in this
+container to validate sample output against.
 
 Scale notes:
 - media bytes never pass through a shuffle — all kernels are narrow
@@ -415,6 +418,30 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         row = (int(i), "wav", n, rate, n * 1000 // rate, mean_abs)
                     except WavError:
                         row = None  # malformed RIFF → digest fallback
+                elif b[:3] == b"ID3" or (
+                    len(b) > 1 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+                ):
+                    # MPEG audio: REAL frame-level parse (sources/mp3.py)
+                    # for count/rate/duration; PCM synthesis is the
+                    # disclosed stub, so mean_abs comes from the digest
+                    # like every undecodable payload
+                    from georaster_spark.sources.mp3 import (
+                        Mp3Error,
+                        parse_mp3_meta,
+                    )
+
+                    try:
+                        m = parse_mp3_meta(b)
+                        h = hashlib.md5(b).hexdigest()
+                        f = _digest_features(pd.Series([h]))
+                        row = (
+                            int(i), "mp3",
+                            m["n_frames"] * m["samples_per_frame"],
+                            m["sample_rate"], m["duration_ms"],
+                            int(f["mean_luma"][0]),
+                        )
+                    except Mp3Error:
+                        row = None  # not a real chain → digest fallback
                 if row is None:
                     h = hashlib.md5(b).hexdigest()
                     f = _digest_features(pd.Series([h]))
@@ -684,3 +711,43 @@ def decode_vp8_planes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(_kernel, schema)
+
+
+# ------------------------------------------------------- MP3 media
+# Deterministic MPEG1-Layer-III container formulas (media_mp3_meta
+# pair): n_frames = doc % 9 + 2, bitrate index cycles the L3 table,
+# rate cycles {44100, 48000, 32000}, mono = doc % 2, and an ID3v2 tag
+# of doc % 50 payload bytes leads the stream. Frame payloads are
+# zeros: the pair exercises the REAL frame-chain parser (header
+# tables + length chaining + ID3 skip); PCM stays the disclosed stub.
+MP3_KBPS = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+MP3_RATES = (44100, 48000, 32000)
+
+
+def mp3_media_col(id_col: str = "doc_id"):
+    from pyspark.sql import types as T
+
+    from georaster_spark.sources.mp3 import build_mp3
+
+    @F.pandas_udf(T.BinaryType())
+    def _gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            out.append(
+                build_mp3(
+                    n_frames=i % 9 + 2,
+                    bitrate_kbps=MP3_KBPS[i % len(MP3_KBPS)],
+                    sample_rate=MP3_RATES[(i * 7) % len(MP3_RATES)],
+                    mono=bool(i % 2),
+                    id3_payload=i % 50,
+                )
+            )
+        return pd.Series(out)
+
+    return _gen(F.col(id_col))
+
+
+def with_mp3_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real MPEG-audio ``media BINARY`` column."""
+    return docs.withColumn("media", mp3_media_col(id_col))

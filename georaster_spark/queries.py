@@ -4433,6 +4433,47 @@ def sql_media_vp8_decode():
     """
 
 
+def q_media_mp3_meta(spark, sf_dir):
+    """REAL MPEG-audio frame parsing (round 5): per doc a valid
+    MPEG1-Layer-III frame chain with an ID3v2 tag is written
+    (sources/mp3.py build_mp3) and parsed back frame-by-frame inside
+    the Arrow audio kernel — sample count, rate, and duration come
+    from walking the actual headers (one wrong table entry or length
+    formula breaks the chain loudly). PCM synthesis stays the
+    disclosed stub, so this pair projects only the real-parse
+    columns; the parser is additionally validated against a
+    real-world CBR golden in tests/test_mp3.py."""
+    from georaster_spark.operators.multimodal import (
+        decode_audio_features,
+        with_mp3_media,
+    )
+
+    d = with_mp3_media(_docs_spread(spark, sf_dir).select("doc_id"))
+    return decode_audio_features(d).select(
+        "doc_id", "kind", "n_samples", "sample_rate", "duration_ms"
+    )
+
+
+def sql_media_mp3_meta():
+    from georaster_spark.operators.multimodal import MP3_KBPS, MP3_RATES
+
+    assert len(MP3_KBPS) == 14  # table pinned; bitrate not projected
+    rates = ", ".join(str(r) for r in MP3_RATES)
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 9 + 2 AS n_frames,
+             [{rates}][CAST((doc_id * 7) % 3 AS INT) + 1] AS rate
+      FROM documents
+    )
+    SELECT doc_id, 'mp3' AS kind,
+           CAST(n_frames * 1152 AS BIGINT) AS n_samples,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n_frames * 1152 * 1000 // rate AS BIGINT) AS duration_ms
+    FROM p
+    """
+
+
 def q_media_jpeg_decode(spark, sf_dir):
     """Real JPEG-codec path in isolation: engine-written baseline
     JFIF blobs (huffman + DCT, sources/jpeg.py) attached per doc,
@@ -5020,7 +5061,7 @@ def sql_stratified_exact_n():
 # 50-slot window was already full of stale/changed entries, with no
 # driver row in ANY round yet — the next rotation MUST promote them
 # into the window (tests/test_entry.py enforces both sides).
-DRIVER_UNCHECKED_NEW = {"flow_accum_fix", "media_vp8_decode"}
+DRIVER_UNCHECKED_NEW = {"flow_accum_fix", "media_vp8_decode", "media_mp3_meta"}
 
 # Rename ledger for the rotation guard: new catalog key → the old key
 # whose driver row verified the SAME query + oracle text. Only valid
@@ -5149,11 +5190,13 @@ QUERIES = {
     # sf0.01 + sf0.001 and the scalar-reference property test ---
     "flow_accum_fix": q_flow_accum_fix,
     "media_vp8_decode": q_media_vp8_decode,
+    "media_mp3_meta": q_media_mp3_meta,
 }
 
 ORACLES = {
     "flow_accum": sql_flow_accum(),
     "media_vp8_decode": sql_media_vp8_decode(),
+    "media_mp3_meta": sql_media_mp3_meta(),
     "tfidf_topterms": sql_tfidf_topterms(),
     "stratified_exact_n": sql_stratified_exact_n(),
     "media_features": sql_media_features(),

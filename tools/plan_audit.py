@@ -106,6 +106,22 @@ def main() -> int:
         "Exchange" not in p,
     )
 
+    # MP3 frame-parse pair: same contract
+    from georaster_spark.operators.multimodal import (
+        decode_audio_features,
+        with_mp3_media,
+    )
+
+    dm = with_mp3_media(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    )
+    p = plans["media_mp3_meta"] = explain_str(decode_audio_features(dm))
+    check(
+        "media_mp3_meta",
+        "no Exchange around the MP3 build/parse kernels (blobs never shuffle)",
+        "Exchange" not in p,
+    )
+
     # raster_ingest: the two-stage ingestion plan — no Exchange
     # between the header kernel and the decode kernel (chunk rows
     # flow narrow), the small metadata side broadcast, and exactly
