@@ -14,7 +14,7 @@ Three layers of evidence, strongest first:
    reconstructed YUV planes to be BIT-EXACT against libwebp's own
    ``WebPDecodeYUV`` (loop filter, segmentation, skip flags, every
    intra mode included).
-3. Deterministic hand-assembled bitstreams (tools/vp8_builder) with
+3. Deterministic hand-assembled bitstreams (sources/vp8_enc) with
    spec-computed expected pixels — no external decoder needed.
 """
 
