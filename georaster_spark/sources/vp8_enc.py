@@ -158,7 +158,9 @@ def encode_block_tokens(enc: BoolEncoder, levels: list[int], btype: int,
 def build_keyframe(w: int, h: int, mbs: list[dict], qi: int = 8,
                    filter_level: int = 0, sharpness: int = 0,
                    segments: dict | None = None,
-                   use_skip: bool = False) -> bytes:
+                   use_skip: bool = False,
+                   simple_filter: bool = False,
+                   n_partitions: int = 1) -> bytes:
     """Assemble a key frame.
 
     ``mbs`` is raster-ordered; each entry:
@@ -203,11 +205,12 @@ def build_keyframe(w: int, h: int, mbs: list[dict], qi: int = 8,
             e.literal(8, p)
     else:
         e.bool_(0, 128)  # segmentation off
-    e.bool_(0, 128)  # filter type normal
+    e.bool_(1 if simple_filter else 0, 128)  # filter type
     e.literal(6, filter_level)
     e.literal(3, sharpness)
     e.bool_(0, 128)  # lf deltas off
-    e.literal(2, 0)  # one token partition
+    assert n_partitions in (1, 2, 4, 8)
+    e.literal(2, {1: 0, 2: 1, 4: 2, 8: 3}[n_partitions])
     e.literal(7, qi)
     for _ in range(5):
         e.bool_(0, 128)  # no quant deltas
@@ -252,13 +255,14 @@ def build_keyframe(w: int, h: int, mbs: list[dict], qi: int = 8,
             above_sub[mb_x] = list(sub[3])
     part0 = e.flush()
 
-    # --- token partition
-    t = BoolEncoder()
+    # --- token partitions (MB row r -> partition r % n_partitions)
+    parts = [BoolEncoder() for _ in range(n_partitions)]
     ay = [[0] * 4 for _ in range(mb_w)]
     au = [[0] * 2 for _ in range(mb_w)]
     av = [[0] * 2 for _ in range(mb_w)]
     ay2 = [0] * mb_w
     for mb_y in range(mb_h):
+        t = parts[mb_y % n_partitions]
         ly = [0] * 4
         lu = [0] * 2
         lv = [0] * 2
@@ -302,7 +306,11 @@ def build_keyframe(w: int, h: int, mbs: list[dict], qi: int = 8,
                         )
                         ac[mb_x][c] = f
                         lc[r] = f
-    tokens = t.flush()
+    flushed = [p.flush() for p in parts]
+    sizes = b"".join(
+        len(p).to_bytes(3, "little") for p in flushed[:-1]
+    )
+    tokens = sizes + b"".join(flushed)
 
     tag = (0) | (0 << 1) | (1 << 4) | (len(part0) << 5)
     head = bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))

@@ -259,3 +259,148 @@ def test_builder_flat_dc16_spec_math():
     assert (y == 129).all() and (u == 128).all() and (v == 128).all()
     rgb = vp8_to_rgb(y, u, v)
     assert (rgb == 132).all()
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="system libwebp absent")
+def test_multi_partition_and_simple_filter_vs_libwebp():
+    """The two decoder paths a real encoder rarely emits — 2/4/8
+    token partitions (per-MB-row partition selection) and the SIMPLE
+    loop filter — must decode bit-exact against libwebp on
+    hand-assembled streams."""
+    from georaster_spark.sources.vp8_enc import build_keyframe, wrap_webp
+    from vp8_ref import decode_yuv
+
+    lw = _libwebp()
+    rng = np.random.RandomState(31)
+
+    def mb():
+        ym = int(rng.choice([0, 1, 2, 3, 4]))
+        def blk():
+            l = [0] * 16
+            for _ in range(int(rng.randint(0, 5))):
+                l[int(rng.randint(0, 16))] = int(rng.randint(-8, 9))
+            return l
+        m = {"ymode": ym, "uvmode": int(rng.randint(0, 4)),
+             "y": [blk() for _ in range(16)],
+             "u": [blk() for _ in range(4)],
+             "v": [blk() for _ in range(4)]}
+        if ym == 4:
+            m["sub"] = [[int(rng.randint(0, 10)) for _ in range(4)]
+                        for _ in range(4)]
+        else:
+            m["y2"] = blk()
+        return m
+
+    for n_parts in (2, 4, 8):
+        payload = build_keyframe(48, 64, [mb() for _ in range(12)], qi=25,
+                                 filter_level=20, n_partitions=n_parts)
+        ry, ru, rv = decode_yuv(lw, wrap_webp(payload))
+        my, mu, mv = decode_vp8(payload)
+        for a, b in ((my, ry), (mu, ru), (mv, rv)):
+            assert np.array_equal(a, b), ("partitions", n_parts)
+    for lvl in (15, 63):
+        payload = build_keyframe(48, 48, [mb() for _ in range(9)], qi=25,
+                                 filter_level=lvl, simple_filter=True)
+        ry, ru, rv = decode_yuv(lw, wrap_webp(payload))
+        my, mu, mv = decode_vp8(payload)
+        for a, b in ((my, ry), (mu, ru), (mv, rv)):
+            assert np.array_equal(a, b), ("simple", lvl)
+
+
+def _forward_alpha_filter(alpha: np.ndarray, method: int) -> np.ndarray:
+    """Spec's forward alpha filtering (tests only): residual = value
+    - pred with row 0 horizontal and column 0 vertical seeds."""
+    h, w = alpha.shape
+    a = alpha.astype(np.int32)
+    out = np.zeros_like(a)
+    for r in range(h):
+        for c in range(w):
+            if r == 0 and c == 0:
+                pred = 0
+            elif r == 0:
+                pred = a[0, c - 1]
+            elif c == 0:
+                pred = a[r - 1, 0]
+            elif method == 1:
+                pred = a[r, c - 1]
+            elif method == 2:
+                pred = a[r - 1, c]
+            else:
+                pred = min(255, max(0, a[r, c - 1] + a[r - 1, c]
+                                    - a[r - 1, c - 1]))
+            out[r, c] = (a[r, c] - pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="system libwebp absent")
+def test_alph_filters_vs_libwebp():
+    """Raw ALPH planes pre-filtered with methods 1-3 (horizontal /
+    vertical / gradient): this repo's unfilter must agree with
+    libwebp AND reproduce the intended plane exactly."""
+    import ctypes
+    import struct as _s
+
+    from georaster_spark.sources.vp8_enc import build_keyframe
+
+    lw = _libwebp()
+    lw.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    z = [0] * 16
+    mb = {"ymode": 0, "uvmode": 0, "y2": [2] + [0] * 15,
+          "y": [list(z) for _ in range(16)],
+          "u": [list(z) for _ in range(4)],
+          "v": [list(z) for _ in range(4)]}
+    payload = build_keyframe(16, 16, [mb], qi=8)
+    rng = np.random.RandomState(3)
+    alpha = np.kron(rng.randint(0, 256, (4, 4)), np.ones((4, 4))).astype(
+        np.uint8
+    )
+    for method in (1, 2, 3):
+        filt = _forward_alpha_filter(alpha, method).tobytes()
+        vp8x = bytes([0x10, 0, 0, 0]) + (15).to_bytes(3, "little") * 2
+        body = b"VP8X" + _s.pack("<I", len(vp8x)) + vp8x
+        alph = bytes([method << 2]) + filt
+        body += b"ALPH" + _s.pack("<I", len(alph)) + alph
+        if len(alph) & 1:
+            body += b"\x00"
+        body += b"VP8 " + _s.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+        data = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WEBP" + body
+        W = ctypes.c_int()
+        H = ctypes.c_int()
+        p = lw.WebPDecodeRGBA(data, len(data), ctypes.byref(W), ctypes.byref(H))
+        assert p, ("libwebp rejected the built container", method)
+        ref = np.ctypeslib.as_array(p, (16, 16, 4)).copy()
+        mine = decode_webp(data)
+        assert np.array_equal(mine[:, :, 3], alpha), method
+        assert np.array_equal(mine[:, :, 3], ref[:, :, 3]), method
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="system libwebp absent")
+def test_rgba_alpha_roundtrip_vs_libwebp():
+    """Real WebPEncodeRGBA output (exercises raw AND VP8L-compressed
+    ALPH, with the encoder's own filter choice): the lossless alpha
+    channel must decode byte-exact."""
+    import ctypes
+
+    lw = _libwebp()
+    lw.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lw.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    rng = np.random.RandomState(8)
+    grad = np.tile(np.arange(40, dtype=np.uint8) * 6, (40, 1))
+    for alpha in (grad, grad.T.copy(),
+                  rng.randint(0, 256, (40, 40)).astype(np.uint8)):
+        rgba = np.dstack(
+            [rng.randint(0, 256, (40, 40, 3)).astype(np.uint8), alpha]
+        )
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lw.WebPEncodeRGBA(rgba.tobytes(), 40, 40, 160, 75.0,
+                              ctypes.byref(out))
+        data = bytes(np.ctypeslib.as_array(out, (n,)))
+        lw.WebPFree(out)
+        dec = decode_webp(data)
+        assert dec.shape == (40, 40, 4)
+        assert np.array_equal(dec[:, :, 3], alpha)
