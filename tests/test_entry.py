@@ -101,14 +101,37 @@ def test_catalog_window_tail_has_prior_driver_rows():
     moment the driver runs — while still tripping for entries absent
     from BOTH recent rounds (twice-stale). Renamed keys resolve
     through queries.RENAMED_KEYS to the old key whose row verified
-    byte-identical text (rows recorded before the rename commit)."""
-    from georaster_spark.queries import DRIVER_UNCHECKED_NEW, RENAMED_KEYS
+    byte-identical text (rows recorded before the rename commit).
+    FINAL_ROUND_DEMOTED entries (head slots ceded to never-checked
+    pairs in the final rotation) are exempt from the two-recent-round
+    rule but must instead show green rows in at least TWO prior
+    rounds across the full history — a stale demotion of a
+    once-checked entry still trips."""
+    from georaster_spark.queries import (
+        DRIVER_UNCHECKED_NEW,
+        FINAL_ROUND_DEMOTED,
+        RENAMED_KEYS,
+    )
 
     keys = list(E.queries())
     repo = os.path.dirname(E.__file__)
     paths, rounds = _load_recent_correctness(repo)
-    missing = _tail_missing(keys, rounds, DRIVER_UNCHECKED_NEW, RENAMED_KEYS)
+    exempt = DRIVER_UNCHECKED_NEW | FINAL_ROUND_DEMOTED
+    missing = _tail_missing(keys, rounds, exempt, RENAMED_KEYS)
     assert missing == [], (paths, missing)
+    # each demoted entry must be in the tail with >=2 green rows in
+    # the full correctness history (no once-checked entry may hide
+    # behind the demotion ledger)
+    _, all_rounds = _load_recent_correctness(repo, n=100)
+    for k in FINAL_ROUND_DEMOTED:
+        assert k in keys[50:], f"{k} demoted but not in the tail"
+        greens = sum(
+            1 for rows in all_rounds if k in rows and rows[k]["hash_match"]
+        )
+        assert greens >= 2, (
+            f"FINAL_ROUND_DEMOTED entry {k} has only {greens} green "
+            "driver rows — not eligible for demotion"
+        )
     # the exception list may only name entries that truly have no
     # prior row (it must not mask a stale demotion), and entries it
     # names must not already be driver-covered
