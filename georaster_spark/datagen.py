@@ -683,3 +683,94 @@ def pmtiles_webp_tile_stats_sql() -> str:
            {cr}, {cg}, {cb}
     FROM (VALUES {cvals}) AS t(x, y)
     """
+
+
+# ----------------------------------------------------------- warc
+
+# Closed-form Common-Crawl-style WARC shards: the SAME url/text/html/
+# lang/warc_ts formulas as ``documents_df`` (input_hint schema), so a
+# DuckDB oracle can re-derive every extracted field from ``range()``
+# without touching the archive bytes — byte-identical extracted text
+# per url is then proven by the value-hash compare.
+WARC_N_DOCS = 600
+WARC_N_FILES = 3
+WARC_EPOCH0 = 1735689600  # 2025-01-01T00:00:00Z, documents_df's base ts
+
+
+def warc_doc_fields(i: int) -> tuple[str, int, bytes, str]:
+    """(url, ts_s, html, lang) for generation index ``i`` — pure
+    Python twin of the ``documents_df`` Column exprs."""
+    url = f"https://site{i % 997}.example/p/{i}"
+    text = f"doc {i} cell {i % 1024}"
+    html = f"<html><body>{text}</body></html>".encode("ascii")
+    lang = LANGS[i % 5]
+    return url, WARC_EPOCH0 + i, html, lang
+
+
+def synth_warc_records(lo: int, hi: int, shard: int):
+    """Record stream for one shard: a ``warcinfo`` header record,
+    then per doc a ``request`` + ``response`` pair (the reader must
+    filter types, as on real crawls)."""
+    import time as _time
+
+    from georaster_spark.sources.warc import http_response_bytes
+
+    def iso(ts: int) -> str:
+        return _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime(ts))
+
+    yield (
+        "warcinfo",
+        {
+            "WARC-Date": iso(WARC_EPOCH0),
+            "WARC-Record-ID": f"<urn:uuid:{shard:032x}>",
+            "Content-Type": "application/warc-fields",
+        },
+        b"software: georaster-spark synth crawler\r\n",
+    )
+    for i in range(lo, hi):
+        url, ts, html, lang = warc_doc_fields(i)
+        date = iso(ts)
+        yield (
+            "request",
+            {
+                "WARC-Date": date,
+                "WARC-Target-URI": url,
+                "WARC-Record-ID": f"<urn:uuid:{2 * i + 1:032x}>",
+                "Content-Type": "application/http; msgtype=request",
+            },
+            f"GET /p/{i} HTTP/1.1\r\nHost: site{i % 997}.example\r\n\r\n".encode(),
+        )
+        yield (
+            "response",
+            {
+                "WARC-Date": date,
+                "WARC-Target-URI": url,
+                "WARC-Record-ID": f"<urn:uuid:{2 * i + 2:032x}>",
+                "WARC-Identified-Content-Language": lang,
+                "Content-Type": "application/http; msgtype=response",
+            },
+            http_response_bytes(html),
+        )
+
+
+def fixture_warc_paths() -> list[str]:
+    """Write (idempotently, atomically) the WARC shards + CDX sidecars
+    into the shared synth-fixture dir and return the shard paths."""
+    import os
+    import tempfile
+
+    from georaster_spark.sources.warc import write_warc
+
+    d = os.path.join(tempfile.gettempdir(), "georaster_synth_ingest")
+    os.makedirs(d, exist_ok=True)
+    per = WARC_N_DOCS // WARC_N_FILES
+    paths = []
+    for s in range(WARC_N_FILES):
+        p = os.path.join(d, f"synth-{s:05d}.warc.gz")
+        if not (os.path.exists(p) and os.path.exists(p + ".cdx.jsonl")):
+            tmp = f"{p}.tmp.{os.getpid()}"
+            write_warc(tmp, synth_warc_records(s * per, (s + 1) * per, s))
+            os.replace(tmp + ".cdx.jsonl", p + ".cdx.jsonl")
+            os.replace(tmp, p)
+        paths.append(p)
+    return paths

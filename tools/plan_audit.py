@@ -191,6 +191,32 @@ def main() -> int:
         n_nodes(p, "Exchange") == 1,
     )
 
+    # warc_ingest: two-stage crawl-shard read — split planning and
+    # member parsing are both Arrow kernels; the ONLY shuffles carry
+    # split/path descriptors (path, offset, length), never page bytes
+    p = plans["warc_ingest"] = explain_str(Q.q_warc_ingest(spark, SF))
+    warc_kernels = sorted(
+        int(m.group(1)) for m in re.finditer(r"^\((\d+)\) MapInPandas", p, re.M)
+    )
+    check(
+        "warc_ingest",
+        "two Arrow kernels (CDX split planner + gzip-member parse), "
+        "no driver-side file opens",
+        len(warc_kernels) == 2,
+    )
+    warc_exchanges = [
+        para
+        for para in p.split("\n\n")
+        if para.splitlines() and re.match(r"\(\d+\) Exchange", para.splitlines()[0].strip())
+    ]
+    check(
+        "warc_ingest",
+        "every Exchange carries only split descriptors — the payload "
+        "column never shuffles",
+        len(warc_exchanges) >= 1
+        and all("payload" not in para for para in warc_exchanges),
+    )
+
     # window_topk: exactly one shuffle (hash by o_custkey)
     p = plans["window_topk"] = explain_str(Q.q_window_topk(spark, SF))
     check("window_topk", "single Exchange for the window partition key", n_nodes(p, "Exchange") == 1)
