@@ -3084,6 +3084,317 @@ def sql_url_dedup():
     """
 
 
+# ---------------------------------------------------------------
+# crawl-side controls: robots verdicts, politeness frontier,
+# anchor-text aggregation, boilerplate removal (operators/crawl.py)
+# ---------------------------------------------------------------
+
+_ROBOTS_DIRS = ["a", "b", "c", "d"]
+_ROBOTS_N_RULES = 8  # per host: 4 broad ('/a'..'/d') + 4 deep
+FRONTIER_BUDGET = 4
+FRONTIER_EPOCH0 = 1700000000
+
+
+def q_robots_filter(spark, sf_dir):
+    """RFC 9309 robots.txt verdicts over the crawl URL list
+    (operators/crawl.py robots_verdicts): per-host rules tables are
+    byte-prefix matched against each URL path; the LONGEST matching
+    rule wins, Allow beats Disallow on a length tie, no match means
+    allowed. Rules are closed-form (20 hosts x 8 rules — 4 broad
+    directory rules + 4 deep prefixes) so the oracle regenerates
+    them without sharing code. Scale shape: the rules side of the
+    join is tiny relative to the URL list (real robots files are
+    ~KB/host) → broadcast equi-join on host; the winner pick is a
+    max(struct) AGGREGATE with map-side partial combine, not a
+    window — no per-host serialization on the URL side."""
+    from georaster_spark.operators.crawl import robots_verdicts
+
+    dirs = F.array(*[F.lit(x) for x in _ROBOTS_DIRS])
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("/"),
+            F.element_at(dirs, (F.col("doc_id") % 4).cast("int") + 1),
+            F.lit("/"),
+            (F.col("doc_id") % 40).cast("string"),
+        ).alias("path"),
+    )
+    r = spark.range(20 * _ROBOTS_N_RULES).select(
+        F.floor(F.col("id") / _ROBOTS_N_RULES).alias("s"),
+        (F.col("id") % _ROBOTS_N_RULES).alias("i"),
+    )
+    rdir = F.element_at(dirs, (F.col("i") % 4).cast("int") + 1)
+    rules = r.select(
+        F.concat(F.lit("src"), F.col("s").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.when(F.col("i") < 4, F.concat(F.lit("/"), rdir))
+        .otherwise(
+            F.concat(
+                F.lit("/"),
+                rdir,
+                F.lit("/"),
+                ((F.col("s") * 7 + F.col("i") * 13) % 40).cast("string"),
+            )
+        )
+        .alias("prefix"),
+        ((F.col("s") + F.col("i")) % 3 == 0).alias("allow"),
+    )
+    return robots_verdicts(urls, F.broadcast(rules))
+
+
+def sql_robots_filter():
+    return """
+    WITH urls AS (
+      SELECT doc_id, source || '.example.com' AS host,
+             '/' || list_extract(['a','b','c','d'], CAST(doc_id % 4 AS INT) + 1)
+             || '/' || CAST(doc_id % 40 AS VARCHAR) AS path
+      FROM documents
+    ),
+    rules AS (
+      SELECT 'src' || CAST(range // 8 AS VARCHAR) || '.example.com' AS host,
+             CASE WHEN range % 8 < 4
+                  THEN '/' || list_extract(['a','b','c','d'], CAST(range % 8 % 4 AS INT) + 1)
+                  ELSE '/' || list_extract(['a','b','c','d'], CAST(range % 8 % 4 AS INT) + 1)
+                       || '/' || CAST(((range // 8) * 7 + (range % 8) * 13) % 40 AS VARCHAR)
+             END AS prefix,
+             ((range // 8) + (range % 8)) % 3 = 0 AS allow
+      FROM range(160)
+    ),
+    m AS (
+      SELECT u.doc_id, r.allow, r.prefix,
+             row_number() OVER (PARTITION BY u.doc_id
+                                ORDER BY len(r.prefix) DESC, r.allow DESC,
+                                         r.prefix DESC) AS rn
+      FROM urls u JOIN rules r
+        ON r.host = u.host AND starts_with(u.path, r.prefix)
+    )
+    SELECT u.doc_id, u.host, u.path,
+           coalesce(m.allow, TRUE) AS allowed,
+           coalesce(m.prefix, '') AS rule
+    FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+    """
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Politeness frontier scheduling (operators/crawl.py
+    crawl_frontier): URLs rank by priority within their host, the
+    top FRONTIER_BUDGET per host get fetch slots spaced the host's
+    crawl-delay apart. ONE hash shuffle on host; the rank filter
+    plans as WindowGroupLimit so per-task state is budget-bounded
+    (plan-audited). A hot host serializes into one task by DESIGN —
+    politeness means one fetch queue per host — and the budget cap
+    bounds that task's output."""
+    from georaster_spark.operators.crawl import crawl_frontier
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("."),
+            F.col("source"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        ((F.col("doc_id") * 37) % 1000).alias("priority"),
+        (F.lit(1) + (F.col("doc_id") % 7) % 5).alias("delay_s"),
+    )
+    return crawl_frontier(urls, budget=FRONTIER_BUDGET, epoch0=FRONTIER_EPOCH0)
+
+
+def sql_crawl_frontier():
+    return f"""
+    WITH urls AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.' || source
+                 || '.example.com' AS host,
+             (doc_id * 37) % 1000 AS priority,
+             1 + (doc_id % 7) % 5 AS delay_s
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY host
+                                   ORDER BY priority DESC, doc_id) - 1 AS slot
+      FROM urls
+    )
+    SELECT doc_id, host, CAST(priority AS BIGINT) AS priority,
+           CAST(slot AS BIGINT) AS slot,
+           CAST({FRONTIER_EPOCH0} + slot * delay_s AS BIGINT) AS fetch_ts_s
+    FROM ranked WHERE slot < {FRONTIER_BUDGET}
+    """
+
+
+def q_anchor_topk(spark, sf_dir):
+    """Anchor-text aggregation over the synthetic citation graph
+    (the link-graph twin of ``pagerank`` — same closed-form 3-edge
+    scheme): count each anchor term per TARGET page, keep the top 3
+    anchors per target. The anchor corpus of a page is the classic
+    web-search ranking signal (title-quality text written by OTHER
+    pages). Two shuffles: groupBy(dst, anchor) with map-side partial
+    combine, then the per-dst top-k as a rank-limited window
+    (WindowGroupLimit — per-task state is k, not the anchor
+    cardinality)."""
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("v"))
+    cntl = d.agg(F.count(F.lit(1)).alias("nn"))
+    vv = F.col("v")
+    edges = (
+        d.crossJoin(F.broadcast(cntl))
+        .select(
+            "v",
+            F.explode(
+                F.array(
+                    (vv * 7 + 1) % F.col("nn"),
+                    (vv * 13 + 3) % F.col("nn"),
+                    (vv * 29 + 11) % F.col("nn"),
+                )
+            ).alias("dst"),
+        )
+        .where(F.col("dst") != vv)
+        .select(F.col("v").alias("src"), "dst")
+        .distinct()
+    )
+    anchors = edges.select(
+        "dst",
+        F.concat(
+            F.lit("w"), ((F.col("src") + 2 * F.col("dst")) % 23).cast("string")
+        ).alias("anchor"),
+    )
+    counts = anchors.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(), F.col("anchor").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("dst").cast("long").alias("doc_id"),
+            "anchor",
+            "cnt",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def sql_anchor_topk():
+    return """
+    WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+    cnt AS (SELECT count(*) AS nn FROM nodes),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT v AS src, (v * 7 + 1) % nn AS dst FROM nodes, cnt
+        UNION ALL SELECT v, (v * 13 + 3) % nn FROM nodes, cnt
+        UNION ALL SELECT v, (v * 29 + 11) % nn FROM nodes, cnt
+      ) WHERE dst != src
+    ),
+    counts AS (
+      SELECT dst, 'w' || CAST((src + 2 * dst) % 23 AS VARCHAR) AS anchor,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM edges GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY dst
+                                   ORDER BY cnt DESC, anchor ASC) AS rnk
+      FROM counts
+    )
+    SELECT CAST(dst AS BIGINT) AS doc_id, anchor, cnt,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """
+
+
+_LINK_SPAN_RE = "<a[^>]*>[^<]*</a>"  # RE2-safe: no lazy quantifier needed
+_TAG_RE = "<[^>]*>"
+
+
+def q_main_content(spark, sf_dir):
+    """Boilerplate removal by line link-density (the Kohlschuetter
+    boilerpipe signal reduced to its core feature): each document is
+    rendered to HTML-ish lines — every 3rd line a nav bar whose text
+    sits inside <a> tags, every 5th content line carrying one inline
+    link — then lines whose link-character density >= 0.5 are
+    dropped and the surviving lines are tag-stripped and rejoined as
+    the main text. The WHOLE operator is higher-order array algebra
+    (transform/filter/aggregate) inside one projection: ZERO
+    shuffles, no explode, no Python — at 100 TB this runs at scan
+    speed with full whole-stage codegen (plan-audited)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(words) / F.lit(5)).cast("int")
+
+    def render(i):
+        chunk = F.array_join(F.slice(words, i * 5 + 1, 5), " ")
+        nav = F.concat(F.lit('<a href="/nav">'), chunk, F.lit("</a> | menu"))
+        inline = F.concat(chunk, F.lit(' <a href="#r">ref</a>'))
+        return (
+            F.when((F.col("doc_id") + i) % 3 == 0, nav)
+            .when(i % 5 == 2, inline)
+            .otherwise(chunk)
+        )
+
+    def density(line):
+        link_chars = F.aggregate(
+            F.regexp_extract_all(line, F.lit(_LINK_SPAN_RE), F.lit(0)),
+            F.lit(0),
+            lambda acc, m: acc + F.length(m),
+        )
+        return link_chars / F.length(line)
+
+    lines = F.transform(F.sequence(F.lit(0), nch - 1), render)
+    kept = F.filter(lines, lambda ln: density(ln) < 0.5)
+    main_text = F.array_join(
+        F.transform(kept, lambda ln: F.regexp_replace(ln, _TAG_RE, "")), " "
+    )
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        main_text.alias("main_text"),
+        F.length(main_text).cast("long").alias("main_len"),
+    )
+
+
+def sql_main_content():
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    lined AS (
+      SELECT doc_id, list_transform(
+        generate_series(0, CAST(ceil(len(words) / 5.0) AS INT) - 1),
+        i -> CASE
+          WHEN (doc_id + i) % 3 = 0 THEN
+            '<a href="/nav">' || array_to_string(words[i*5+1:i*5+5], ' ')
+            || '</a> | menu'
+          WHEN i % 5 = 2 THEN
+            array_to_string(words[i*5+1:i*5+5], ' ') || ' <a href="#r">ref</a>'
+          ELSE array_to_string(words[i*5+1:i*5+5], ' ')
+        END) AS lines
+      FROM base
+    ),
+    kept AS (
+      SELECT doc_id, lines,
+             list_filter(lines, ln ->
+               CAST(coalesce(list_aggregate(list_transform(
+                 regexp_extract_all(ln, '{_LINK_SPAN_RE}'), m -> len(m)),
+                 'sum'), 0) AS DOUBLE) / len(ln) < 0.5) AS keep
+      FROM lined
+    ),
+    joined AS (
+      SELECT doc_id, len(lines) AS n_lines, len(keep) AS n_kept,
+             array_to_string(list_transform(keep,
+               ln -> regexp_replace(ln, '{_TAG_RE}', '', 'g')), ' ') AS main_text
+      FROM kept
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_kept AS BIGINT) AS n_kept, main_text,
+           CAST(len(main_text) AS BIGINT) AS main_len
+    FROM joined
+    """
+
+
 SHINGLE_N = 3
 JACCARD_T = 0.5
 
@@ -5161,6 +5472,15 @@ FINAL_ROUND_DEMOTED = {
     "minhash_lsh",
     "dedup_components",
     "embedding_neardup",
+    # second trade (final session): four r01+r03-green relational
+    # entries cede head slots to the new crawl-side pairs
+    # (robots_filter, crawl_frontier, anchor_topk, main_content);
+    # each was re-verified by tools/check_oracle.py at sf0.01 at the
+    # demotion commit.
+    "wordcount",
+    "set_ops",
+    "sql_api",
+    "distinct_exact",
 }
 
 # Rename ledger for the rotation guard: new catalog key → the old key
@@ -5201,11 +5521,14 @@ QUERIES = {
     "pivot_lang": q_pivot_lang,
     "cube_lang_source": q_cube_lang_source,
     "rollup_lang_source": q_rollup_lang_source,
-    "set_ops": q_set_ops,
-    "sql_api": q_sql_api,
-    "wordcount": q_wordcount,
-    "distinct_exact": q_distinct_exact,
     "approx_percentile": q_approx_percentile,
+    # crawl-side controls, new in the final session: head slots so
+    # their only driver window records rows (wordcount, set_ops,
+    # sql_api, distinct_exact demoted in trade — FINAL_ROUND_DEMOTED)
+    "robots_filter": q_robots_filter,
+    "crawl_frontier": q_crawl_frontier,
+    "anchor_topk": q_anchor_topk,
+    "main_content": q_main_content,
     "pii_scrub": q_pii_scrub,
     "repeated_ngrams": q_repeated_ngrams,
     "hll_registers": q_hll_registers,
@@ -5243,6 +5566,11 @@ QUERIES = {
     # see RENAMED_KEYS) verified byte-identical query + oracle text.
     # Round-5 changes to tail entries are output-identical and
     # hash-verified at sf0.01 + sf0.001 (BENCH/ROTATION.md). ---
+    # demoted in the final-session trade (see FINAL_ROUND_DEMOTED)
+    "wordcount": q_wordcount,
+    "set_ops": q_set_ops,
+    "sql_api": q_sql_api,
+    "distinct_exact": q_distinct_exact,
     "text_entropy": q_text_entropy,
     "moving_avg": q_moving_avg,
     "winnow_fps": q_winnow_fps,
@@ -5359,6 +5687,10 @@ ORACLES = {
     "wordcount": sql_wordcount(),
     "distinct_exact": sql_distinct_exact(),
     "approx_percentile": sql_approx_percentile(),
+    "robots_filter": sql_robots_filter(),
+    "crawl_frontier": sql_crawl_frontier(),
+    "anchor_topk": sql_anchor_topk(),
+    "main_content": sql_main_content(),
     "pii_scrub": sql_pii_scrub(),
     "repeated_ngrams": sql_repeated_ngrams(),
     "hll_registers": sql_hll_registers(),

@@ -602,6 +602,48 @@ def main() -> int:
         and has_col(p, "cb"),
     )
 
+    # crawl-side controls (final session): robots = broadcast rules
+    # join + ONE aggregate shuffle; frontier = WindowGroupLimit rank
+    # cap; main_content = zero-shuffle array algebra
+    p = plans["robots_filter"] = explain_str(Q.q_robots_filter(spark, SF))
+    check(
+        "robots_filter",
+        "rules joined via BroadcastHashJoin (URL side never shuffles "
+        "for the join)",
+        n_nodes(p, "BroadcastHashJoin") >= 1 and "SortMergeJoin" not in p,
+    )
+    check(
+        "robots_filter",
+        "ONE Exchange (the winner-pick aggregate) with partial "
+        "map-side combine",
+        n_nodes(p, "Exchange") == 1 and "partial_max" in p,
+    )
+    p = plans["crawl_frontier"] = explain_str(Q.q_crawl_frontier(spark, SF))
+    check(
+        "crawl_frontier",
+        "per-host rank cap plans as WindowGroupLimit (per-task state "
+        "= budget, not host URL count)",
+        n_nodes(p, "WindowGroupLimit") >= 1,
+    )
+    check(
+        "crawl_frontier",
+        "single Exchange (the politeness hash shuffle on host)",
+        n_nodes(p, "Exchange") == 1,
+    )
+    p = plans["main_content"] = explain_str(Q.q_main_content(spark, SF))
+    check(
+        "main_content",
+        "zero Exchanges — boilerplate removal runs at scan speed "
+        "(higher-order array algebra, no explode)",
+        n_nodes(p, "Exchange") == 0,
+    )
+    p = plans["anchor_topk"] = explain_str(Q.q_anchor_topk(spark, SF))
+    check(
+        "anchor_topk",
+        "per-target top-k is a WindowGroupLimit rank cap",
+        n_nodes(p, "WindowGroupLimit") >= 1,
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (explain('formatted') invariants)\n\n")
