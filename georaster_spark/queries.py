@@ -5320,6 +5320,146 @@ def sql_ice_merge():
     """
 
 
+def q_crawl_delta(spark, sf_dir):
+    """Incremental-crawl snapshot diff through the snapshot table
+    layer (E10 + the webtext lane): a crawl table (url, lang,
+    text_h) gets a deterministic RECRAWL applied as two atomic
+    commits — changed pages (doc_id%5: text gains ' v2', so the
+    content hash moves), discovered pages (doc_id%17: new urls), then
+    vanished pages (doc_id%11==3: deleted) — and the query TIME
+    TRAVELS to the pre-recrawl snapshot, full-outer-joins it against
+    the live one on url, and classifies every page added / removed /
+    changed / same. This is the change-detection pass of every
+    incremental crawl pipeline, and a green hash is ALSO evidence the
+    snapshot chain + time travel work (the query raises unless the
+    chain is base→upsert→delete). Scale shape: ONE sort-merge full
+    outer join on url — both sides are manifest-planned parquet
+    scans, each pruned to its snapshot's files; no driver state
+    beyond the manifests."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from georaster_spark.sources import icetable
+
+    recipe = "crawlv1:c%5+v2:a%17+new:d%11=3"
+    tbl = os.path.join(
+        tempfile.gettempdir(),
+        "georaster_crawl_delta_"
+        + hashlib.md5(f"{sf_dir}|{recipe}".encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(tbl):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def h(col):
+            return (
+                F.conv(F.substring(F.md5(col), 1, 15), 16, 10)
+                .cast("long")
+                .alias("text_h")
+            )
+
+        url = F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        )
+        base = d.select(url.alias("url"), "lang", h(F.col("text")), "doc_id")
+        tmp = f"{tbl}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        icetable.write_table(base.drop("doc_id"), tmp, n_files=8)
+        changed = d.where(F.col("doc_id") % 5 == 0).select(
+            url.alias("url"), "lang", h(F.concat(F.col("text"), F.lit(" v2")))
+        )
+        added = d.where(F.col("doc_id") % 17 == 0).select(
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/p/"),
+                (F.col("doc_id") + 10000).cast("string"),
+            ).alias("url"),
+            "lang",
+            h(F.concat(F.col("text"), F.lit(" new"))),
+        )
+        icetable.merge_table(spark, tmp, changed.unionByName(added), ["url"])
+        removed = base.where(F.col("doc_id") % 11 == 3).select("url")
+        icetable.merge_table(spark, tmp, removed, ["url"], delete=True)
+        try:
+            os.replace(tmp, tbl)
+        except OSError:  # another process won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
+    chain = icetable.committed_chain(tbl)
+    if len(chain) != 3:
+        raise RuntimeError(
+            f"expected 3 snapshots (crawl, recrawl, vanish), got {len(chain)}"
+        )
+    old = icetable.read_table(spark, tbl, chain[0]["snapshot_id"]).select(
+        F.col("url").alias("o_url"), F.col("lang").alias("o_lang"),
+        F.col("text_h").alias("o_h"),
+    )
+    new = icetable.read_table(spark, tbl).select(
+        F.col("url").alias("n_url"), F.col("lang").alias("n_lang"),
+        F.col("text_h").alias("n_h"),
+    )
+    j = old.join(new, old["o_url"] == new["n_url"], "full_outer")
+    status = (
+        F.when(F.col("o_url").isNull(), F.lit("added"))
+        .when(F.col("n_url").isNull(), F.lit("removed"))
+        .when(F.col("o_h") != F.col("n_h"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return j.select(
+        status.alias("status"),
+        F.coalesce(F.col("n_lang"), F.col("o_lang")).alias("lang"),
+    ).groupBy("status", "lang").agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+
+
+def sql_crawl_delta():
+    return """
+    WITH base AS (
+      SELECT 'https://' || source || '.example.com/p/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             lang,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS text_h,
+             doc_id, text, source
+      FROM documents
+    ),
+    old AS (SELECT url, lang, text_h FROM base),
+    changed AS (
+      SELECT url, lang,
+             CAST('0x' || substr(md5(text || ' v2'), 1, 15) AS BIGINT) AS text_h
+      FROM base WHERE doc_id % 5 = 0
+    ),
+    added AS (
+      SELECT 'https://' || source || '.example.com/p/'
+               || CAST(doc_id + 10000 AS VARCHAR) AS url,
+             lang,
+             CAST('0x' || substr(md5(text || ' new'), 1, 15) AS BIGINT) AS text_h
+      FROM base WHERE doc_id % 17 = 0
+    ),
+    removed AS (SELECT url FROM base WHERE doc_id % 11 = 3),
+    new_t AS (
+      SELECT * FROM (
+        SELECT url, lang, text_h FROM old
+        WHERE url NOT IN (SELECT url FROM changed)
+        UNION ALL SELECT * FROM changed
+        UNION ALL SELECT * FROM added
+      ) WHERE url NOT IN (SELECT url FROM removed)
+    ),
+    j AS (
+      SELECT CASE WHEN o.url IS NULL THEN 'added'
+                  WHEN n.url IS NULL THEN 'removed'
+                  WHEN o.text_h != n.text_h THEN 'changed'
+                  ELSE 'same' END AS status,
+             coalesce(n.lang, o.lang) AS lang
+      FROM old o FULL OUTER JOIN new_t n ON o.url = n.url
+    )
+    SELECT status, lang, CAST(count(*) AS BIGINT) AS n_urls
+    FROM j GROUP BY 1, 2
+    """
+
+
 def q_weighted_sample(spark, sf_dir):
     """Weighted (importance) Bernoulli sampling: per-doc keep
     probability proportional to a length-derived quality weight,
@@ -5481,6 +5621,7 @@ FINAL_ROUND_DEMOTED = {
     "set_ops",
     "sql_api",
     "distinct_exact",
+    "approx_percentile",
 }
 
 # Rename ledger for the rotation guard: new catalog key → the old key
@@ -5521,7 +5662,6 @@ QUERIES = {
     "pivot_lang": q_pivot_lang,
     "cube_lang_source": q_cube_lang_source,
     "rollup_lang_source": q_rollup_lang_source,
-    "approx_percentile": q_approx_percentile,
     # crawl-side controls, new in the final session: head slots so
     # their only driver window records rows (wordcount, set_ops,
     # sql_api, distinct_exact demoted in trade — FINAL_ROUND_DEMOTED)
@@ -5529,6 +5669,7 @@ QUERIES = {
     "crawl_frontier": q_crawl_frontier,
     "anchor_topk": q_anchor_topk,
     "main_content": q_main_content,
+    "crawl_delta": q_crawl_delta,
     "pii_scrub": q_pii_scrub,
     "repeated_ngrams": q_repeated_ngrams,
     "hll_registers": q_hll_registers,
@@ -5567,6 +5708,7 @@ QUERIES = {
     # Round-5 changes to tail entries are output-identical and
     # hash-verified at sf0.01 + sf0.001 (BENCH/ROTATION.md). ---
     # demoted in the final-session trade (see FINAL_ROUND_DEMOTED)
+    "approx_percentile": q_approx_percentile,
     "wordcount": q_wordcount,
     "set_ops": q_set_ops,
     "sql_api": q_sql_api,
@@ -5691,6 +5833,7 @@ ORACLES = {
     "crawl_frontier": sql_crawl_frontier(),
     "anchor_topk": sql_anchor_topk(),
     "main_content": sql_main_content(),
+    "crawl_delta": sql_crawl_delta(),
     "pii_scrub": sql_pii_scrub(),
     "repeated_ngrams": sql_repeated_ngrams(),
     "hll_registers": sql_hll_registers(),

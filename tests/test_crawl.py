@@ -126,6 +126,28 @@ def test_main_content_drops_nav_lines(spark):
     assert any(r.n_kept < r.n_lines for r in rows.values())
 
 
+def test_crawl_delta_statuses(spark):
+    """Snapshot-diff classification: every status class occurs, the
+    counts reconcile with the closed-form recipe (changed %5, added
+    %17, removed %11==3 — removal wins over change), and the result
+    comes from genuine TIME TRAVEL over a 3-commit chain (the query
+    raises otherwise)."""
+    import georaster_spark.queries as Q
+
+    rows = Q.q_crawl_delta(spark, SF).collect()
+    by_status: dict[str, int] = {}
+    for r in rows:
+        by_status[r.status] = by_status.get(r.status, 0) + r.n_urls
+    n = 500  # documents rows at this sf
+    removed = {i for i in range(n) if i % 11 == 3}
+    changed = {i for i in range(n) if i % 5 == 0} - removed
+    added = {i for i in range(n) if i % 17 == 0}
+    assert by_status["removed"] == len(removed)
+    assert by_status["changed"] == len(changed)
+    assert by_status["added"] == len(added)
+    assert by_status["same"] == n - len(removed) - len(changed)
+
+
 def test_anchor_topk_rank_bounds(spark):
     import georaster_spark.queries as Q
 

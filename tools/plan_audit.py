@@ -643,6 +643,14 @@ def main() -> int:
         "per-target top-k is a WindowGroupLimit rank cap",
         n_nodes(p, "WindowGroupLimit") >= 1,
     )
+    p = plans["crawl_delta"] = explain_str(Q.q_crawl_delta(spark, SF))
+    check(
+        "crawl_delta",
+        "snapshot diff is ONE equi full-outer join on url (SMJ), "
+        "no nested-loop join",
+        n_nodes(p, "SortMergeJoin") == 1
+        and "BroadcastNestedLoopJoin" not in p,
+    )
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
