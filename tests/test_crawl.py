@@ -126,6 +126,53 @@ def test_main_content_drops_nav_lines(spark):
     assert any(r.n_kept < r.n_lines for r in rows.values())
 
 
+def test_robots_random_rulesets_match_scalar_reference(spark):
+    """Property: on seeded random rule tables and URL lists, the
+    distributed verdicts equal a scalar RFC 9309 reference (longest
+    byte-prefix match, Allow wins length ties, default allow). One
+    Spark run over the UNION of all corpora (per-seed sessions would
+    dominate runtime); hosts partition the cases."""
+    import random
+
+    def scalar_verdict(path, rules):
+        best = None  # (len, allow, prefix)
+        for prefix, allow in rules:
+            if path.startswith(prefix):
+                key = (len(prefix), allow, prefix)
+                if best is None or key > best:
+                    best = key
+        return (True, "") if best is None else (best[1], best[2])
+
+    url_rows, rule_rows, expect = [], [], {}
+    doc = 0
+    for seed in range(8):
+        rng = random.Random(seed)
+        host = f"h{seed}"
+        segs = ["a", "b", "c", "d/e", "x1"]
+        rules = []
+        for _ in range(rng.randint(0, 12)):
+            depth = rng.randint(1, 3)
+            prefix = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+            rules.append((prefix[: rng.randint(2, len(prefix))], rng.random() < 0.5))
+        rule_rows += [(host, p, a) for p, a in rules]
+        for _ in range(20):
+            path = "/" + "/".join(
+                rng.choice(segs) for _ in range(rng.randint(1, 4))
+            )
+            url_rows.append((doc, host, path))
+            expect[doc] = scalar_verdict(path, rules)
+            doc += 1
+    urls = _urls(spark, url_rows)
+    out = robots_verdicts(urls, _rules(spark, rule_rows)).collect()
+    assert len(out) == len(expect)
+    for r in out:
+        assert (r.allowed, r.rule) == expect[r.doc_id], (
+            r.doc_id,
+            r.host,
+            r.path,
+        )
+
+
 def test_crawl_delta_statuses(spark):
     """Snapshot-diff classification: every status class occurs, the
     counts reconcile with the closed-form recipe (changed %5, added

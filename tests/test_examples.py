@@ -39,6 +39,20 @@ def test_geospatial_pipeline_runs(spark):
     assert "docs per polygon" in stdout and "committed snapshot" in stdout
 
 
+def test_crawl_pipeline_runs_and_gates(spark):
+    import json
+
+    stdout = _run("crawl_pipeline.py")
+    stats = json.loads(stdout.strip().splitlines()[-1])
+    assert stats["pages"] == 600
+    # the robots gate genuinely drops disallowed urls...
+    assert 0 < stats["robots_allowed"] < stats["pages"]
+    # ...the north-rule text identity holds end-to-end...
+    assert stats["text_identity_divergent"] == 0
+    # ...and every surviving url commits through the snapshot layer
+    assert stats["committed_rows"] == stats["unique_urls"]
+
+
 def test_multimodal_pipeline_runs(spark):
     stdout = _run("multimodal_pipeline.py")
     assert "MULTIMODAL_PIPELINE_OK" in stdout
