@@ -48,6 +48,15 @@ STRESS = [
     "exact_substr",
     "paragraph_dedup",
     "semdedup",
+    # crawl-side controls (final session): linear-plan candidates —
+    # robots is broadcast-join+agg, frontier one host shuffle,
+    # anchor_topk two shuffles on a 3|V| edge list, main_content
+    # zero-shuffle, crawl_delta one full-outer SMJ over 2 snapshots
+    "robots_filter",
+    "crawl_frontier",
+    "anchor_topk",
+    "main_content",
+    "crawl_delta",
 ]
 
 _VOCAB = (
